@@ -1,0 +1,381 @@
+"""Config / flag system.
+
+Reproduces the reference CLI surface flag-for-flag (same names, same
+defaults — reference ``args.py:6-256``) so that the canonical sbatch
+invocation (reference ``sbatch_script.s:16``) runs unchanged, then parses the
+flat namespace into a frozen :class:`Config` dataclass whose hashable fields
+can feed ``jax.jit`` static arguments.
+
+Reference side effects reproduced:
+
+* experiment-dir auto-increment ``save/{expt}_{n}`` plus ``models`` subdir
+  (``args.py:261-273``),
+* device-string resolution (``args.py:275-278``) — here ``cuda``/``tpu``
+  means "the default JAX backend" and ``cpu`` forces the CPU backend.
+
+New (additive) flags are grouped under "TPU extensions" and default to the
+reference behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+
+def _int_list(text):
+    """Parse a comma-separated int list, e.g. ``3,4,5``.
+
+    The reference declares ``--disc-filter-sizes`` with ``type=list``
+    (``args.py:44-52``) which would split a CLI string into characters; the
+    flag was only ever used at its default.  We keep the flag names and
+    defaults but parse values sensibly.
+    """
+    if isinstance(text, (list, tuple)):
+        return list(text)
+    return [int(t) for t in str(text).split(",") if t != ""]
+
+
+def add_model_args(parser):
+    """Model flags — reference ``args.py:6-69``."""
+    g = parser.add_argument_group("model")
+    # Generator (args.py:12-30)
+    g.add_argument("--gen-hidden-dim", type=int, default=512,
+                   help="hidden dimension of generator")
+    g.add_argument("--gen-embed-dim", type=int, default=32,
+                   help="embedding dimension of generator")
+    g.add_argument("--gen-num-layers", type=int, default=1,
+                   help="number of layers in generator")
+    g.add_argument("--gen-init", type=str, default="uniform",
+                   choices=["uniform", "normal"],
+                   help="Initialization strategy for generator weights")
+    # Discriminator (args.py:34-57)
+    g.add_argument("--disc-embed-dim", type=int, default=64,
+                   help="embeddings dimension to use in discriminator")
+    g.add_argument("--disc-num-rep", type=int, default=64,
+                   help="number of representations to use for CNN discriminator")
+    g.add_argument("--disc-filter-sizes", type=_int_list, default=[3, 4, 5],
+                   help="Layer wise filter sizes to use in discriminator")
+    g.add_argument("--disc-num-filters", type=_int_list, default=[300, 300, 300],
+                   help="number of filters to use in discriminator per layer")
+    g.add_argument("--disc-init", type=str, default="uniform",
+                   choices=["uniform", "normal"],
+                   help="init strategy for discriminator weights")
+    # Common (args.py:61-65)
+    g.add_argument("--conditional-gan", type=int, default=0, choices=[0, 1],
+                   help="is the gan conditional?")
+
+
+def add_data_args(parser):
+    """Data flags — reference ``args.py:72-111``."""
+    g = parser.add_argument_group("data")
+    g.add_argument("--vocab-size", type=int, default=-1,
+                   help="vocab size for training (filled from the dataset)")
+    g.add_argument("--max-seq-len", type=int, default=34,
+                   help="maximum sequence length of captions")
+    g.add_argument("--padding-idx", type=int, default=0,
+                   help="index of padding token in vocab")
+    g.add_argument("--image-size", type=int, default=256,
+                   help="resize dim of images")
+    g.add_argument("--captions-per-image", type=int, default=1,
+                   help="no of captions to use per image")
+    # NOTE: underscore spelling kept verbatim from the reference (args.py:108).
+    g.add_argument("--dataset_percent", type=float, default=1.0,
+                   help="percentage of dataset to use for training")
+
+
+def add_training_args(parser):
+    """Training flags — reference ``args.py:117-193``."""
+    g = parser.add_argument_group("training")
+    g.add_argument("--pretrain-lr", type=float, default=1e-2,
+                   help="learning rate for pretraining generator")
+    g.add_argument("--pretrain-epochs", type=int, default=0,
+                   help="number of epochs for pretraining generator")
+    g.add_argument("--pre-train-batch-size", type=int, default=64,
+                   help="batch size for pretrain training")
+    g.add_argument("--pre-eval-batch-size", type=int, default=64,
+                   help="batch size for pretrain evaluation")
+    g.add_argument("--gen-lr", type=float, default=1e-4,
+                   help="learning rate for adversarial training of generator")
+    g.add_argument("--disc-lr", type=float, default=1e-4,
+                   help="learning rate for adversarial training of discriminator")
+    g.add_argument("--disc-train-freq", type=int, default=1,
+                   help="generator steps per discriminator step (the reference "
+                        "parsed but never used this flag, args.py:155-158; the "
+                        "report's Table 2 varied exactly this ratio, so here it "
+                        "is honored: the discriminator updates on every k-th "
+                        "step)")
+    g.add_argument("--adv-epochs", type=int, default=30,
+                   help="number of epochs for adversarial training")
+    g.add_argument("--adv-train-batch-size", type=int, default=64,
+                   help="batch size for adversarial training")
+    g.add_argument("--adv-eval-batch-size", type=int, default=64,
+                   help="batch size for adversarial evaluation")
+    g.add_argument("--adv-loss-type", type=str, default="standard",
+                   choices=["standard", "JS", "KL", "hinge", "tv", "rsgan"],
+                   help="Loss function to use for adversarial training")
+    g.add_argument("--temperature", type=int, default=100,
+                   help="Maximum Gumbel temperature for RelGAN training")
+    g.add_argument("--temp-adpt", type=str, default="exp",
+                   choices=["no", "lin", "exp", "log", "sigmoid", "quad", "sqrt"],
+                   help="Temperature adaption strategy")
+    g.add_argument("--clip-norm", type=float, default=5.0,
+                   help="Gradient clipping threshold (global norm)")
+
+
+def add_global_args(parser):
+    """Global flags — reference ``args.py:208-256``."""
+    g = parser.add_argument_group("global")
+    g.add_argument("--device", type=str, default="cuda",
+                   help="device to use for training (cpu|cuda|tpu). 'cuda' and "
+                        "'tpu' both mean the default JAX accelerator backend.")
+    g.add_argument("--device-ids", type=int, default=0,
+                   help="device id (i) to use for accelerator i")
+    g.add_argument("--expt-name", type=str, default="debug",
+                   help="Name of the experiment")
+    g.add_argument("--model-dir", type=str, default="models",
+                   help="directory to save models")
+    g.add_argument("--data-dir", type=str, default="./data",
+                   help="directory where data is stored")
+    g.add_argument("--save-dir", type=str, default="./save",
+                   help="directory to save the expt logs and tensorboard logs")
+    g.add_argument("--adv-log-step", type=int, default=1,
+                   help="Log step frequency for adversarial training")
+    g.add_argument("--pre-log-step", type=int, default=1,
+                   help="Log step frequency for pretraining")
+    g.add_argument("--test-log-step", type=int, default=1,
+                   help="Log step frequency for testing")
+    g.add_argument("--log-file", type=str, default="log",
+                   help="Log file to save logs")
+
+
+def add_tpu_args(parser):
+    """TPU-native extension flags (not in the reference; all additive)."""
+    g = parser.add_argument_group("tpu extensions")
+    g.add_argument("--gen-arch", type=str, default="lstm",
+                   choices=["lstm", "transformer", "gpt2"],
+                   help="generator architecture (report §3.2.2 adds the "
+                        "transformer variant; 'gpt2' is the stretch config)")
+    g.add_argument("--disc-arch", type=str, default="cnn",
+                   choices=["cnn", "transformer", "ar_transformer"],
+                   help="discriminator architecture (report §3.2.3-3.2.4)")
+    g.add_argument("--encoder-arch", type=str, default="resnet18",
+                   choices=["resnet18", "vit"],
+                   help="image encoder backbone")
+    g.add_argument("--trainable-backbone", type=int, default=0, choices=[0, 1],
+                   help="train the image backbone instead of freezing it "
+                        "(report §4.2 'two settings'; the reference code only "
+                        "has frozen, generator.py:21-22)")
+    g.add_argument("--gen-num-heads", type=int, default=8,
+                   help="attention heads for the transformer generator "
+                        "(report §4.2: 8)")
+    g.add_argument("--disc-num-heads", type=int, default=8,
+                   help="attention heads for the transformer discriminator")
+    g.add_argument("--disc-hidden-dim", type=int, default=128,
+                   help="hidden dim of the transformer discriminator "
+                        "(report §4.2: 128)")
+    g.add_argument("--disc-num-layers", type=int, default=4,
+                   help="layers of the transformer discriminator")
+    g.add_argument("--label-smoothing", type=float, default=0.0,
+                   help="one-sided label smoothing for the discriminator's "
+                        "real targets (report §4.3 stabilization trick)")
+    g.add_argument("--noisy-labels", type=float, default=0.0,
+                   help="probability of flipping real/fake labels for the "
+                        "discriminator (report §4.3 stabilization trick)")
+    g.add_argument("--mesh", type=str, default="",
+                   help="device mesh spec, e.g. 'data:4,model:2'. Empty = all "
+                        "devices on the 'data' axis.")
+    g.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for matmuls/convs")
+    g.add_argument("--seed", type=int, default=1008,
+                   help="global PRNG seed (reference main.py:14 hardcodes 1008)")
+    g.add_argument("--resume", type=str, default="",
+                   help="path to a full TrainState checkpoint to resume from "
+                        "(the reference has no resume path at all)")
+    g.add_argument("--checkpoint-every", type=int, default=0,
+                   help="also save a full resumable TrainState every N adv "
+                        "epochs (0 = only best-val, like the reference)")
+    g.add_argument("--eval-bleu-every", type=int, default=0,
+                   help="compute BLEU-4/NLL_gen on val every N epochs "
+                        "(0 = off; the reference left BLEU commented out, "
+                        "training.py:75-76)")
+    g.add_argument("--beam-size", type=int, default=1,
+                   help="beam width for caption decoding at eval (1 = greedy, "
+                        "the reference's only mode, generator.py:55-81)")
+    g.add_argument("--dataset", type=str, default="coco",
+                   choices=["coco", "synthetic"],
+                   help="'synthetic' runs on a deterministic tiny fixture "
+                        "(useful for tests/benchmarks without COCO on disk)")
+    g.add_argument("--num-workers", type=int, default=4,
+                   help="host-side data-loading worker threads")
+    g.add_argument("--profile-dir", type=str, default="",
+                   help="if set, dump a jax.profiler trace for the first adv "
+                        "epoch into this directory")
+    g.add_argument("--no-jit", action="store_true",
+                   help="disable jit (debugging)")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser("NLP GAN args (TPU-native rebuild)")
+    # Registration order mirrors the reference (args.py:204-206).
+    add_training_args(parser)
+    add_data_args(parser)
+    add_model_args(parser)
+    add_global_args(parser)
+    add_tpu_args(parser)
+    return parser
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Frozen, hashable view of the flag namespace.
+
+    Static model/sequence fields are safe to close over in jitted code.
+    Mutable run-time state (vocab size is filled post-dataset-build, mirroring
+    reference ``main.py:38``) is carried by replacing the dataclass.
+    """
+
+    # model — generator
+    gen_hidden_dim: int = 512
+    gen_embed_dim: int = 32
+    gen_num_layers: int = 1
+    gen_init: str = "uniform"
+    # model — discriminator
+    disc_embed_dim: int = 64
+    disc_num_rep: int = 64
+    disc_filter_sizes: Tuple[int, ...] = (3, 4, 5)
+    disc_num_filters: Tuple[int, ...] = (300, 300, 300)
+    disc_init: str = "uniform"
+    conditional_gan: int = 0
+    # data
+    vocab_size: int = -1
+    max_seq_len: int = 34
+    padding_idx: int = 0
+    image_size: int = 256
+    captions_per_image: int = 1
+    dataset_percent: float = 1.0
+    # training
+    pretrain_lr: float = 1e-2
+    pretrain_epochs: int = 0
+    pre_train_batch_size: int = 64
+    pre_eval_batch_size: int = 64
+    gen_lr: float = 1e-4
+    disc_lr: float = 1e-4
+    disc_train_freq: int = 1
+    adv_epochs: int = 30
+    adv_train_batch_size: int = 64
+    adv_eval_batch_size: int = 64
+    adv_loss_type: str = "standard"
+    temperature: int = 100
+    temp_adpt: str = "exp"
+    clip_norm: float = 5.0
+    # global
+    device: str = "cuda"
+    device_ids: int = 0
+    expt_name: str = "debug"
+    model_dir: str = "models"
+    data_dir: str = "./data"
+    save_dir: str = "./save"
+    adv_log_step: int = 1
+    pre_log_step: int = 1
+    test_log_step: int = 1
+    log_file: str = "log"
+    # tpu extensions
+    gen_arch: str = "lstm"
+    disc_arch: str = "cnn"
+    encoder_arch: str = "resnet18"
+    trainable_backbone: int = 0
+    gen_num_heads: int = 8
+    disc_num_heads: int = 8
+    disc_hidden_dim: int = 128
+    disc_num_layers: int = 4
+    label_smoothing: float = 0.0
+    noisy_labels: float = 0.0
+    mesh: str = ""
+    dtype: str = "float32"
+    seed: int = 1008
+    resume: str = ""
+    checkpoint_every: int = 0
+    eval_bleu_every: int = 0
+    beam_size: int = 1
+    dataset: str = "coco"
+    num_workers: int = 4
+    profile_dir: str = ""
+    no_jit: bool = False
+
+    # ------------------------------------------------------------------ props
+    @property
+    def cgan(self) -> bool:
+        """Conditional mode (the reference reads a never-set ``args.cgan`` in
+        ``Generator.forward``, generator.py:109 — a latent bug; the working
+        spelling is ``conditional_gan==1``, training.py:45)."""
+        return self.conditional_gan == 1
+
+    @property
+    def seq_len(self) -> int:
+        """Static decode length: captions are wrapped ``<S> … <E>`` so padded
+        batches are ``max_seq_len + 2`` long (reference ``tasks.py:147,155``
+        pads to the *batch* max + 2; XLA needs one static shape)."""
+        return self.max_seq_len + 2
+
+    @property
+    def disc_feature_dim(self) -> int:
+        """sum(num_filters) — reference ``discriminator.py:16``."""
+        return int(sum(self.disc_num_filters))
+
+    @property
+    def emb_dim_single(self) -> int:
+        """Per-representation embedding width — ``discriminator.py:17``."""
+        return self.disc_embed_dim // self.disc_num_rep
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    """Convert a parsed namespace into a frozen Config."""
+    fields = {f.name for f in dataclasses.fields(Config)}
+    kw = {}
+    for key, val in vars(args).items():
+        key = key.replace("-", "_")
+        if key in fields:
+            if isinstance(val, list):
+                val = tuple(val)
+            kw[key] = val
+    return Config(**kw)
+
+
+def make_experiment_dirs(args: argparse.Namespace) -> argparse.Namespace:
+    """Experiment-dir side effects — reference ``args.py:261-273``.
+
+    Auto-increments ``{save_dir}/{expt_name}_{n}``, creates it plus the
+    ``{model_dir}`` subdir, and rewrites ``args.save_dir`` / ``args.model_dir``
+    / ``args.log_file`` to point inside it.
+    """
+    expt_no = 1
+    while os.path.exists(os.path.join(args.save_dir, f"{args.expt_name}_{expt_no}")):
+        expt_no += 1
+    args.expt_name = f"{args.expt_name}_{expt_no}"
+    args.save_dir = os.path.join(args.save_dir, args.expt_name)
+    os.makedirs(args.save_dir)
+    args.model_dir = os.path.join(args.save_dir, args.model_dir)
+    os.makedirs(args.model_dir)
+    args.log_file = os.path.join(args.save_dir, args.log_file)
+    return args
+
+
+def get_args(argv: Optional[list] = None, make_dirs: bool = True) -> argparse.Namespace:
+    """Parse flags and apply the reference's side effects (``args.py:200-280``)."""
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if make_dirs:
+        make_experiment_dirs(args)
+    if args.device == "cpu":
+        # Force the CPU backend before any computation runs.
+        import jax
+
+        jax.config.update("jax_platform_name", "cpu")
+    return args

@@ -1,0 +1,177 @@
+"""RelGAN multi-representation CNN discriminator.
+
+TPU-native rebuild of reference ``discriminator.py:9-86``:
+
+* Input is either a soft token-distribution sequence ``[B, L, V]`` (generated
+  captions) or integer token ids ``[B, L]`` (real captions).  The reference
+  materializes a ``[B, L, V]`` one-hot for real captions and multiplies it
+  with the embedding Linear (``training.py:158`` + ``discriminator.py:20,40``)
+  — at V≈11k that is ~100 MB/batch of pure waste.  Here integer input takes
+  an embedding *gather* instead, which is mathematically identical
+  (``one_hot(x) @ W.T == W.T[x]``) and HBM-bandwidth-friendly.
+* The ``num_rep`` multi-representation trick: the E-dim embedding is viewed
+  as ``num_rep`` columns of width ``emb_dim_single = E / num_rep``
+  (``discriminator.py:17,23``); each Conv2d bank slides over time with
+  stride ``emb_dim_single`` in the embedding axis, scoring each
+  representation independently; output logits are ``[B * num_rep]``.
+* conv banks (filter sizes × filters, ``discriminator.py:22-25``) → relu →
+  max-pool over time (``:45``) → concat → highway (``:53-55``) →
+  dropout(0.2) → Linear(F→100) → Linear(100→1) (``:58-60``).
+
+Parameter layouts are torch-compatible (Conv2d OIHW, Linear [out, in]) for
+1:1 weight conversion and oracle tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.ops.initializers import init_param_tree
+
+
+# --------------------------------------------------------------------- params
+
+def init_discriminator_params(rng, config: Config, dtype=jnp.float32) -> dict:
+    """Build params then apply the reference init sweep
+    (``discriminator.py:32,79-86``)."""
+    V = config.vocab_size
+    E = config.disc_embed_dim
+    F = config.disc_feature_dim
+    eds = config.emb_dim_single
+    keys = jax.random.split(rng, 6 + len(config.disc_filter_sizes))
+    convs = []
+    for i, (n, f) in enumerate(zip(config.disc_num_filters,
+                                   config.disc_filter_sizes)):
+        convs.append({
+            "w": jax.random.normal(keys[i], (n, 1, f, eds), dtype) * 0.02,
+            "b": jnp.zeros((n,), dtype),
+        })
+    base = len(config.disc_filter_sizes)
+    params = {
+        # torch Linear(V, E, bias=False).weight → [E, V] (discriminator.py:20)
+        "embeddings": {"w": jax.random.normal(keys[base], (E, V), dtype) * 0.02},
+        "convs": convs,
+        "highway": {"w": jax.random.normal(keys[base + 1], (F, F), dtype) * 0.02,
+                    "b": jnp.zeros((F,), dtype)},
+        "feature2out": {"w": jax.random.normal(keys[base + 2], (100, F), dtype) * 0.02,
+                        "b": jnp.zeros((100,), dtype)},
+        "out2logits": {"w": jax.random.normal(keys[base + 3], (1, 100), dtype) * 0.02,
+                       "b": jnp.zeros((1,), dtype)},
+    }
+    return init_param_tree(keys[base + 4], params, config.disc_init)
+
+
+# -------------------------------------------------------------------- compute
+
+def embed_tokens(params: dict, inp):
+    """Token embedding for soft or hard inputs.
+
+    Soft ``[B, L, V]``: ``inp @ W.T`` (the reference's bias-free Linear,
+    ``discriminator.py:20,40``).  Int ``[B, L]``: gather ``W.T[inp]`` —
+    identical result for one-hot rows, no ``[B, L, V]`` materialization
+    (fuses reference ``training.py:158``'s one-hot into the lookup).
+    """
+    w = params["embeddings"]["w"]  # [E, V]
+    if jnp.issubdtype(inp.dtype, jnp.integer):
+        return w.T[inp]            # [B, L, E]
+    return inp @ w.T               # [B, L, E]
+
+
+def _conv_bank(conv_params: dict, emb4, eds: int):
+    """One conv bank: input [B, 1, L, E], kernel [N, 1, f, eds], stride
+    (1, eds) — reference ``discriminator.py:22-25``.  Output [B, N, L-f+1, R]."""
+    out = jax.lax.conv_general_dilated(
+        emb4, conv_params["w"],
+        window_strides=(1, eds),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out + conv_params["b"][None, :, None, None]
+
+
+def _highway(params: dict, pred):
+    """Highway layer — reference ``discriminator.py:53-55``:
+    ``sigmoid(h) * relu(h) + (1 - sigmoid(h)) * x``."""
+    hw = pred @ params["highway"]["w"].T + params["highway"]["b"]
+    gate = jax.nn.sigmoid(hw)
+    return gate * jax.nn.relu(hw) + (1.0 - gate) * pred
+
+
+def apply(params: dict, inp, config: Config, rng=None, train: bool = False,
+          dropout_rate: float = 0.2):
+    """Discriminator logits — reference ``Discriminator.forward``
+    (``discriminator.py:34-62``).
+
+    Args:
+      inp: ``[B, L, V]`` float soft sequences or ``[B, L]`` int token ids.
+      rng: dropout PRNG key (required when ``train``).
+      train: apply dropout(0.2) (reference ``discriminator.py:30,58``;
+        train/eval mode toggled at ``training.py:215-220``).
+    Returns:
+      ``[B * num_rep]`` logits (one score per representation).
+    """
+    eds = config.emb_dim_single
+    emb = embed_tokens(params, inp)                    # [B, L, E]
+    emb4 = emb[:, None, :, :]                          # [B, 1, L, E]
+
+    pools = []
+    for conv_params in params["convs"]:
+        con = jax.nn.relu(_conv_bank(conv_params, emb4, eds))  # [B,N,L',R]
+        pools.append(jnp.max(con, axis=2))                     # [B, N, R]
+    pred = jnp.concatenate(pools, axis=1)              # [B, F, R]
+
+    batch = pred.shape[0]
+    pred = jnp.transpose(pred, (0, 2, 1)).reshape(-1, config.disc_feature_dim)
+    pred = _highway(params, pred)                      # [(B·R), F]
+
+    if train and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, pred.shape)
+        pred = jnp.where(keep, pred / (1.0 - dropout_rate), 0.0)
+
+    pred = pred @ params["feature2out"]["w"].T + params["feature2out"]["b"]
+    logits = pred @ params["out2logits"]["w"].T + params["out2logits"]["b"]
+    return logits[:, 0]                                # [(B·R)]
+
+
+def get_feature(params: dict, inp, config: Config):
+    """Pooled feature vector — reference ``Discriminator.get_feature``
+    (``discriminator.py:64-77``).
+
+    The reference's version only type-checks when ``num_rep == 1`` (its
+    ``squeeze(3)`` assumes a single representation); here the max-pool runs
+    over both time and representation axes so any config returns
+    ``[B, feature_dim]``, which is the intended semantics.
+    """
+    eds = config.emb_dim_single
+    emb = embed_tokens(params, inp)[:, None, :, :]
+    pools = []
+    for conv_params in params["convs"]:
+        con = jax.nn.relu(_conv_bank(conv_params, emb, eds))   # [B,N,L',R]
+        pools.append(jnp.max(con, axis=(2, 3)))                # [B, N]
+    pred = jnp.concatenate(pools, axis=1)                      # [B, F]
+    return _highway(params, pred)
+
+
+# --------------------------------------------------------------------- facade
+
+class Discriminator:
+    """API facade mirroring reference ``Discriminator(args)``
+    (discriminator.py:9-33)."""
+
+    def __init__(self, config: Config, dropout: float = 0.2):
+        self.config = config
+        self.dropout = dropout
+
+    def init(self, rng, dtype=jnp.float32):
+        return init_discriminator_params(rng, self.config, dtype)
+
+    def __call__(self, params, inp, rng=None, train: bool = False):
+        return apply(params, inp, self.config, rng=rng, train=train,
+                     dropout_rate=self.dropout)
+
+    def get_feature(self, params, inp):
+        return get_feature(params, inp, self.config)

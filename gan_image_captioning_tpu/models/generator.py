@@ -1,0 +1,230 @@
+"""Caption generator: (optional CNN encoder) + LSTM decoder + Gumbel sampling.
+
+TPU-native rebuild of reference ``generator.py``:
+
+* ``Decoder.sample`` (``generator.py:55-81``) — the 34-iteration Python
+  decode loop with per-step cuDNN LSTM launches — becomes ONE ``lax.scan``
+  inside the jitted train/eval step, carrying ``(x_t, (h, c))`` on-chip.
+* ``Decoder.forward`` (``generator.py:39-53``) — teacher-forced scoring with
+  pack/pad — becomes a full-sequence scan with masks instead of packing
+  (XLA needs static shapes).
+* Gumbel relaxation matches ``add_gumbel`` + ``softmax(temp * ·)``
+  (``generator.py:50-51,68-69,84-96``).
+* Unconditional mode feeds the ``<S>``-token embedding as the t=0 input,
+  conditional mode the encoded image features (``generator.py:109-112``,
+  ``training.py:65-68,144-147``).
+* Init strategies ``uniform``/``normal`` sweep every parameter
+  (``generator.py:116-123``).
+
+Parameter layouts are torch-compatible (Embedding ``[V, E]``, Linear
+``{'w': [out, in], 'b': [out]}``) so reference checkpoints convert 1:1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.models import lstm
+from gan_image_captioning_tpu.ops.gumbel import add_gumbel, gumbel_softmax
+from gan_image_captioning_tpu.ops.initializers import init_param_tree
+
+START_TOKEN = 1  # <S> — reference tasks.py:43
+END_TOKEN = 2    # <E> — reference tasks.py:44
+PAD_TOKEN = 0    # <PAD> — reference tasks.py:42
+
+
+# --------------------------------------------------------------------- params
+
+def init_decoder_params(rng, config: Config, dtype=jnp.float32) -> dict:
+    """Decoder = Embedding(V, E) + LSTM(E→H, L layers) + Linear(H→V)
+    (reference ``generator.py:31-33``)."""
+    k_embed, k_lstm, k_lin = jax.random.split(rng, 3)
+    V, E, H = config.vocab_size, config.gen_embed_dim, config.gen_hidden_dim
+    params = {
+        "embed": jax.random.normal(k_embed, (V, E), dtype),  # torch Embedding default
+        "lstm": lstm.init_lstm_params(k_lstm, E, H, config.gen_num_layers, dtype),
+        "linear": {
+            "w": jax.random.normal(k_lin, (V, H), dtype) / jnp.sqrt(H * 1.0),
+            "b": jnp.zeros((V,), dtype),
+        },
+    }
+    return params
+
+
+def init_generator_params(rng, config: Config, dtype=jnp.float32,
+                          with_encoder: Optional[bool] = None) -> dict:
+    """Build generator params and apply the reference's init sweep
+    (``generator.py:105,116-123``): every trainable parameter is overwritten
+    with U(-0.05, 0.05) (``uniform``) or N(0, 1/sqrt(dim0)) (``normal``).
+
+    The encoder is built whenever conditional mode is on (or explicitly
+    requested); like the reference, its backbone weights also go through the
+    init sweep (the torchvision ResNet is constructed with
+    ``pretrained=False`` and then re-initialized, ``generator.py:12,116-123``)
+    except the BatchNorm running statistics, which torch excludes via
+    ``requires_grad`` (``generator.py:118``).
+    """
+    if with_encoder is None:
+        with_encoder = config.cgan
+    k_dec, k_enc, k_init = jax.random.split(rng, 3)
+    params = {"decoder": init_decoder_params(k_dec, config, dtype)}
+    if with_encoder:
+        from gan_image_captioning_tpu.models import encoder as encoder_lib
+
+        params["encoder"] = encoder_lib.init_encoder_params(k_enc, config, dtype)
+
+    def _skip(path, leaf):
+        # BatchNorm running stats / num_batches are not nn.Parameters in torch,
+        # so the reference's init sweep never touches them.
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        return any(k in ("mean", "var", "running_mean", "running_var") for k in keys)
+
+    return init_param_tree(k_init, params, config.gen_init, skip_predicate=_skip)
+
+
+# -------------------------------------------------------------------- compute
+
+def start_token_features(decoder_params: dict, batch: int):
+    """Unconditional-mode t=0 input: the embedding of the ``<S>`` token
+    (reference ``training.py:68``: ``decoder.embed(ones(B))`` — token id 1)."""
+    ids = jnp.full((batch,), START_TOKEN, dtype=jnp.int32)
+    return decoder_params["embed"][ids]
+
+
+def _project(decoder_params: dict, h):
+    lin = decoder_params["linear"]
+    return h @ lin["w"].T + lin["b"]
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "pretrain"))
+def sample_jit(decoder_params, features, rng, temperature, seq_len, pretrain):
+    """Standalone jitted wrapper around :func:`sample` (for eval/decode use;
+    training calls :func:`sample` inside its own fused jitted step)."""
+    return sample(decoder_params, features, rng, temperature, seq_len, pretrain)
+
+
+def sample(decoder_params, features, rng, temperature, seq_len: int,
+           pretrain: bool = False, init_states=None):
+    """Free-running decode as one ``lax.scan`` — reference
+    ``Decoder.sample`` (``generator.py:55-81``).
+
+    Per step: LSTM → vocab projection → (pretrain: raw logits; adversarial:
+    ``softmax(temp * (logits + gumbel))``) → argmax → embed feedback.  The
+    argmax ids are integers, so the feedback path carries no gradient —
+    exactly the reference's ``self.embed(pred_index.detach())``
+    (``generator.py:75``).
+
+    Args:
+      features: ``[B, E]`` t=0 input (image features or <S> embedding).
+      rng: PRNG key for the Gumbel noise (unused when ``pretrain``).
+      temperature: scalar Gumbel temperature (traced; changes per batch
+        without recompilation).
+      seq_len: static number of decode steps.
+      pretrain: static; True returns raw logits as outputs
+        (``generator.py:63-66``), False the soft Gumbel samples
+        (``generator.py:67-70``).
+      init_states: optional initial ``(h, c)``; zeros otherwise.
+    Returns:
+      ``(outputs [B, T, V], ids [B, T])``.
+    """
+    batch = features.shape[0]
+    hidden_dim = decoder_params["lstm"][0]["w_hh"].shape[1]
+    if init_states is None:
+        init_states = lstm.zero_state(len(decoder_params["lstm"]), batch,
+                                      hidden_dim, features.dtype)
+
+    def step(carry, rng_t):
+        x, states = carry
+        h_top, states = lstm.lstm_step(decoder_params["lstm"], x, states)
+        logits = _project(decoder_params, h_top)
+        if pretrain:
+            out = logits
+            ids = jnp.argmax(logits, axis=-1)  # argmax∘softmax == argmax
+        else:
+            out, ids = gumbel_softmax(rng_t, logits, temperature)
+        x_next = decoder_params["embed"][ids]
+        return (x_next, states), (out, ids)
+
+    rngs = jax.random.split(rng, seq_len)
+    (_, _), (outs, ids) = jax.lax.scan(step, (features, init_states), rngs)
+    # scan stacks on axis 0 (time); return batch-major like the reference.
+    return jnp.swapaxes(outs, 0, 1), jnp.swapaxes(ids, 0, 1)
+
+
+def teacher_forced(decoder_params, features, captions, rng=None,
+                   temperature=1.0, pretrain: bool = False):
+    """Teacher-forced scoring — reference ``Decoder.forward``
+    (``generator.py:39-53``).
+
+    The image features are prepended as the t=0 input (``generator.py:42``),
+    then ground-truth caption embeddings drive the LSTM.  Instead of
+    pack/pad (``generator.py:43-45``) the full padded sequence is scored;
+    callers mask with lengths where needed.
+
+    Returns ``(pred [B, T+1, V], (h, c))`` where pred is raw logits in
+    pretrain mode, else ``softmax(temp * (logits + gumbel))``.
+    """
+    emb = decoder_params["embed"][captions]            # [B, T, E]
+    xs = jnp.concatenate([features[:, None, :], emb], axis=1)
+    outputs, hidden = lstm.lstm_forward(decoder_params["lstm"], xs)
+    logits = _project(decoder_params, outputs)
+    if pretrain:
+        return logits, hidden
+    gumbel_t = add_gumbel(rng, logits)
+    return jax.nn.softmax(gumbel_t * temperature, axis=-1), hidden
+
+
+# --------------------------------------------------------------------- facade
+
+class Generator:
+    """API facade mirroring reference ``Generator(args)`` (generator.py:98-123).
+
+    Methods are thin wrappers over the module-level pure functions; ``self``
+    holds only the static :class:`Config`, so methods are jit-safe.
+    """
+
+    def __init__(self, config: Config):
+        self.config = config
+
+    def init(self, rng, dtype=jnp.float32, with_encoder: Optional[bool] = None):
+        return init_generator_params(rng, self.config, dtype, with_encoder)
+
+    def features(self, params, images=None, batch: Optional[int] = None,
+                 train: bool = False):
+        """t=0 decoder input: encoded images (conditional,
+        ``training.py:65-66``) or the <S> embedding (unconditional,
+        ``training.py:67-68``).
+
+        Returns ``(features, new_encoder_state)`` — the encoder state carries
+        BatchNorm running stats, unchanged in unconditional mode.
+        """
+        if self.config.cgan:
+            from gan_image_captioning_tpu.models import encoder as encoder_lib
+
+            return encoder_lib.encode(params["encoder"], images, self.config,
+                                      train=train)
+        if batch is None:
+            batch = len(images)
+        return start_token_features(params["decoder"], batch), None
+
+    def sample(self, params, features, rng, temperature, seq_len=None,
+               pretrain=False):
+        if seq_len is None:
+            seq_len = self.config.seq_len
+        return sample(params["decoder"], features, rng, temperature,
+                      seq_len, pretrain)
+
+    def forward(self, params, images, captions, rng=None, temperature=1.0,
+                pretrain=False, train: bool = False):
+        """Reference ``Generator.forward`` (generator.py:107-114), with the
+        intended conditional check (the reference reads the never-set
+        ``args.cgan`` and crashes — a catalogued latent bug)."""
+        features, _ = self.features(params, images=images,
+                                    batch=captions.shape[0], train=train)
+        return teacher_forced(params["decoder"], features, captions, rng,
+                              temperature, pretrain)

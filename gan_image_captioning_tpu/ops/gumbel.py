@@ -1,0 +1,43 @@
+"""Gumbel-softmax relaxation ops (RelGAN-style).
+
+The reference adds Gumbel(0,1) noise to the decoder logits and softmaxes the
+result *multiplied* by the temperature (``generator.py:50-51,68-69,84-96``):
+
+    pred = softmax(temperature * (logits + g)),   g = -log(-log(u + eps) + eps)
+
+Note this is the reference's convention (multiply by temperature; RelGAN's
+usual form divides) — we match the reference so temperatures mean the same
+thing.  The argmax of ``pred`` is the argmax of ``logits + g``, i.e. an exact
+categorical sample from ``softmax(logits)`` (the Gumbel-max trick), which is
+what makes the reference's "greedy" adversarial decode a sampler.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gumbel_noise(rng, shape, dtype=jnp.float32, eps: float = 1e-10):
+    """Gumbel(0,1) noise via the reference's explicit double-log formula
+    (``generator.py:90-91``), for reproducible parity checks."""
+    u = jax.random.uniform(rng, shape, dtype=dtype, minval=0.0, maxval=1.0)
+    return -jnp.log(-jnp.log(u + eps) + eps)
+
+
+def add_gumbel(rng, logits, eps: float = 1e-10):
+    """``logits + Gumbel(0,1)`` — reference ``add_gumbel`` (generator.py:84-96)."""
+    return logits + gumbel_noise(rng, logits.shape, logits.dtype, eps)
+
+
+def gumbel_softmax(rng, logits, temperature, eps: float = 1e-10):
+    """Soft sample ``softmax(temperature * (logits + g))`` plus its hard ids.
+
+    Returns ``(soft [..., V], ids [...])``.  ``ids`` is the argmax of the
+    soft sample (reference ``generator.py:73``); with Gumbel noise present
+    this is a categorical draw from ``softmax(logits)``.
+    """
+    g_t = add_gumbel(rng, logits, eps)
+    soft = jax.nn.softmax(g_t * temperature, axis=-1)
+    ids = jnp.argmax(soft, axis=-1)
+    return soft, ids
