@@ -1,0 +1,61 @@
+"""MS-COCO Karpathy-split dataset.
+
+Host-side dataset over the records produced by :mod:`vocab` — the rebuild of
+reference ``COCO_data`` (``tasks.py:18-136``) with the same on-disk layout:
+``{data_dir}/dataset_coco.json`` and images under
+``{data_dir}/{filepath}/{filename}`` (``tasks.py:120``), plus the
+reference-compatible pickle cache.
+
+Differences (all catalogued reference bugs not reproduced): captions are
+pre-tokenized to int ids ONCE at construction (the reference re-maps in
+``__getitem__`` and corrupts its own token lists after epoch 1,
+``tasks.py:130-134``); ``dataset_percent`` truncates length the same way
+(``tasks.py:106-108``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from gan_image_captioning_tpu.data import images as images_lib
+from gan_image_captioning_tpu.data import vocab as vocab_lib
+
+
+class CocoCaptions:
+    def __init__(self, captions_path: str, image_path: str, split: str,
+                 image_size: int = 256, captions_per_image: int = 5,
+                 vocab_dicts: Optional[Tuple[dict, dict]] = None,
+                 dataset_percent: float = 1.0, conditional: bool = True,
+                 use_cache: bool = True):
+        assert split in {"train", "val", "test"}
+        self.split = split
+        self.image_path = image_path
+        self.image_size = image_size
+        self.conditional = conditional
+        self.dataset_percent = dataset_percent
+
+        self.captions, self.word_to_index, self.index_to_word = (
+            vocab_lib.build_coco_records(captions_path, image_path, split,
+                                         captions_per_image, vocab_dicts,
+                                         use_cache))
+        self.vocab_size = len(self.word_to_index)  # tasks.py:102
+        # Pre-tokenize once, non-destructively.
+        self._token_ids = [
+            vocab_lib.tokens_to_ids(rec["tokens"], self.word_to_index)
+            for rec in self.captions]
+
+    def __len__(self):
+        # dataset_percent truncates (tasks.py:106-108)
+        return int(self.dataset_percent * len(self.captions))
+
+    def sample(self, index: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        ids = self._token_ids[index]
+        if not self.conditional:
+            return ids, None
+        rec = self.captions[index]
+        path = os.path.join(self.image_path, rec["filepath"], rec["filename"])
+        image = images_lib.load_and_preprocess(path, self.image_size)
+        return ids, image

@@ -1,0 +1,144 @@
+"""Fixed-shape batching + threaded prefetch.
+
+Replaces the reference's PyTorch DataLoader + ``collate_fn``
+(``training.py:28-32``, ``tasks.py:138-158``).  Key differences, all driven
+by XLA's static-shape requirement:
+
+* every batch is padded to the SAME width ``seq_len = max_seq_len + 2``
+  (the reference pads to the per-batch max caption length + 2,
+  ``tasks.py:143-147``, which would trigger a recompile per unique length);
+* captions are wrapped ``<S> tokens… <E>`` then padded with ``<PAD>``
+  (``tasks.py:155``), tokens truncated at ``max_seq_len``;
+* the final partial batch is padded with zero-weighted rows (``weights``)
+  instead of shrinking, so eval statistics match the reference exactly while
+  shapes stay static;
+* worker THREADS (not processes — decode is PIL/numpy, which releases the
+  GIL) prefetch batches ahead of the device step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from gan_image_captioning_tpu.data.vocab import END, PAD, START
+
+
+def make_batch(captions_list, images_list, seq_len: int,
+               batch_size: Optional[int] = None):
+    """Assemble one fixed-shape batch dict from per-sample arrays.
+
+    Args:
+      captions_list: list of 1-D int arrays (token ids, no specials).
+      images_list: list of [3, S, S] float32 arrays, or None (unconditional).
+      seq_len: fixed output width (max_seq_len + 2).
+      batch_size: pad the batch to this many rows with zero-weighted
+        duplicates of row 0 (None = len(captions_list)).
+    """
+    n = len(captions_list)
+    batch_size = batch_size or n
+    captions = np.full((batch_size, seq_len), PAD, dtype=np.int32)
+    lengths = np.zeros((batch_size,), np.int32)
+    weights = np.zeros((batch_size,), np.float32)
+    for i, toks in enumerate(captions_list):
+        toks = np.asarray(toks, np.int32)[: seq_len - 2]
+        captions[i, 0] = START
+        captions[i, 1: 1 + len(toks)] = toks
+        captions[i, 1 + len(toks)] = END
+        lengths[i] = len(toks) + 2  # tasks.py:156
+        weights[i] = 1.0
+    batch = {"captions": captions, "lengths": lengths, "weights": weights}
+    if images_list is not None and images_list[0] is not None:
+        img_shape = images_list[0].shape
+        images = np.zeros((batch_size,) + img_shape, np.float32)
+        for i, im in enumerate(images_list):
+            images[i] = im
+        batch["images"] = images
+    return batch
+
+
+class Batcher:
+    """Iterable over fixed-shape batches with threaded prefetch.
+
+    ``dataset`` must expose ``__len__`` and ``sample(i) -> (token_ids,
+    image_or_None)``.
+    """
+
+    def __init__(self, dataset, batch_size: int, seq_len: int,
+                 shuffle: bool = False, seed: int = 0, drop_last: bool = False,
+                 pad_final: bool = True, num_workers: int = 2,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seq_len = seq_len
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_final = pad_final
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            # new permutation each epoch, deterministically seeded
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(order)
+        for start in range(0, n, self.batch_size):
+            idx = order[start: start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                return
+            yield idx
+
+    def _build(self, idx):
+        samples = [self.dataset.sample(int(i)) for i in idx]
+        caps = [s[0] for s in samples]
+        imgs = [s[1] for s in samples]
+        pad_to = self.batch_size if self.pad_final else None
+        if imgs[0] is None:
+            imgs = None
+        return make_batch(caps, imgs, self.seq_len, pad_to)
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = list(self._index_batches())
+        self.epoch += 1
+        if self.num_workers <= 1:
+            for idx in batches:
+                yield self._build(idx)
+            return
+
+        # Thread pipeline: workers build batches into a bounded queue in
+        # order (one queue per epoch; PIL/numpy release the GIL).
+        out: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idx in batches:
+                    if stop.is_set():
+                        return
+                    out.put(self._build(idx))
+            finally:
+                out.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()

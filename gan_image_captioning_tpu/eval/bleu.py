@@ -1,0 +1,55 @@
+"""Corpus BLEU.
+
+The reference imported ``torchtext``'s ``bleu_score`` but left every call
+commented out (``training.py:13,75-76,155-156``); the report's BLEU-4 tables
+(NLP_Report.pdf Tables 1-5) were computed offline.  Here BLEU is first-class.
+
+Standard corpus BLEU: clipped modified n-gram precision up to ``max_n``,
+uniform weights, brevity penalty — the same definition torchtext/NLTK use, so
+numbers are comparable with the report.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import List, Sequence
+
+
+def _ngrams(tokens: Sequence, n: int) -> Counter:
+    return Counter(tuple(tokens[i: i + n]) for i in range(len(tokens) - n + 1))
+
+
+def corpus_bleu(candidates: List[Sequence],
+                references: List[List[Sequence]],
+                max_n: int = 4) -> float:
+    """Corpus-level BLEU-``max_n`` with uniform weights.
+
+    Args:
+      candidates: list of token sequences (any hashable tokens).
+      references: per-candidate list of reference token sequences.
+    """
+    assert len(candidates) == len(references)
+    clipped = [0] * max_n
+    totals = [0] * max_n
+    cand_len = 0
+    ref_len = 0
+    for cand, refs in zip(candidates, references):
+        cand = list(cand)
+        cand_len += len(cand)
+        # closest reference length (standard BLEU brevity penalty)
+        ref_len += min((abs(len(r) - len(cand)), len(r)) for r in refs)[1]
+        for n in range(1, max_n + 1):
+            cand_ngrams = _ngrams(cand, n)
+            max_ref: Counter = Counter()
+            for ref in refs:
+                for gram, cnt in _ngrams(list(ref), n).items():
+                    max_ref[gram] = max(max_ref[gram], cnt)
+            totals[n - 1] += max(len(cand) - n + 1, 0)
+            clipped[n - 1] += sum(min(cnt, max_ref[gram])
+                                  for gram, cnt in cand_ngrams.items())
+    if min(totals) == 0 or min(clipped) == 0:
+        return 0.0
+    log_precision = sum(math.log(c / t) for c, t in zip(clipped, totals)) / max_n
+    bp = 1.0 if cand_len > ref_len else math.exp(1.0 - ref_len / max(cand_len, 1))
+    return bp * math.exp(log_precision)

@@ -20,7 +20,18 @@ import jax.numpy as jnp
 LOSS_TYPES = ("standard", "JS", "KL", "hinge", "tv", "rsgan")
 
 
-def bce_with_logits(logits, targets):
+def _wmean(x, weights=None):
+    """Mean, optionally weighted (weights broadcast against ``x``).
+
+    Weighted means let eval run on padded final batches while reproducing the
+    reference's exact unpadded batch statistics (weight 0 on pad samples)."""
+    if weights is None:
+        return jnp.mean(x)
+    w = jnp.broadcast_to(jnp.asarray(weights, x.dtype), x.shape)
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1e-8)
+
+
+def bce_with_logits(logits, targets, weights=None):
     """Numerically-stable binary cross entropy with logits, mean reduction.
 
     Identical math to ``torch.nn.BCEWithLogitsLoss()`` (used throughout
@@ -31,11 +42,11 @@ def bce_with_logits(logits, targets):
     targets = jnp.asarray(targets, dtype=logits.dtype)
     per_elem = (jnp.maximum(logits, 0.0) - logits * targets
                 + jnp.log1p(jnp.exp(-jnp.abs(logits))))
-    return jnp.mean(per_elem)
+    return _wmean(per_elem, weights)
 
 
 def gan_losses(d_out_real, d_out_fake, g_out, loss_type: str = "standard",
-               real_label: float = 1.0):
+               real_label: float = 1.0, weights=None):
     """Return ``(g_loss, d_loss)`` for the given adversarial loss family.
 
     Mirrors reference ``get_losses`` (``utils.py:10-53``) including its
@@ -50,34 +61,36 @@ def gan_losses(d_out_real, d_out_fake, g_out, loss_type: str = "standard",
       loss_type: one of ``standard | JS | KL | hinge | tv | rsgan``.
       real_label: target value for "real" (``< 1.0`` gives one-sided label
         smoothing, report §4.3's stabilization trick; 1.0 = reference).
+      weights: optional per-logit weights (e.g. 0 for pad samples in a
+        padded eval batch); every mean becomes a weighted mean.
     """
     ones_r = jnp.full_like(d_out_real, real_label)
     zeros_f = jnp.zeros_like(d_out_fake)
 
     if loss_type == "standard":  # the non-saturating GAN loss (utils.py:14-19)
-        d_loss = (bce_with_logits(d_out_real, ones_r)
-                  + bce_with_logits(d_out_fake, zeros_f))
-        g_loss = bce_with_logits(g_out, jnp.ones_like(g_out))
+        d_loss = (bce_with_logits(d_out_real, ones_r, weights)
+                  + bce_with_logits(d_out_fake, zeros_f, weights))
+        g_loss = bce_with_logits(g_out, jnp.ones_like(g_out), weights)
     elif loss_type == "JS":  # the vanilla GAN loss (utils.py:21-26)
-        d_loss = (bce_with_logits(d_out_real, ones_r)
-                  + bce_with_logits(d_out_fake, zeros_f))
-        g_loss = -bce_with_logits(g_out, jnp.zeros_like(g_out))
+        d_loss = (bce_with_logits(d_out_real, ones_r, weights)
+                  + bce_with_logits(d_out_fake, zeros_f, weights))
+        g_loss = -bce_with_logits(g_out, jnp.zeros_like(g_out), weights)
     elif loss_type == "KL":  # implicitly minimizes KL (utils.py:28-33)
-        d_loss = (bce_with_logits(d_out_real, ones_r)
-                  + bce_with_logits(d_out_fake, zeros_f))
-        g_loss = jnp.mean(-g_out)
+        d_loss = (bce_with_logits(d_out_real, ones_r, weights)
+                  + bce_with_logits(d_out_fake, zeros_f, weights))
+        g_loss = _wmean(-g_out, weights)
     elif loss_type == "hinge":  # utils.py:35-40, with the intended relu math
-        d_loss = (jnp.mean(jax.nn.relu(1.0 - d_out_real))
-                  + jnp.mean(jax.nn.relu(1.0 + d_out_fake)))
-        g_loss = -jnp.mean(g_out)
+        d_loss = (_wmean(jax.nn.relu(1.0 - d_out_real), weights)
+                  + _wmean(jax.nn.relu(1.0 + d_out_fake), weights))
+        g_loss = -_wmean(g_out, weights)
     elif loss_type == "tv":  # total variation (utils.py:42-44), intended tanh
-        d_loss = jnp.mean(jnp.tanh(d_out_fake) - jnp.tanh(d_out_real))
-        g_loss = jnp.mean(-jnp.tanh(g_out))
+        d_loss = _wmean(jnp.tanh(d_out_fake) - jnp.tanh(d_out_real), weights)
+        g_loss = _wmean(-jnp.tanh(g_out), weights)
     elif loss_type == "rsgan":  # relativistic standard GAN (utils.py:46-48)
         d_loss = bce_with_logits(d_out_real - d_out_fake,
-                                 jnp.ones_like(d_out_real))
+                                 jnp.ones_like(d_out_real), weights)
         g_loss = bce_with_logits(d_out_fake - d_out_real,
-                                 jnp.ones_like(d_out_fake))
+                                 jnp.ones_like(d_out_fake), weights)
     else:
         raise NotImplementedError(
             "Divergence '%s' is not implemented" % loss_type)

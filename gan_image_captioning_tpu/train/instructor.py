@@ -1,0 +1,232 @@
+"""GANInstructor: the training engine.
+
+Drives the reference's two-phase schedule (``training.py:15-235``) over the
+fused jitted steps:
+
+* MLE pre-training of the generator (``pretrain_generator``,
+  ``training.py:99-126``): per-epoch train + val sweeps, best-val checkpoint
+  ``pretrained_model.ckpt``.
+* Adversarial training (``_run``/``adv_loop``, ``training.py:128-235``):
+  alternating fused G/D updates, per-train-batch temperature ramp
+  (``training.py:183``: ``i = adv_epoch + batch_frac``, ``N = adv_epochs``),
+  best-val-g_loss checkpoint ``adv_model.ckpt``.
+
+Intentional deviations from the reference (catalogued quirks, SURVEY §7):
+temperature and step counters do NOT advance during validation sweeps (the
+reference's ``adv_loop('val')`` advances both); ``disc_train_freq`` is
+honored; optional BLEU-4/NLL_gen eval and full-state resume exist.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.data.loader import Batcher
+from gan_image_captioning_tpu.ops.temperature import get_fixed_temperature
+from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+from gan_image_captioning_tpu.train.state import create_train_state
+from gan_image_captioning_tpu.train.steps import (
+    make_adv_eval_step, make_adv_step, make_mle_eval_step, make_mle_step)
+from gan_image_captioning_tpu.utils.logging import MetricWriter, create_logger
+
+
+class GANInstructor:
+    """Mirrors reference ``GANInstructor(args, train_dataset, dev_dataset)``
+    (training.py:16-46)."""
+
+    def __init__(self, config: Config, train_dataset, dev_dataset,
+                 silent: bool = False):
+        self.config = config
+        self.train_dataset = train_dataset
+        self.dev_dataset = dev_dataset
+
+        self.save_dir = config.save_dir
+        self.model_dir = config.model_dir
+        os.makedirs(self.model_dir, exist_ok=True)
+
+        self.log = create_logger(__name__, silent=silent, to_disk=True,
+                                 log_file=config.log_file + ".txt")
+        self.writer = MetricWriter(self.save_dir)
+
+        # State (params + 3 optimizers + counters + temperature + rng).
+        rng = jax.random.PRNGKey(config.seed)
+        self.state = create_train_state(config, rng)
+        if config.resume:
+            template = self.state
+            self.state = ckpt_lib.load_state(config.resume, template)
+            self.log.info("Resumed TrainState from %s (gen_steps=%d)"
+                          % (config.resume, int(self.state.gen_steps)))
+
+        # Jitted steps.
+        self.mle_step = make_mle_step(config)
+        self.mle_eval_step = make_mle_eval_step(config)
+        self.adv_step = make_adv_step(config)
+        self.adv_eval_step = make_adv_eval_step(config)
+
+        # Loaders (reference training.py:28-32; fixed shapes + threads here).
+        seq = config.seq_len
+        nw = config.num_workers
+        self.pre_train_loader = Batcher(
+            train_dataset, config.pre_train_batch_size, seq, shuffle=True,
+            seed=config.seed, drop_last=True, num_workers=nw)
+        self.pre_eval_loader = Batcher(
+            dev_dataset, config.pre_eval_batch_size, seq, shuffle=False,
+            num_workers=nw)
+        self.adv_train_loader = Batcher(
+            train_dataset, config.adv_train_batch_size, seq, shuffle=True,
+            seed=config.seed + 1, drop_last=True, num_workers=nw)
+        self.adv_eval_loader = Batcher(
+            dev_dataset, config.adv_eval_batch_size, seq, shuffle=False,
+            num_workers=nw)
+
+        self.pretrain_steps = 0
+        self.adv_batch_steps = 0
+
+    # ----------------------------------------------------------- MLE phase
+
+    def genpretrain_loop(self, what: str):
+        """One sweep — reference ``genpretrain_loop`` (training.py:48-97)."""
+        loader = self.pre_train_loader if what == "train" else self.pre_eval_loader
+        losses = []
+        for batch in loader:
+            if what == "train":
+                self.state, metrics = self.mle_step(self.state, batch)
+                self.pretrain_steps += 1
+                tag = "GenPreTraining_train_loss"
+            else:
+                self.state, metrics = self.mle_eval_step(self.state, batch)
+                tag = "GenPreTraining_val_loss"
+            loss = float(metrics["gen_pretrain_loss"])
+            losses.append(loss)
+            self.writer.add_scalar(tag, loss, self.pretrain_steps)
+        return losses
+
+    def pretrain_generator(self, epochs: int):
+        """Reference ``pretrain_generator`` (training.py:99-126)."""
+        self.log.info("Pretraining Generator")
+        total_loss = 0.0
+        best_loss = None
+        for epoch in range(epochs):
+            train_epoch_loss = float(np.mean(self.genpretrain_loop("train") or [0]))
+            total_loss += train_epoch_loss
+            val_epoch_loss = float(np.mean(self.genpretrain_loop("val") or [0]))
+
+            if best_loss is None or val_epoch_loss < best_loss:
+                best_loss = val_epoch_loss
+                ckpt_lib.save_params(
+                    os.path.join(self.model_dir, "pretrained_model.ckpt"),
+                    self.state.gen_params)
+                self.log.info("Saving Best model [Gen Loss = {}] at Epoch {}"
+                              .format(best_loss, epoch))
+            if epoch % self.config.pre_log_step == 0:
+                self.log.info("Epoch {}: \n \t Train: {} \n\t Val: {} "
+                              .format(epoch, train_epoch_loss, val_epoch_loss))
+        return total_loss / epochs if epochs != 0 else 0
+
+    # ---------------------------------------------------- adversarial phase
+
+    def _temperature(self, adv_epoch: int, batch_frac: float) -> float:
+        """Reference ramp (training.py:183,190-191): fractional-epoch
+        progress over N = adv_epochs."""
+        return get_fixed_temperature(
+            self.config.temperature, adv_epoch + batch_frac,
+            self.config.adv_epochs, self.config.temp_adpt)
+
+    def adv_loop(self, what: str, adv_epoch: int):
+        """One sweep — reference ``adv_loop`` (training.py:128-188)."""
+        loader = self.adv_train_loader if what == "train" else self.adv_eval_loader
+        num_batches = max(len(loader), 1)
+        g_losses, d_losses = [], []
+        temp = float(self.state.temperature) or 1.0
+        for batch_idx, batch in enumerate(loader):
+            if what == "train":
+                temp = self._temperature(adv_epoch, (batch_idx + 1) / num_batches)
+                self.state, metrics = self.adv_step(self.state, batch, temp)
+                self.adv_batch_steps += 1
+                d_tag, g_tag = "Discriminator_train_loss", "Generator_train_loss"
+            else:
+                self.state, metrics = self.adv_eval_step(self.state, batch, temp)
+                d_tag, g_tag = "Discriminator_val_loss", "Generator_val_loss"
+            g_loss = float(metrics["gen_adv_loss"])
+            d_loss = float(metrics["disc_adv_loss"])
+            g_losses.append(g_loss)
+            d_losses.append(d_loss)
+            step = int(self.state.gen_steps)
+            self.writer.add_scalar(d_tag, d_loss, step)
+            self.writer.add_scalar(g_tag, g_loss, step)
+        return float(np.mean(g_losses or [0])), float(np.mean(d_losses or [0]))
+
+    def evaluate_quality(self, max_batches: Optional[int] = None):
+        """NLL_gen + BLEU-4 on the dev set (the report's metrics, first-class
+        instead of the reference's commented-out calls, training.py:75-76)."""
+        from gan_image_captioning_tpu.eval.metrics import bleu4_from_batches
+        from gan_image_captioning_tpu.models import generator as gen_lib
+
+        nll, gen_batches, real_batches, weight_batches = [], [], [], []
+        for i, batch in enumerate(self.pre_eval_loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            self.state, metrics = self.mle_eval_step(self.state, batch)
+            nll.append(float(metrics["gen_pretrain_loss"]))
+            feats, _ = gen_lib.Generator(self.config).features(
+                self.state.gen_params, images=batch.get("images"),
+                batch=batch["captions"].shape[0])
+            _, ids = gen_lib.sample_jit(
+                self.state.gen_params["decoder"], feats,
+                jax.random.PRNGKey(0), 1.0, self.config.seq_len, True)
+            gen_batches.append(np.asarray(ids))
+            real_batches.append(batch["captions"])
+            weight_batches.append(batch.get("weights"))
+        bleu4 = bleu4_from_batches(gen_batches, real_batches, weight_batches)
+        return {"nll_gen": float(np.mean(nll or [0])), "bleu4": bleu4}
+
+    def _run(self):
+        """The full schedule — reference ``_run`` (training.py:201-235)."""
+        self.pretrain_generator(self.config.pretrain_epochs)
+
+        self.log.info("Starting Adversarial Training...")
+        best_loss = None
+        for adv_epoch in range(self.config.adv_epochs):
+            t_start = time.time()
+            train_g_loss, train_d_loss = self.adv_loop("train", adv_epoch)
+            val_g_loss, val_d_loss = self.adv_loop("val", adv_epoch)
+
+            if best_loss is None or val_g_loss < best_loss:
+                best_loss = val_g_loss
+                ckpt_lib.save_params(
+                    os.path.join(self.model_dir, "adv_model.ckpt"),
+                    {"generator": self.state.gen_params,
+                     "discriminator": self.state.disc_params})
+                self.log.info("Saving Best model [Gen Loss = {}] at Epoch {}"
+                              .format(best_loss, adv_epoch))
+
+            if (self.config.checkpoint_every
+                    and adv_epoch % self.config.checkpoint_every == 0):
+                ckpt_lib.save_state(
+                    os.path.join(self.model_dir, f"state_{adv_epoch}.ckpt"),
+                    self.state)
+
+            if (adv_epoch % self.config.adv_log_step == 0
+                    or adv_epoch == self.config.adv_epochs - 1):
+                self.log.info(
+                    "[ADV] epoch %d (temperature: %.4f):\n\t g_loss: %.4f | %.4f "
+                    "\n\t d_loss: %.4f | %.4f  [%.1fs]" % (
+                        adv_epoch, float(self.state.temperature),
+                        train_g_loss, val_g_loss, train_d_loss, val_d_loss,
+                        time.time() - t_start))
+
+            if (self.config.eval_bleu_every
+                    and adv_epoch % self.config.eval_bleu_every == 0):
+                q = self.evaluate_quality()
+                self.writer.add_scalar("NLL_gen", q["nll_gen"],
+                                       int(self.state.gen_steps))
+                self.writer.add_scalar("BLEU4", q["bleu4"],
+                                       int(self.state.gen_steps))
+                self.log.info("[EVAL] NLL_gen %.4f | BLEU-4 %.5f"
+                              % (q["nll_gen"], q["bleu4"]))

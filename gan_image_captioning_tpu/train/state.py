@@ -1,0 +1,80 @@
+"""Full training state as one pytree.
+
+The reference keeps three separate Adam optimizers over two models plus three
+step counters as instance attributes (``training.py:24-26,40-42``) and
+checkpoints only ``state_dict``s (no optimizer/step/RNG state, no resume —
+``training.py:116-119,223-226``).  Here everything needed to resume
+bit-exactly lives in one :class:`TrainState` pytree: params, all three
+optimizer states, step counters, the Gumbel temperature, and the PRNG key.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gan_image_captioning_tpu.config import Config
+
+
+class TrainState(NamedTuple):
+    """Everything mutable about a training run, as one pytree."""
+
+    gen_params: Any
+    disc_params: Any
+    # Three independent Adam chains, mirroring training.py:24-26 (the
+    # pretrain and adversarial generator optimizers are distinct instances
+    # with distinct moments over the same parameters).
+    pretrain_opt_state: Any
+    gen_opt_state: Any
+    disc_opt_state: Any
+    pretrain_steps: jnp.ndarray  # int32 scalar — training.py:40
+    gen_steps: jnp.ndarray       # int32 scalar — training.py:41
+    disc_steps: jnp.ndarray      # int32 scalar — training.py:42
+    temperature: jnp.ndarray     # float32 scalar — generator.py:35 / training.py:190
+    rng: jax.Array               # PRNG key threaded through sampling/dropout
+
+
+def make_optimizer(lr: float, clip_norm: float) -> optax.GradientTransformation:
+    """Adam preceded by global-norm clipping.
+
+    Matches the reference update order — ``clip_grad_norm_(params, 5.0)``
+    then ``Adam.step()`` (``training.py:194-199``) — and torch Adam defaults
+    (betas 0.9/0.999, eps 1e-8), which optax.adam shares.
+    """
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adam(lr),
+    )
+
+
+def create_train_state(config: Config, rng, gen_params=None, disc_params=None,
+                       dtype=jnp.float32) -> TrainState:
+    """Build models (if not given) and fresh optimizer/counter state."""
+    from gan_image_captioning_tpu.models.discriminator import init_discriminator_params
+    from gan_image_captioning_tpu.models.generator import init_generator_params
+
+    k_gen, k_disc, k_state = jax.random.split(rng, 3)
+    if gen_params is None:
+        gen_params = init_generator_params(k_gen, config, dtype)
+    if disc_params is None:
+        disc_params = init_discriminator_params(k_disc, config, dtype)
+
+    pretrain_tx = make_optimizer(config.pretrain_lr, config.clip_norm)
+    gen_tx = make_optimizer(config.gen_lr, config.clip_norm)
+    disc_tx = make_optimizer(config.disc_lr, config.clip_norm)
+
+    return TrainState(
+        gen_params=gen_params,
+        disc_params=disc_params,
+        pretrain_opt_state=pretrain_tx.init(gen_params),
+        gen_opt_state=gen_tx.init(gen_params),
+        disc_opt_state=disc_tx.init(disc_params),
+        pretrain_steps=jnp.zeros((), jnp.int32),
+        gen_steps=jnp.zeros((), jnp.int32),
+        disc_steps=jnp.zeros((), jnp.int32),
+        temperature=jnp.asarray(1.0, jnp.float32),
+        rng=k_state,
+    )

@@ -1,0 +1,288 @@
+"""Fused jitted training steps.
+
+The reference runs each training batch as dozens of eager kernel launches —
+a 34-step Python decode loop (``generator.py:60-76``), three discriminator
+passes, two backward passes and two optimizer steps (``training.py:150-169``).
+Here each batch is ONE compiled XLA program:
+
+* :func:`make_mle_step` — free-running generator sample (``lax.scan``) +
+  cross-entropy + Adam, matching the reference pretrain objective
+  (``training.py:71,81-88``: the reference pretrains on *free-running*
+  samples, not teacher forcing — ``Decoder.forward`` is never called).
+* :func:`make_adv_step` — the "single fused G-step/D-step adversarial
+  update": Gumbel sample + D(real)/D(fake)/D(gen) + both gradients + both
+  Adam updates in one program (reference ``training.py:144-169``).  The
+  shared sample/discriminator forward subgraphs are CSE'd by XLA across the
+  two gradient computations.
+* ``disc_train_freq`` (parsed-but-dead in the reference, ``args.py:155-158``)
+  is honored via ``lax.cond``: the discriminator updates on every k-th
+  generator step, reproducing the report's Table 2 G:D-ratio experiments.
+
+Batches are dicts with static structure:
+  ``captions``: [B, L] int32 (``<S> … <E> <PAD>*``, fixed L = max_seq_len+2)
+  ``images``:   [B, 3, S, S] float32 (conditional mode only)
+  ``weights``:  [B] float32 — 1 for real samples, 0 for pad rows of a padded
+                final eval batch (reference loaders instead produced ragged
+                final batches, ``training.py:28-32``; XLA wants one shape).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.models import discriminator as disc_lib
+from gan_image_captioning_tpu.models import generator as gen_lib
+from gan_image_captioning_tpu.ops.losses import cross_entropy_loss, gan_losses
+from gan_image_captioning_tpu.train.state import TrainState, make_optimizer
+
+
+def _maybe_jit(fn, config: Config, donate_argnums=()):
+    if config.no_jit:
+        return fn
+    return jax.jit(fn, donate_argnums=donate_argnums)
+
+
+def _features(config: Config, gen_params, batch, rng, train: bool):
+    """t=0 decoder input (conditional: encoded images, training.py:65-66;
+    unconditional: <S> embedding, training.py:67-68).
+
+    Returns ``(features, new_bn_stats_or_None)`` — conditional mode threads
+    the encoder head's updated BatchNorm running statistics out (reference
+    ``generator.py:16,24``: BatchNorm1d(momentum=0.01) after the projection).
+    """
+    if config.cgan:
+        from gan_image_captioning_tpu.models import encoder as encoder_lib
+
+        feats, new_stats = encoder_lib.encode(
+            gen_params["encoder"], batch["images"], config, train=train)
+        return feats, new_stats
+    batch_size = batch["captions"].shape[0]
+    return gen_lib.start_token_features(gen_params["decoder"], batch_size), None
+
+
+def _sample_weights(batch) -> Any:
+    return batch.get("weights")
+
+
+def _rep_weights(batch, num_rep: int):
+    """Per-sample weights replicated to the discriminator's [B*num_rep]
+    logit layout (discriminator.py:51,60: sample-major then rep)."""
+    w = _sample_weights(batch)
+    if w is None:
+        return None
+    return jnp.repeat(w, num_rep)
+
+
+def _merge_bn_stats(gen_params, new_stats):
+    """Write the encoder head's updated BatchNorm running stats back into the
+    (optimizer-updated) generator params — stats are state, not weights."""
+    if new_stats is None:
+        return gen_params
+    enc = dict(gen_params["encoder"], bn_stats=new_stats)
+    return dict(gen_params, encoder=enc)
+
+
+# ------------------------------------------------------------------ MLE step
+
+def mle_loss(config: Config, gen_params, batch, rng, train: bool):
+    """The reference pretrain objective (training.py:71,81-83): free-running
+    pretrain-mode sample for L steps, then CE against the real captions over
+    ALL positions (pads included — no ignore_index in the reference)."""
+    rng_feat, rng_sample = jax.random.split(rng)
+    feats, new_stats = _features(config, gen_params, batch, rng_feat, train)
+    captions = batch["captions"]
+    seq_len = captions.shape[1]
+    logits, ids = gen_lib.sample(gen_params["decoder"], feats, rng_sample,
+                                 jnp.float32(1.0), seq_len, pretrain=True)
+    w = _sample_weights(batch)
+    mask = None if w is None else jnp.broadcast_to(w[:, None], captions.shape)
+    loss = cross_entropy_loss(logits, captions, mask)
+    return loss, (new_stats, ids)
+
+
+def make_mle_step(config: Config):
+    """Jitted pretrain step: loss → grads → clip(5.0) → Adam(pretrain_lr)
+    (reference ``training.py:88,194-199`` with ``args.py:123-126,190-193``)."""
+    tx = make_optimizer(config.pretrain_lr, config.clip_norm)
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        rng, rng_step = jax.random.split(state.rng)
+        (loss, (new_stats, _)), grads = jax.value_and_grad(
+            lambda gp: mle_loss(config, gp, batch, rng_step, train=True),
+            has_aux=True)(state.gen_params)
+        updates, new_opt = tx.update(grads, state.pretrain_opt_state,
+                                     state.gen_params)
+        gen_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.gen_params, updates)
+        gen_params = _merge_bn_stats(gen_params, new_stats)
+        state = state._replace(
+            gen_params=gen_params,
+            pretrain_opt_state=new_opt,
+            rng=rng,
+        )
+        return state, {"gen_pretrain_loss": loss}
+
+    return _maybe_jit(step, config, donate_argnums=(0,))
+
+
+def make_mle_eval_step(config: Config):
+    """Eval-mode MLE loss (reference ``genpretrain_loop('val')``,
+    training.py:52,112-114 — no grads, eval-mode BN/dropout)."""
+
+    def step(state: TrainState, batch: Dict[str, Any]):
+        rng, rng_step = jax.random.split(state.rng)
+        loss, _ = mle_loss(config, state.gen_params, batch, rng_step,
+                           train=False)
+        return state._replace(rng=rng), {"gen_pretrain_loss": loss}
+
+    return _maybe_jit(step, config)
+
+
+# ---------------------------------------------------------------- adversarial
+
+def adv_losses(config: Config, gen_params, disc_params, batch, rng,
+               temperature, train: bool):
+    """One adversarial forward: Gumbel sample + the reference's three
+    discriminator passes (``training.py:150-165``).
+
+    Returns ``(g_loss, d_loss, aux)``.
+
+    Semantics notes vs. the reference:
+      * real captions stay int ids — the discriminator fuses the one-hot
+        into an embedding gather (vs ``training.py:158``'s [B,L,V] one-hot).
+      * ``fake = stop_gradient(soft)`` reproduces ``gen_captions.detach()``
+        (``training.py:151``); the D loss therefore carries no generator
+        gradient and the G loss flows only through the third pass.
+      * for ``rsgan`` the generator loss uses ``g_out`` (the un-detached
+        pass) in place of ``d_out_fake``: the reference's plumbing passes
+        the detached logits into the relativistic g_loss (utils.py:48 with
+        training.py:163), which makes the generator update a silent no-op —
+        a catalogued latent bug; RelGAN's intended formulation is used here.
+      * optional one-sided label smoothing / noisy labels implement the
+        report §4.3 stabilization tricks (flag-gated, off by default).
+    """
+    rng_feat, rng_sample, rng_d1, rng_d2, rng_d3, rng_flip = (
+        jax.random.split(rng, 6))
+    feats, new_stats = _features(config, gen_params, batch, rng_feat, train)
+    captions = batch["captions"]
+    seq_len = captions.shape[1]
+
+    soft, gen_ids = gen_lib.sample(gen_params["decoder"], feats, rng_sample,
+                                   temperature, seq_len, pretrain=False)
+    fake = jax.lax.stop_gradient(soft)
+
+    d_real = disc_lib.apply(disc_params, captions, config, rng_d1, train)
+    d_fake = disc_lib.apply(disc_params, fake, config, rng_d2, train)
+    g_out = disc_lib.apply(disc_params, soft, config, rng_d3, train)
+
+    if config.noisy_labels > 0.0 and train:
+        # Flip real/fake roles for the D loss with probability p (per batch).
+        flip = jax.random.bernoulli(rng_flip, config.noisy_labels)
+        d_real_in = jnp.where(flip, d_fake, d_real)
+        d_fake_in = jnp.where(flip, d_real, d_fake)
+    else:
+        d_real_in, d_fake_in = d_real, d_fake
+
+    w = _rep_weights(batch, config.disc_num_rep)
+    real_label = 1.0 - config.label_smoothing
+    _, d_loss = gan_losses(d_real_in, d_fake_in, g_out, config.adv_loss_type,
+                           real_label=real_label, weights=w)
+    g_loss, _ = gan_losses(d_real, g_out, g_out, config.adv_loss_type,
+                           real_label=real_label, weights=w)
+    aux = {"gen_ids": gen_ids, "new_stats": new_stats,
+           "d_real_mean": jnp.mean(d_real), "d_fake_mean": jnp.mean(d_fake)}
+    return g_loss, d_loss, aux
+
+
+def make_adv_step(config: Config):
+    """The single fused adversarial update.
+
+    One compiled program per batch: G-sample + 3 D passes + d-grads + g-grads
+    + conditional D Adam update + G Adam update (reference eager equivalent:
+    ``training.py:144-169`` + ``optimize`` at ``:194-199``).
+
+    ``disc_train_freq = k`` updates D only when ``gen_steps % k == 0``
+    (report Table 2's G:D ratio; reference flag args.py:155-158).
+    """
+    gen_tx = make_optimizer(config.gen_lr, config.clip_norm)
+    disc_tx = make_optimizer(config.disc_lr, config.clip_norm)
+    disc_every = max(1, int(config.disc_train_freq))
+
+    def step(state: TrainState, batch: Dict[str, Any], temperature):
+        rng, rng_step = jax.random.split(state.rng)
+
+        # Generator gradient: g_loss as a function of gen params only.
+        def g_loss_fn(gp):
+            g_loss, _, aux = adv_losses(config, gp, state.disc_params, batch,
+                                        rng_step, temperature, train=True)
+            return g_loss, aux
+
+        # Discriminator gradient: d_loss as a function of disc params only
+        # (the sample inside is constant wrt dp → XLA CSEs it with the
+        # g-grad's identical forward, same rng).
+        def d_loss_fn(dp):
+            _, d_loss, _ = adv_losses(config, state.gen_params, dp, batch,
+                                      rng_step, temperature, train=True)
+            return d_loss
+
+        (g_loss, aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.gen_params)
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+
+        # --- D update, conditionally (disc_train_freq) ---
+        def update_disc(operand):
+            dp, opt, steps = operand
+            updates, new_opt = disc_tx.update(d_grads, opt, dp)
+            new_dp = jax.tree_util.tree_map(lambda p, u: p + u, dp, updates)
+            return new_dp, new_opt, steps + 1
+
+        do_d = (state.gen_steps % disc_every) == 0
+        disc_params, disc_opt_state, disc_steps = jax.lax.cond(
+            do_d, update_disc, lambda op: op,
+            (state.disc_params, state.disc_opt_state, state.disc_steps))
+
+        # --- G update, every step (training.py:169) ---
+        g_updates, gen_opt_state = gen_tx.update(
+            g_grads, state.gen_opt_state, state.gen_params)
+        gen_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.gen_params, g_updates)
+        gen_params = _merge_bn_stats(gen_params, aux["new_stats"])
+
+        state = state._replace(
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt_state=gen_opt_state,
+            disc_opt_state=disc_opt_state,
+            gen_steps=state.gen_steps + 1,
+            disc_steps=disc_steps,
+            temperature=jnp.asarray(temperature, jnp.float32),
+            rng=rng,
+        )
+        metrics = {"gen_adv_loss": g_loss, "disc_adv_loss": d_loss,
+                   "d_real_mean": aux["d_real_mean"],
+                   "d_fake_mean": aux["d_fake_mean"]}
+        return state, metrics
+
+    return _maybe_jit(step, config, donate_argnums=(0,))
+
+
+def make_adv_eval_step(config: Config):
+    """Eval-mode adversarial losses (reference ``adv_loop('val')``,
+    training.py:219-221: eval-mode models, no updates)."""
+
+    def step(state: TrainState, batch: Dict[str, Any], temperature):
+        rng, rng_step = jax.random.split(state.rng)
+        g_loss, d_loss, aux = adv_losses(
+            config, state.gen_params, state.disc_params, batch, rng_step,
+            temperature, train=False)
+        metrics = {"gen_adv_loss": g_loss, "disc_adv_loss": d_loss,
+                   "d_real_mean": aux["d_real_mean"],
+                   "d_fake_mean": aux["d_fake_mean"]}
+        return state._replace(rng=rng), metrics
+
+    return _maybe_jit(step, config)

@@ -1,0 +1,68 @@
+"""Training entry point — CLI-compatible with the reference ``src/main.py``.
+
+The canonical invocation (reference ``sbatch_script.s:16``) runs unchanged:
+
+    python3 src/main.py --data-dir ../coco_data --gen-embed-dim 512 \
+        --pretrain-epochs 50 --gen-num-layers 2 --adv-epochs 50 \
+        --pretrain-lr 1e-2 --gen-lr 1e-4 --disc-lr 1e-4 \
+        --dataset_percent 0.1 --captions-per-image 5
+
+Sequence (reference ``main.py:10-48``): parse flags + create experiment dirs
+→ seed RNGs (1008, ``main.py:14``) → build train/val datasets → inject
+``vocab_size`` (``main.py:38``) → construct the instructor → run.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gan_image_captioning_tpu.config import config_from_args, get_args
+
+
+def build_datasets(args):
+    if args.dataset == "synthetic":
+        from gan_image_captioning_tpu.data.synthetic import SyntheticCaptions
+
+        conditional = args.conditional_gan == 1
+        train = SyntheticCaptions("train", num_items=512,
+                                  image_size=args.image_size,
+                                  conditional=conditional, seed=args.seed)
+        val = SyntheticCaptions("val", num_items=128,
+                                image_size=args.image_size,
+                                conditional=conditional, seed=args.seed)
+        return train, val
+
+    from gan_image_captioning_tpu.data.coco import CocoCaptions
+
+    captions_path = os.path.join(args.data_dir, "dataset_coco.json")
+    conditional = args.conditional_gan == 1
+    train = CocoCaptions(captions_path, args.data_dir, "train",
+                         args.image_size, args.captions_per_image,
+                         dataset_percent=args.dataset_percent,
+                         conditional=conditional)
+    val = CocoCaptions(captions_path, args.data_dir, "val", args.image_size,
+                       args.captions_per_image,
+                       vocab_dicts=(train.word_to_index, train.index_to_word),
+                       dataset_percent=args.dataset_percent,
+                       conditional=conditional)
+    return train, val
+
+
+def main(argv=None):
+    args = get_args(argv)
+
+    train_dataset, val_dataset = build_datasets(args)
+    args.vocab_size = train_dataset.vocab_size  # reference main.py:38
+
+    config = config_from_args(args)
+
+    from gan_image_captioning_tpu.train.instructor import GANInstructor
+
+    inst = GANInstructor(config, train_dataset, val_dataset)
+    inst._run()
+    return inst
+
+
+if __name__ == "__main__":
+    main()
