@@ -1,0 +1,79 @@
+"""Benchmark: adversarial train steps/sec on the flagship model.
+
+Measures the fully fused adversarial update (Gumbel-sample decode + 3
+discriminator passes + both grads + both Adam updates — one XLA program) on
+the reference's canonical model config (``sbatch_script.s:16``: 2-layer
+LSTM, hidden 512, embed 512, vocab ≈ 11k 10%-COCO, B = 64, L = 36,
+RelGAN CNN discriminator 3×300 filters).
+
+Prints ONE JSON line:
+  {"metric": "adv_train_steps_per_sec_chip", "value": N, "unit": "steps/s",
+   "vs_baseline": N / REF_BASELINE}
+
+Baseline: the reference publishes NO throughput numbers (BASELINE.md —
+"must be measured fresh").  REF_BASELINE below is an estimate of the
+reference's P40 adversarial step rate: its per-batch work is 36 sequential
+cuDNN LSTM single-step launches + a [B,L,V] one-hot materialization + 3
+discriminator conv stacks + two backward passes + two optimizer steps,
+eager, ≈ 100 ms/batch on a P40 → ~10 steps/s.  The north-star target
+(BASELINE.json) is >10× that rate.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REF_BASELINE_STEPS_PER_SEC = 10.0  # estimated P40 rate; see module docstring
+
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.data.loader import make_batch
+    from gan_image_captioning_tpu.train.state import create_train_state
+    from gan_image_captioning_tpu.train.steps import make_adv_step
+
+    config = Config(
+        vocab_size=11008,
+        gen_embed_dim=512, gen_hidden_dim=512, gen_num_layers=2,
+        max_seq_len=34,
+        disc_embed_dim=64, disc_num_rep=64,
+        disc_filter_sizes=(3, 4, 5), disc_num_filters=(300, 300, 300),
+        adv_train_batch_size=64,
+    )
+    batch_size = config.adv_train_batch_size
+
+    rng = jax.random.PRNGKey(1008)
+    state = create_train_state(config, rng)
+    caps = [jax.random.randint(jax.random.PRNGKey(i), (30,), 4, 11000)
+            for i in range(batch_size)]
+    batch = make_batch(caps, None, config.seq_len)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    step = make_adv_step(config)
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, batch, 10.0)
+    jax.block_until_ready(metrics["gen_adv_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, batch, 10.0)
+    jax.block_until_ready(metrics["gen_adv_loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = ITERS / dt
+    print(json.dumps({
+        "metric": "adv_train_steps_per_sec_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REF_BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

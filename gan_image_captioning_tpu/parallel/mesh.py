@@ -1,0 +1,56 @@
+"""Device-mesh construction.
+
+Mesh axes:
+  ``data``  — batch-dim data parallelism (per-host sharded loading feeds it),
+  ``model`` — tensor parallelism over the vocab dimension (the dominant dim:
+              the [B,L,V] softmaxes and the discriminator's V→E embedding
+              matmul dominate FLOPs at V≈11k, SURVEY §7 "hard parts").
+
+A spec string like ``data:4,model:2`` (the ``--mesh`` flag) selects the
+layout; empty spec = all devices on ``data``.  Device order follows
+``jax.devices()``, which on TPU enumerates so that adjacent mesh coordinates
+ride ICI neighbors.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def parse_mesh_spec(spec: str, num_devices: int) -> Tuple[Tuple[str, ...], Tuple[int, ...]]:
+    """``"data:4,model:2"`` → (('data','model'), (4, 2)).
+
+    One axis may be ``-1`` (inferred).  Empty spec → all devices on 'data'.
+    """
+    if not spec:
+        return ("data",), (num_devices,)
+    names: List[str] = []
+    sizes: List[int] = []
+    for part in spec.split(","):
+        name, _, size = part.partition(":")
+        names.append(name.strip())
+        sizes.append(int(size) if size else -1)
+    n_infer = sizes.count(-1)
+    if n_infer > 1:
+        raise ValueError(f"at most one inferred (-1) axis: {spec!r}")
+    if n_infer == 1:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        if num_devices % known:
+            raise ValueError(
+                f"mesh {spec!r} does not divide {num_devices} devices")
+        sizes[sizes.index(-1)] = num_devices // known
+    if int(np.prod(sizes)) != num_devices:
+        raise ValueError(
+            f"mesh {spec!r} = {int(np.prod(sizes))} devices, have {num_devices}")
+    return tuple(names), tuple(sizes)
+
+
+def make_mesh(spec: str = "", devices: Optional[list] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    names, sizes = parse_mesh_spec(spec, len(devices))
+    mesh_devices = np.asarray(devices).reshape(sizes)
+    return Mesh(mesh_devices, names)

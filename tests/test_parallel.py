@@ -1,0 +1,92 @@
+"""Sharding: mesh parsing, dp/tp placement, sharded-step == single-device."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.data.loader import Batcher
+from gan_image_captioning_tpu.data.synthetic import SyntheticCaptions
+from gan_image_captioning_tpu.parallel.mesh import make_mesh, parse_mesh_spec
+from gan_image_captioning_tpu.parallel.sharding import (
+    shard_batch, shard_train_state)
+from gan_image_captioning_tpu.train.state import create_train_state
+from gan_image_captioning_tpu.train.steps import make_adv_step, make_mle_step
+
+
+def small_config(**kw):
+    ds = SyntheticCaptions("train", num_items=64)
+    base = dict(vocab_size=ds.vocab_size, gen_embed_dim=16, gen_hidden_dim=32,
+                max_seq_len=9, disc_embed_dim=8, disc_num_rep=4,
+                disc_filter_sizes=(2, 3), disc_num_filters=(16, 16),
+                pre_train_batch_size=16, adv_train_batch_size=16)
+    base.update(kw)
+    return Config(**base), ds
+
+
+def _one_batch(cfg, ds):
+    return next(iter(Batcher(ds, cfg.pre_train_batch_size, cfg.seq_len,
+                             shuffle=False, num_workers=1, drop_last=True)))
+
+
+def test_parse_mesh_spec():
+    assert parse_mesh_spec("", 8) == (("data",), (8,))
+    assert parse_mesh_spec("data:4,model:2", 8) == (("data", "model"), (4, 2))
+    assert parse_mesh_spec("data:-1,model:2", 8) == (("data", "model"), (4, 2))
+    with pytest.raises(ValueError):
+        parse_mesh_spec("data:3,model:2", 8)
+    with pytest.raises(ValueError):
+        parse_mesh_spec("data:-1,model:-1", 8)
+
+
+def test_shard_placement(devices8):
+    cfg, ds = small_config(vocab_size=64)  # divisible by model axis
+    mesh = make_mesh("data:4,model:2", devices8)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    sharded = shard_train_state(state, mesh)
+    embed_sharding = sharded.gen_params["decoder"]["embed"].sharding
+    assert embed_sharding.spec == P("model", None)
+    lstm_sharding = sharded.gen_params["decoder"]["lstm"][0]["w_ih"].sharding
+    assert lstm_sharding.spec == P()
+    disc_emb = sharded.disc_params["embeddings"]["w"].sharding
+    assert disc_emb.spec == P(None, "model")
+    # Adam mu mirrors its param spec
+    adam = sharded.gen_opt_state[1][0]
+    assert adam.mu["decoder"]["embed"].sharding.spec == P("model", None)
+
+    batch = shard_batch(_one_batch(cfg, ds), mesh)
+    assert batch["captions"].sharding.spec == P("data", None)
+
+
+@pytest.mark.parametrize("mesh_spec", ["data:8", "data:4,model:2", "data:2,model:4"])
+def test_sharded_step_equals_single_device(devices8, mesh_spec):
+    """GSPMD-partitioned fused steps must reproduce single-device numerics."""
+    cfg, ds = small_config(vocab_size=64)
+    batch = _one_batch(cfg, ds)
+
+    state_ref = create_train_state(cfg, jax.random.PRNGKey(0))
+    mle = make_mle_step(cfg)
+    adv = make_adv_step(cfg)
+    state_ref, m_ref = mle(state_ref, batch)
+    state_ref, a_ref = adv(state_ref, batch, 2.0)
+
+    mesh = make_mesh(mesh_spec, devices8)
+    state_sh = shard_train_state(create_train_state(cfg, jax.random.PRNGKey(0)),
+                                 mesh)
+    sharded_batch = shard_batch(batch, mesh)
+    # NamedSharding-placed operands carry the mesh; no ambient context needed.
+    state_sh, m_sh = mle(state_sh, sharded_batch)
+    state_sh, a_sh = adv(state_sh, sharded_batch, 2.0)
+
+    np.testing.assert_allclose(float(m_ref["gen_pretrain_loss"]),
+                               float(m_sh["gen_pretrain_loss"]), rtol=2e-5)
+    np.testing.assert_allclose(float(a_ref["gen_adv_loss"]),
+                               float(a_sh["gen_adv_loss"]), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(a_ref["disc_adv_loss"]),
+                               float(a_sh["disc_adv_loss"]), rtol=2e-4, atol=2e-5)
+    # updated params match too (same trajectory under sharding)
+    w_ref = np.asarray(state_ref.gen_params["decoder"]["linear"]["w"])
+    w_sh = np.asarray(jax.device_get(state_sh.gen_params["decoder"]["linear"]["w"]))
+    np.testing.assert_allclose(w_ref, w_sh, atol=1e-5)
