@@ -1,0 +1,196 @@
+"""Batched caption decoding: greedy and beam search.
+
+The reference decodes greedily only, one Python-loop LSTM step at a time
+(``generator.py:55-81``); beam search is a north-star requirement with no
+reference counterpart.  Both decoders here are single jitted programs:
+
+* :func:`greedy` — the pretrain-mode sample scan (deterministic argmax).
+* :func:`beam_search` — batched beam over a ``lax.scan``: all ``B × K``
+  hypotheses advance in one device step; carried decoder state (LSTM (h,c)
+  or transformer KV cache) is gathered along the beam axis each step.
+  Finished beams (emitted ``<E>``) are frozen and padded.  Final ranking
+  uses a GNMT-style length penalty ``((5+len)/6)^alpha`` (alpha=0 → pure
+  log-probability).
+
+Both architectures plug in through a stepper triple
+``(init_state, step, gather)`` so the beam machinery is model-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.data.vocab import END, PAD
+from gan_image_captioning_tpu.models import lstm as lstm_lib
+from gan_image_captioning_tpu.models import transformer as tf_lib
+
+NEG_INF = -1e9
+
+
+class Stepper(NamedTuple):
+    init_state: Callable[[int], Any]           # n → state
+    step: Callable[[Any, Any, Any], Any]       # (state, x_emb [N,E], t) → (logits, state)
+    gather: Callable[[Any, Any], Any]          # (state, flat_idx [N]) → state
+    embed: Callable[[Any], Any]                # ids [N] → [N, E]
+
+
+def lstm_stepper(dec: dict, config: Config, dtype=jnp.float32) -> Stepper:
+    hidden = dec["lstm"][0]["w_hh"].shape[1]
+    layers = len(dec["lstm"])
+
+    def init_state(n):
+        return lstm_lib.zero_state(layers, n, hidden, dtype)
+
+    def step(state, x, t):
+        h_top, state = lstm_lib.lstm_step(dec["lstm"], x, state)
+        logits = h_top @ dec["linear"]["w"].T + dec["linear"]["b"]
+        return logits, state
+
+    def gather(state, idx):
+        h, c = state
+        return h[:, idx], c[:, idx]  # beam dim is axis 1 of [L, N, H]
+
+    return Stepper(init_state, step, gather, lambda ids: dec["embed"][ids])
+
+
+def transformer_stepper(dec: dict, config: Config, context=None,
+                        dtype=jnp.float32) -> Stepper:
+    if context is not None and context.shape[-1] != config.gen_embed_dim:
+        context = tf_lib.dense(dec["ctx_proj"], context)
+
+    def init_state(n):
+        return tf_lib._init_kv_cache(config, n, dtype)
+
+    def step(state, x, t):
+        k_cache, v_cache = state
+        logits, k_cache, v_cache = tf_lib.decode_step(
+            dec, config, x, k_cache, v_cache, t, context)
+        return logits, (k_cache, v_cache)
+
+    def gather(state, idx):
+        k, v = state
+        return k[:, idx], v[:, idx]  # beam dim is axis 1 of [L, N, T, h, d]
+
+    return Stepper(init_state, step, gather, lambda ids: dec["embed"][ids])
+
+
+def make_stepper(gen_params: dict, config: Config, context=None) -> Stepper:
+    dec = gen_params["decoder"]
+    if config.gen_arch == "lstm":
+        return lstm_stepper(dec, config)
+    return transformer_stepper(dec, config, context)
+
+
+# --------------------------------------------------------------------- greedy
+
+def greedy(gen_params: dict, features, config: Config, seq_len: int = None,
+           context=None):
+    """Deterministic greedy decode → ids [B, T] (the reference's pretrain-
+    mode sample path, argmax without Gumbel)."""
+    seq_len = seq_len or config.seq_len
+    from gan_image_captioning_tpu.models import api
+
+    cond = {"features": features, "context": context}
+    _, ids = api.generator_sample(gen_params, cond, jax.random.PRNGKey(0),
+                                  jnp.float32(1.0), seq_len, True, config)
+    return ids
+
+
+# ---------------------------------------------------------------- beam search
+
+def beam_search(gen_params: dict, features, config: Config,
+                beam_size: int = 4, seq_len: int = None, context=None,
+                length_penalty: float = 0.0):
+    """Batched beam search → ``(ids [B, T], scores [B])``.
+
+    One jittable program: scan over T steps, each advancing all B*K
+    hypotheses through the decoder and re-selecting the top K of K·V
+    continuations per batch row.
+    """
+    seq_len = seq_len or config.seq_len
+    K = beam_size
+    B = features.shape[0]
+    V = config.vocab_size
+    stepper = make_stepper(gen_params, config,
+                           None if context is None else
+                           jnp.repeat(context, K, axis=0))
+
+    # ---- t = 0: all K beams share the feature input; take top-K tokens.
+    state = stepper.init_state(B * K)
+    x0 = jnp.repeat(features, K, axis=0)                     # [B*K, E]
+    logits0, state = stepper.step(state, x0, jnp.asarray(0, jnp.int32))
+    logp0 = jax.nn.log_softmax(logits0.reshape(B, K, V)[:, 0])  # [B, V]
+    scores, ids0 = jax.lax.top_k(logp0, K)                   # [B, K]
+    done = ids0 == END
+    tokens = jnp.full((B, K, seq_len), PAD, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(ids0)
+    lengths = jnp.ones((B, K), jnp.int32)
+
+    # Continuation logp for finished beams: only PAD at zero cost.
+    pad_only = jnp.full((V,), NEG_INF).at[PAD].set(0.0)
+
+    def step(carry, t):
+        state, scores, tokens, lengths, done, last_ids = carry
+        x = stepper.embed(last_ids.reshape(-1))              # [B*K, E]
+        logits, new_state = stepper.step(state, x, t)
+        logp = jax.nn.log_softmax(logits).reshape(B, K, V)
+        logp = jnp.where(done[..., None], pad_only[None, None, :], logp)
+        cand = scores[..., None] + logp                      # [B, K, V]
+        flat = cand.reshape(B, K * V)
+        new_scores, flat_idx = jax.lax.top_k(flat, K)        # [B, K]
+        parent = flat_idx // V                               # [B, K]
+        token = flat_idx % V                                 # [B, K]
+
+        gidx = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
+        new_state = stepper.gather(new_state, gidx)
+        tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
+        tokens = tokens.at[:, :, t].set(token)
+        parent_done = jnp.take_along_axis(done, parent, axis=1)
+        parent_len = jnp.take_along_axis(lengths, parent, axis=1)
+        new_done = parent_done | (token == END)
+        new_lengths = jnp.where(parent_done, parent_len, parent_len + 1)
+        return ((new_state, new_scores, tokens, new_lengths, new_done, token),
+                None)
+
+    carry = (state, scores, tokens, lengths, done, ids0)
+    (state, scores, tokens, lengths, done, _), _ = jax.lax.scan(
+        step, carry, jnp.arange(1, seq_len))
+
+    # GNMT length penalty for final ranking
+    lp = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+    final = scores / lp
+    best = jnp.argmax(final, axis=1)                         # [B]
+    best_tokens = jnp.take_along_axis(
+        tokens, best[:, None, None], axis=1)[:, 0]
+    best_scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+    return best_tokens, best_scores
+
+
+def sequence_logprob(gen_params: dict, features, ids, config: Config,
+                     context=None):
+    """Greedy-path log-probability of given token sequences under the model
+    (teacher-forcing the ids) — used to check beam ≥ greedy."""
+    stepper = make_stepper(gen_params, config, context)
+    B, T = ids.shape
+    state = stepper.init_state(B)
+
+    def step(carry, inp):
+        state, x = carry
+        t, ids_t = inp
+        logits, state = stepper.step(state, x, t)
+        logp = jax.nn.log_softmax(logits)
+        lp_t = jnp.take_along_axis(logp, ids_t[:, None], axis=1)[:, 0]
+        return (state, stepper.embed(ids_t)), lp_t
+
+    xs = (jnp.arange(T), jnp.swapaxes(ids, 0, 1))
+    (_, _), lps = jax.lax.scan(step, (state, features), xs)
+    # stop accumulating after <E>: positions after the first END are padding
+    ended = jnp.cumsum(jnp.swapaxes(ids, 0, 1) == END, axis=0) > 0
+    before_or_at_end = ~ended | (jnp.swapaxes(ids, 0, 1) == END)
+    keep = before_or_at_end & (jnp.cumsum(
+        jnp.swapaxes(ids, 0, 1) == END, axis=0) <= 1)
+    return jnp.sum(jnp.where(keep, lps, 0.0), axis=0)

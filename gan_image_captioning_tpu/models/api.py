@@ -1,0 +1,118 @@
+"""Architecture dispatch: one API over the lstm/transformer generators and
+the cnn/transformer/ar_transformer discriminators.
+
+The train steps and instructor program against these five functions; the
+``--gen-arch`` / ``--disc-arch`` flags (report §4.2's model grid, Table 5)
+pick the implementation.  Every branch is static (config-driven), so each
+(gen_arch, disc_arch) pair compiles to its own fused XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.models import discriminator as disc_cnn
+from gan_image_captioning_tpu.models import discriminator_transformer as disc_tf
+from gan_image_captioning_tpu.models import generator as gen_lstm
+from gan_image_captioning_tpu.models import transformer as gen_tf
+
+
+# ------------------------------------------------------------------ generator
+
+def init_generator(rng, config: Config, dtype=jnp.float32,
+                   with_encoder: Optional[bool] = None):
+    if config.gen_arch == "lstm":
+        return gen_lstm.init_generator_params(rng, config, dtype, with_encoder)
+    return gen_tf.init_transformer_generator_params(rng, config, dtype,
+                                                    with_encoder)
+
+
+def generator_condition(config: Config, gen_params, batch: Dict[str, Any],
+                        train: bool) -> Tuple[Dict[str, Any], Any]:
+    """Build the conditioning bundle for one batch.
+
+    Returns ``(cond, new_bn_stats)`` where ``cond`` = {'features': [B, E],
+    'context': [B, HW, C] | None}.  Conditional transformer generators get
+    the cross-attention grid (report §4.2) from the SAME backbone pass that
+    produces the pooled feature token; LSTM generators use features only
+    (reference ``training.py:65-68``)."""
+    captions = batch["captions"]
+    if config.cgan:
+        from gan_image_captioning_tpu.models import encoder as encoder_lib
+
+        if config.gen_arch != "lstm":
+            feats, grid, new_stats = encoder_lib.encode_with_grid(
+                gen_params["encoder"], batch["images"], config, train)
+            return {"features": feats, "context": grid}, new_stats
+        feats, new_stats = encoder_lib.encode(
+            gen_params["encoder"], batch["images"], config, train)
+        return {"features": feats, "context": None}, new_stats
+    batch_size = captions.shape[0]
+    return ({"features": gen_lstm.start_token_features(
+        gen_params["decoder"] if config.gen_arch == "lstm"
+        else {"embed": gen_params["decoder"]["embed"]}, batch_size),
+        "context": None}, None)
+
+
+def generator_sample(gen_params, cond: Dict[str, Any], rng, temperature,
+                     seq_len: int, pretrain: bool, config: Config):
+    """Free-running decode → ``(outputs [B, T, V], ids [B, T])``."""
+    if config.gen_arch == "lstm":
+        return gen_lstm.sample(gen_params["decoder"], cond["features"], rng,
+                               temperature, seq_len, pretrain)
+    return gen_tf.sample(gen_params["decoder"], cond["features"], rng,
+                         temperature, seq_len, pretrain, config,
+                         context=cond["context"])
+
+
+def generator_mle_outputs(gen_params, cond: Dict[str, Any], captions, rng,
+                          config: Config):
+    """MLE-phase logits ``[B, T, V]`` (targets = ``captions``).
+
+    LSTM: free-running pretrain-mode sample — the reference's actual
+    objective (``training.py:71``; ``Decoder.forward`` is never called).
+    Transformer: parallel teacher-forced causal pass — the report's MLE mode
+    (§3.2.2 "parallel decode in MLE")."""
+    seq_len = captions.shape[1]
+    if config.gen_arch == "lstm":
+        logits, _ = gen_lstm.sample(gen_params["decoder"], cond["features"],
+                                    rng, jnp.float32(1.0), seq_len,
+                                    pretrain=True)
+        return logits
+    logits = gen_tf.teacher_forced(gen_params["decoder"], cond["features"],
+                                   captions, config, pretrain=True,
+                                   context=cond["context"])
+    return logits[:, :seq_len]
+
+
+# -------------------------------------------------------------- discriminator
+
+def init_discriminator(rng, config: Config, dtype=jnp.float32):
+    if config.disc_arch == "cnn":
+        return disc_cnn.init_discriminator_params(rng, config, dtype)
+    return disc_tf.init_transformer_discriminator_params(rng, config, dtype)
+
+
+def discriminator_apply(params, inp, config: Config, rng=None,
+                        train: bool = False):
+    """Logits for soft [B, L, V] or int [B, L] inputs.  Output shape depends
+    on the arch: cnn → [B·num_rep], transformer → [B], ar_transformer →
+    [B·L] (all flat 1-D, as the loss zoo expects)."""
+    if config.disc_arch == "cnn":
+        return disc_cnn.apply(params, inp, config, rng, train)
+    if config.disc_arch == "ar_transformer":
+        return disc_tf.apply_autoregressive(params, inp, config, rng, train)
+    return disc_tf.apply(params, inp, config, rng, train)
+
+
+def disc_logits_per_sample(config: Config) -> int:
+    """How many logits each sample contributes (for per-sample weighting)."""
+    if config.disc_arch == "cnn":
+        return config.disc_num_rep
+    if config.disc_arch == "ar_transformer":
+        return config.seq_len
+    return 1

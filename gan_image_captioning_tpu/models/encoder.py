@@ -81,6 +81,25 @@ def encode(params: dict, images, config: Config, train: bool = False):
     return feats, {"backbone": new_backbone_stats, "head": new_head_stats}
 
 
+def encode_with_grid(params: dict, images, config: Config,
+                     train: bool = False):
+    """One backbone pass → both conditioning forms:
+    ([B, D] pooled features, [B, HW, C] grid, new_bn_stats).
+
+    The pooled features equal the backbone's global-avg-pool (the grid mean),
+    so the reference's Encoder semantics (generator.py:19-25) are preserved
+    while the grid feeds the transformer's cross-attention (report §4.2)
+    without a second backbone pass."""
+    grid, new_backbone_stats = encode_grid(params, images, config, train)
+    pooled = jnp.mean(grid, axis=1)
+    feats = pooled @ params["proj"]["w"].T + params["proj"]["b"]
+    feats, new_head_stats = resnet_lib.batch_norm(
+        feats, params["head_bn"], params["bn_stats"]["head"], train,
+        momentum=HEAD_BN_MOMENTUM)
+    return feats, grid, {"backbone": new_backbone_stats,
+                         "head": new_head_stats}
+
+
 def encode_grid(params: dict, images, config: Config, train: bool = False):
     """Conv feature grid for cross-attention conditioning (report §4.2):
     [B, 3, S, S] → ([B, HW, C] grid, new_backbone_stats).

@@ -1,0 +1,286 @@
+"""Transformer building blocks + caption generator.
+
+The report (NLP_Report.pdf §3.2.2, §4.2) describes transformer variants that
+were never committed to the reference repo: a transformer generator
+(256 emb, 256 hid, 4 layers, 8 heads; parallel teacher-forced decode in MLE,
+autoregressive decode in adversarial training; padding attention masks;
+optional cross-attention over the conv feature grid) and transformer
+discriminators (see :mod:`discriminator_transformer`).  This module is their
+TPU-native implementation:
+
+* pre-LN blocks, learned positional embeddings, GELU MLPs;
+* MLE scoring is one parallel causal pass (MXU-friendly — the whole [B,T]
+  grid in one matmul chain);
+* adversarial/free-running decode is a ``lax.scan`` carrying a static-shape
+  KV cache ``[n_layers, B, T, n_heads, head_dim]`` — the transformer
+  equivalent of the LSTM decode's carried (h, c);
+* conditioning: the image feature vector is prepended as the t=0 token
+  (mirroring the LSTM wiring, reference ``generator.py:42``), plus optional
+  cross-attention over the HW×C grid when provided.
+
+Param layouts use [in, out] matrices (x @ w + b).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.ops.gumbel import gumbel_softmax
+from gan_image_captioning_tpu.ops.initializers import init_param_tree
+
+
+# --------------------------------------------------------------------- layers
+
+def _dense_init(rng, d_in, d_out, dtype):
+    return {"w": jax.random.normal(rng, (d_in, d_out), dtype)
+            / jnp.sqrt(d_in * 1.0),
+            "b": jnp.zeros((d_out,), dtype)}
+
+
+def dense(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _ln_init(d, dtype):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def init_attention(rng, d_model, dtype):
+    ks = jax.random.split(rng, 4)
+    return {"wq": _dense_init(ks[0], d_model, d_model, dtype),
+            "wk": _dense_init(ks[1], d_model, d_model, dtype),
+            "wv": _dense_init(ks[2], d_model, d_model, dtype),
+            "wo": _dense_init(ks[3], d_model, d_model, dtype)}
+
+
+def _split_heads(x, n_heads):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def attention(p, x_q, x_kv, n_heads: int, mask=None):
+    """Multi-head attention.  ``mask``: broadcastable to
+    [B, heads, Tq, Tkv], True = attend."""
+    q = _split_heads(dense(p["wq"], x_q), n_heads)
+    k = _split_heads(dense(p["wk"], x_kv), n_heads)
+    v = _split_heads(dense(p["wv"], x_kv), n_heads)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(q.shape[-1] * 1.0)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    b, t = x_q.shape[:2]
+    return dense(p["wo"], out.reshape(b, t, -1))
+
+
+def init_block(rng, d_model, d_mlp, dtype, cross: bool = False):
+    ks = jax.random.split(rng, 5)
+    p = {"ln1": _ln_init(d_model, dtype),
+         "attn": init_attention(ks[0], d_model, dtype),
+         "ln2": _ln_init(d_model, dtype),
+         "mlp": {"fc1": _dense_init(ks[1], d_model, d_mlp, dtype),
+                 "fc2": _dense_init(ks[2], d_mlp, d_model, dtype)}}
+    if cross:
+        p["ln_cross"] = _ln_init(d_model, dtype)
+        p["cross"] = init_attention(ks[3], d_model, dtype)
+    return p
+
+
+def block_apply(p, x, n_heads, mask=None, context=None, context_mask=None):
+    """Pre-LN block: self-attn → (cross-attn) → MLP, residual each."""
+    x = x + attention(p["attn"], layer_norm(p["ln1"], x), layer_norm(p["ln1"], x),
+                      n_heads, mask)
+    if context is not None and "cross" in p:
+        x = x + attention(p["cross"], layer_norm(p["ln_cross"], x), context,
+                          n_heads, context_mask)
+    h = layer_norm(p["ln2"], x)
+    return x + dense(p["mlp"]["fc2"], jax.nn.gelu(dense(p["mlp"]["fc1"], h)))
+
+
+def causal_mask(t: int):
+    return jnp.tril(jnp.ones((t, t), bool))[None, None, :, :]
+
+
+# ----------------------------------------------------------------- generator
+
+def init_transformer_decoder_params(rng, config: Config,
+                                    dtype=jnp.float32) -> dict:
+    """Transformer caption generator params.
+
+    d_model = ``gen_embed_dim``, MLP inner = ``gen_hidden_dim``
+    (report §4.2: 256 emb / 256 hid), ``gen_num_layers`` blocks,
+    ``gen_num_heads`` heads; cross-attention blocks are always built (used
+    when a context grid is supplied)."""
+    d, d_mlp = config.gen_embed_dim, config.gen_hidden_dim
+    L = config.seq_len + 1  # +1 for the prepended feature token
+    ks = jax.random.split(rng, config.gen_num_layers + 5)
+    if config.encoder_arch == "vit":
+        from gan_image_captioning_tpu.models import vit as vit_lib
+
+        ctx_dim = vit_lib.FEATURE_DIM
+    else:
+        from gan_image_captioning_tpu.models import resnet as resnet_lib
+
+        ctx_dim = resnet_lib.FEATURE_DIM
+    return {
+        "embed": jax.random.normal(ks[0], (config.vocab_size, d), dtype) * 0.02,
+        "pos": jax.random.normal(ks[1], (L, d), dtype) * 0.02,
+        # projects the encoder's HW×C grid into d_model for cross-attention
+        "ctx_proj": _dense_init(ks[2], ctx_dim, d, dtype),
+        "blocks": [init_block(ks[3 + i], d, d_mlp, dtype, cross=True)
+                   for i in range(config.gen_num_layers)],
+        "ln_f": _ln_init(d, dtype),
+        # weight-tied-style separate projection, torch Linear layout [V, d]
+        "linear": {"w": jax.random.normal(ks[-1], (config.vocab_size, d),
+                                          dtype) * 0.02,
+                   "b": jnp.zeros((config.vocab_size,), dtype)},
+    }
+
+
+def init_transformer_generator_params(rng, config: Config, dtype=jnp.float32,
+                                      with_encoder: Optional[bool] = None) -> dict:
+    """Full generator (decoder + optional encoder) with the reference init
+    sweep applied (generator.py:116-123 semantics)."""
+    if with_encoder is None:
+        with_encoder = config.cgan
+    k_dec, k_enc, k_init = jax.random.split(rng, 3)
+    params = {"decoder": init_transformer_decoder_params(k_dec, config, dtype)}
+    if with_encoder:
+        from gan_image_captioning_tpu.models import encoder as encoder_lib
+
+        params["encoder"] = encoder_lib.init_encoder_params(k_enc, config, dtype)
+
+    def _skip(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        return any(k in ("mean", "var") for k in keys)
+
+    return init_param_tree(k_init, params, config.gen_init,
+                           skip_predicate=_skip)
+
+
+def _project(dec, x):
+    return x @ dec["linear"]["w"].T + dec["linear"]["b"]
+
+
+def teacher_forced(dec: dict, features, captions, config: Config, rng=None,
+                   temperature=1.0, pretrain: bool = True, context=None,
+                   lengths=None):
+    """Parallel causal decode (the report's MLE mode, §3.2.2).
+
+    Sequence = [feature-token, embed(captions)]; output position i predicts
+    ``captions[i]``.  Padding positions are masked out of attention when
+    ``lengths`` is given (report: "padding attention masks").
+    Returns logits (pretrain) or Gumbel-softmax samples ``[B, T+1, V]``.
+    """
+    if context is not None and context.shape[-1] != features.shape[-1]:
+        context = dense(dec["ctx_proj"], context)
+    emb = dec["embed"][captions]
+    x = jnp.concatenate([features[:, None, :], emb], axis=1)
+    t = x.shape[1]
+    x = x + dec["pos"][:t]
+    mask = causal_mask(t)
+    if lengths is not None:
+        # key positions beyond 1 + length are padding → not attended
+        key_ok = (jnp.arange(t)[None, :] < (lengths + 1)[:, None])
+        mask = mask & key_ok[:, None, None, :]
+    for blk in dec["blocks"]:
+        x = block_apply(blk, x, config.gen_num_heads, mask, context)
+    logits = _project(dec, layer_norm(dec["ln_f"], x))
+    if pretrain:
+        return logits
+    from gan_image_captioning_tpu.ops.gumbel import add_gumbel
+
+    return jax.nn.softmax(add_gumbel(rng, logits) * temperature, axis=-1)
+
+
+def _init_kv_cache(config: Config, batch: int, dtype):
+    d = config.gen_embed_dim
+    h = config.gen_num_heads
+    L = config.seq_len + 1
+    shape = (config.gen_num_layers, batch, L, h, d // h)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def decode_step(dec: dict, config: Config, x_tok, k_cache, v_cache, t,
+                context=None):
+    """One incremental decode step over a KV cache.
+
+    Args:
+      x_tok: [N, d] input embedding at position ``t`` (feature vector at
+        t=0, token embedding afterwards).
+      k_cache/v_cache: [n_layers, N, L, heads, head_dim].
+      t: traced int32 position.
+      context: optional [N, HW, d] cross-attention context (already
+        projected to d_model).
+    Returns ``(logits [N, V], new_k, new_v)``.
+    """
+    n_heads = config.gen_num_heads
+    batch = x_tok.shape[0]
+    x = (x_tok + dec["pos"][t])[:, None, :]  # [N, 1, d]
+    pos_ok = (jnp.arange(k_cache.shape[2])[None, None, None, :] <= t)
+    new_k, new_v = [], []
+    for li, blk in enumerate(dec["blocks"]):
+        h_in = layer_norm(blk["ln1"], x)
+        q = _split_heads(dense(blk["attn"]["wq"], h_in), n_heads)
+        k_new = _split_heads(dense(blk["attn"]["wk"], h_in), n_heads)
+        v_new = _split_heads(dense(blk["attn"]["wv"], h_in), n_heads)
+        k_l = jax.lax.dynamic_update_slice(k_cache[li], k_new, (0, t, 0, 0))
+        v_l = jax.lax.dynamic_update_slice(v_cache[li], v_new, (0, t, 0, 0))
+        new_k.append(k_l)
+        new_v.append(v_l)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_l) / jnp.sqrt(
+            q.shape[-1] * 1.0)
+        scores = jnp.where(pos_ok, scores, jnp.finfo(scores.dtype).min)
+        probs = jax.nn.softmax(scores, axis=-1)
+        att = jnp.einsum("bhqk,bkhd->bqhd", probs, v_l).reshape(batch, 1, -1)
+        x = x + dense(blk["attn"]["wo"], att)
+        if context is not None and "cross" in blk:
+            x = x + attention(blk["cross"], layer_norm(blk["ln_cross"], x),
+                              context, n_heads)
+        h = layer_norm(blk["ln2"], x)
+        x = x + dense(blk["mlp"]["fc2"], jax.nn.gelu(dense(blk["mlp"]["fc1"], h)))
+    logits = _project(dec, layer_norm(dec["ln_f"], x))[:, 0, :]
+    return logits, jnp.stack(new_k), jnp.stack(new_v)
+
+
+def sample(dec: dict, features, rng, temperature, seq_len: int,
+           pretrain: bool = False, config: Config = None, context=None):
+    """Free-running autoregressive decode with a KV cache in ``lax.scan``.
+
+    The transformer twin of the LSTM decode loop (reference
+    ``generator.py:55-81``): per step — embed previous token (+pos) → attend
+    over the cached prefix → project → (logits | Gumbel-softmax) → argmax
+    feedback.  Returns ``(outputs [B, T, V], ids [B, T])``.
+    """
+    batch = features.shape[0]
+    dtype = features.dtype
+    if context is not None and context.shape[-1] != features.shape[-1]:
+        context = dense(dec["ctx_proj"], context)
+    k_cache, v_cache = _init_kv_cache(config, batch, dtype)
+
+    def step(carry, rng_t):
+        x_tok, k_cache, v_cache, t = carry
+        logits, k_cache, v_cache = decode_step(dec, config, x_tok, k_cache,
+                                               v_cache, t, context)
+        if pretrain:
+            out = logits
+            ids = jnp.argmax(logits, axis=-1)
+        else:
+            out, ids = gumbel_softmax(rng_t, logits, temperature)
+        x_next = dec["embed"][ids]
+        return (x_next, k_cache, v_cache, t + 1), (out, ids)
+
+    rngs = jax.random.split(rng, seq_len)
+    carry = (features, k_cache, v_cache, jnp.asarray(0, jnp.int32))
+    _, (outs, ids) = jax.lax.scan(step, carry, rngs)
+    return jnp.swapaxes(outs, 0, 1), jnp.swapaxes(ids, 0, 1)

@@ -166,7 +166,20 @@ class GANInstructor:
         """NLL_gen + BLEU-4 on the dev set (the report's metrics, first-class
         instead of the reference's commented-out calls, training.py:75-76)."""
         from gan_image_captioning_tpu.eval.metrics import bleu4_from_batches
-        from gan_image_captioning_tpu.models import generator as gen_lib
+        from gan_image_captioning_tpu.models import api
+
+        config = self.config
+
+        if not hasattr(self, "_greedy_decode"):
+            def _decode(gen_params, batch):
+                cond, _ = api.generator_condition(config, gen_params, batch,
+                                                  train=False)
+                _, ids = api.generator_sample(gen_params, cond,
+                                              jax.random.PRNGKey(0), 1.0,
+                                              config.seq_len, True, config)
+                return ids
+            self._greedy_decode = (jax.jit(_decode) if not config.no_jit
+                                   else _decode)
 
         nll, gen_batches, real_batches, weight_batches = [], [], [], []
         for i, batch in enumerate(self.pre_eval_loader):
@@ -174,12 +187,7 @@ class GANInstructor:
                 break
             self.state, metrics = self.mle_eval_step(self.state, batch)
             nll.append(float(metrics["gen_pretrain_loss"]))
-            feats, _ = gen_lib.Generator(self.config).features(
-                self.state.gen_params, images=batch.get("images"),
-                batch=batch["captions"].shape[0])
-            _, ids = gen_lib.sample_jit(
-                self.state.gen_params["decoder"], feats,
-                jax.random.PRNGKey(0), 1.0, self.config.seq_len, True)
+            ids = self._greedy_decode(self.state.gen_params, batch)
             gen_batches.append(np.asarray(ids))
             real_batches.append(batch["captions"])
             weight_batches.append(batch.get("weights"))

@@ -53,14 +53,13 @@ def make_optimizer(lr: float, clip_norm: float) -> optax.GradientTransformation:
 def create_train_state(config: Config, rng, gen_params=None, disc_params=None,
                        dtype=jnp.float32) -> TrainState:
     """Build models (if not given) and fresh optimizer/counter state."""
-    from gan_image_captioning_tpu.models.discriminator import init_discriminator_params
-    from gan_image_captioning_tpu.models.generator import init_generator_params
+    from gan_image_captioning_tpu.models import api
 
     k_gen, k_disc, k_state = jax.random.split(rng, 3)
     if gen_params is None:
-        gen_params = init_generator_params(k_gen, config, dtype)
+        gen_params = api.init_generator(k_gen, config, dtype)
     if disc_params is None:
-        disc_params = init_discriminator_params(k_disc, config, dtype)
+        disc_params = api.init_discriminator(k_disc, config, dtype)
 
     pretrain_tx = make_optimizer(config.pretrain_lr, config.clip_norm)
     gen_tx = make_optimizer(config.gen_lr, config.clip_norm)

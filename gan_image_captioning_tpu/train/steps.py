@@ -35,8 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from gan_image_captioning_tpu.config import Config
-from gan_image_captioning_tpu.models import discriminator as disc_lib
-from gan_image_captioning_tpu.models import generator as gen_lib
+from gan_image_captioning_tpu.models import api
 from gan_image_captioning_tpu.ops.losses import cross_entropy_loss, gan_losses
 from gan_image_captioning_tpu.train.state import TrainState, make_optimizer
 
@@ -45,24 +44,6 @@ def _maybe_jit(fn, config: Config, donate_argnums=()):
     if config.no_jit:
         return fn
     return jax.jit(fn, donate_argnums=donate_argnums)
-
-
-def _features(config: Config, gen_params, batch, rng, train: bool):
-    """t=0 decoder input (conditional: encoded images, training.py:65-66;
-    unconditional: <S> embedding, training.py:67-68).
-
-    Returns ``(features, new_bn_stats_or_None)`` — conditional mode threads
-    the encoder head's updated BatchNorm running statistics out (reference
-    ``generator.py:16,24``: BatchNorm1d(momentum=0.01) after the projection).
-    """
-    if config.cgan:
-        from gan_image_captioning_tpu.models import encoder as encoder_lib
-
-        feats, new_stats = encoder_lib.encode(
-            gen_params["encoder"], batch["images"], config, train=train)
-        return feats, new_stats
-    batch_size = batch["captions"].shape[0]
-    return gen_lib.start_token_features(gen_params["decoder"], batch_size), None
 
 
 def _sample_weights(batch) -> Any:
@@ -90,19 +71,21 @@ def _merge_bn_stats(gen_params, new_stats):
 # ------------------------------------------------------------------ MLE step
 
 def mle_loss(config: Config, gen_params, batch, rng, train: bool):
-    """The reference pretrain objective (training.py:71,81-83): free-running
-    pretrain-mode sample for L steps, then CE against the real captions over
-    ALL positions (pads included — no ignore_index in the reference)."""
-    rng_feat, rng_sample = jax.random.split(rng)
-    feats, new_stats = _features(config, gen_params, batch, rng_feat, train)
+    """The MLE objective.
+
+    LSTM: the reference's exact pretrain objective (training.py:71,81-83) —
+    free-running pretrain-mode sample for L steps, CE against the real
+    captions over ALL positions (pads included — no ignore_index there).
+    Transformer: parallel teacher-forced causal scoring (report §3.2.2)."""
+    _, rng_sample = jax.random.split(rng)
+    cond, new_stats = api.generator_condition(config, gen_params, batch, train)
     captions = batch["captions"]
-    seq_len = captions.shape[1]
-    logits, ids = gen_lib.sample(gen_params["decoder"], feats, rng_sample,
-                                 jnp.float32(1.0), seq_len, pretrain=True)
+    logits = api.generator_mle_outputs(gen_params, cond, captions, rng_sample,
+                                       config)
     w = _sample_weights(batch)
     mask = None if w is None else jnp.broadcast_to(w[:, None], captions.shape)
     loss = cross_entropy_loss(logits, captions, mask)
-    return loss, (new_stats, ids)
+    return loss, (new_stats, logits)
 
 
 def make_mle_step(config: Config):
@@ -168,17 +151,17 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
     """
     rng_feat, rng_sample, rng_d1, rng_d2, rng_d3, rng_flip = (
         jax.random.split(rng, 6))
-    feats, new_stats = _features(config, gen_params, batch, rng_feat, train)
+    cond, new_stats = api.generator_condition(config, gen_params, batch, train)
     captions = batch["captions"]
     seq_len = captions.shape[1]
 
-    soft, gen_ids = gen_lib.sample(gen_params["decoder"], feats, rng_sample,
-                                   temperature, seq_len, pretrain=False)
+    soft, gen_ids = api.generator_sample(gen_params, cond, rng_sample,
+                                         temperature, seq_len, False, config)
     fake = jax.lax.stop_gradient(soft)
 
-    d_real = disc_lib.apply(disc_params, captions, config, rng_d1, train)
-    d_fake = disc_lib.apply(disc_params, fake, config, rng_d2, train)
-    g_out = disc_lib.apply(disc_params, soft, config, rng_d3, train)
+    d_real = api.discriminator_apply(disc_params, captions, config, rng_d1, train)
+    d_fake = api.discriminator_apply(disc_params, fake, config, rng_d2, train)
+    g_out = api.discriminator_apply(disc_params, soft, config, rng_d3, train)
 
     if config.noisy_labels > 0.0 and train:
         # Flip real/fake roles for the D loss with probability p (per batch).
@@ -188,7 +171,7 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
     else:
         d_real_in, d_fake_in = d_real, d_fake
 
-    w = _rep_weights(batch, config.disc_num_rep)
+    w = _rep_weights(batch, api.disc_logits_per_sample(config))
     real_label = 1.0 - config.label_smoothing
     _, d_loss = gan_losses(d_real_in, d_fake_in, g_out, config.adv_loss_type,
                            real_label=real_label, weights=w)

@@ -1,0 +1,111 @@
+"""Caption inference CLI — the standalone decode entry point the reference
+never had (its evaluation was commented out, ``main.py:49``).
+
+    python src/caption.py --checkpoint save/expt_1/models/pretrained_model.ckpt \
+        --dataset synthetic --beam-size 4 --num-samples 16
+
+Loads a generator checkpoint (``pretrained_model.ckpt`` or the generator half
+of ``adv_model.ckpt``), runs batched greedy or beam decode as one jitted
+program, and prints/saves the captions with per-sequence log-probabilities.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_image_captioning_tpu.config import build_parser, config_from_args
+
+
+def parse_args(argv=None):
+    parser = build_parser()
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="path to pretrained_model.ckpt or adv_model.ckpt")
+    parser.add_argument("--split", type=str, default="val",
+                        choices=["train", "val", "test"])
+    parser.add_argument("--num-samples", type=int, default=32,
+                        help="how many captions to generate")
+    parser.add_argument("--output", type=str, default="",
+                        help="write captions as JSONL here (default: stdout)")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from src.main import build_datasets
+
+    args_ds = args
+    train_ds, val_ds = build_datasets(args_ds)
+    ds = {"train": train_ds, "val": val_ds, "test": val_ds}[args.split]
+    args.vocab_size = train_ds.vocab_size
+    config = config_from_args(args)
+
+    from gan_image_captioning_tpu.data.loader import Batcher
+    from gan_image_captioning_tpu.eval import decode as decode_lib
+    from gan_image_captioning_tpu.eval.metrics import ids_to_words, strip_caption
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+
+    template = api.init_generator(jax.random.PRNGKey(0), config)
+    try:
+        gen_params = ckpt_lib.load_params(args.checkpoint, template)
+    except Exception:
+        # adv_model.ckpt stores {"generator": …, "discriminator": …}
+        disc_template = api.init_discriminator(jax.random.PRNGKey(1), config)
+        both = ckpt_lib.load_params(args.checkpoint,
+                                    {"generator": template,
+                                     "discriminator": disc_template})
+        gen_params = both["generator"]
+
+    beam = max(1, config.beam_size)
+
+    def decode_batch(params, batch):
+        cond, _ = api.generator_condition(config, params, batch, train=False)
+        if beam > 1:
+            ids, scores = decode_lib.beam_search(
+                params, cond["features"], config, beam_size=beam,
+                context=cond["context"])
+        else:
+            ids = decode_lib.greedy(params, cond["features"], config,
+                                    context=cond["context"])
+            scores = decode_lib.sequence_logprob(
+                params, cond["features"], ids, config, cond["context"])
+        return ids, scores
+
+    decode_jit = decode_batch if config.no_jit else jax.jit(decode_batch)
+
+    out_f = open(args.output, "w") if args.output else sys.stdout
+    batch_size = min(args.num_samples, config.pre_eval_batch_size)
+    loader = Batcher(ds, batch_size, config.seq_len, shuffle=False,
+                     num_workers=config.num_workers)
+    emitted = 0
+    for batch in loader:
+        ids, scores = decode_jit(gen_params, batch)
+        ids, scores = np.asarray(ids), np.asarray(scores)
+        for i in range(ids.shape[0]):
+            if batch["weights"][i] == 0 or emitted >= args.num_samples:
+                break
+            caption = " ".join(ids_to_words(strip_caption(ids[i]),
+                                            ds.index_to_word))
+            reference = " ".join(ids_to_words(
+                strip_caption(batch["captions"][i]), ds.index_to_word))
+            out_f.write(json.dumps({"caption": caption, "logprob":
+                                    float(scores[i]), "reference": reference})
+                        + "\n")
+            emitted += 1
+        if emitted >= args.num_samples:
+            break
+    if args.output:
+        out_f.close()
+        print(f"wrote {emitted} captions to {args.output}")
+
+
+if __name__ == "__main__":
+    main()
