@@ -1,0 +1,80 @@
+"""Decode-path benchmark: captions/sec (batched greedy) + latency percentiles.
+
+The BASELINE.json metrics the reference never published (its decode is the
+34-iteration Python loop, ``generator.py:55-81``, one cuDNN launch per
+token).  Here the whole batched greedy decode is a single jitted scan, and
+beam search a single jitted program.
+
+Prints one JSON line per measurement:
+  {"metric": "greedy_captions_per_sec", ...}
+  {"metric": "greedy_p50_latency_ms", ...}
+  {"metric": "beam4_captions_per_sec", ...}
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(batch_size: int = 64, iters: int = 30):
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.eval import decode as decode_lib
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.models.generator import start_token_features
+
+    config = Config(
+        vocab_size=11008, gen_embed_dim=512, gen_hidden_dim=512,
+        gen_num_layers=2, max_seq_len=34, dtype="bfloat16")
+    gen_params = api.init_generator(jax.random.PRNGKey(0), config)
+    gen_params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, gen_params)
+    feats = start_token_features(gen_params["decoder"], batch_size)
+
+    greedy = jax.jit(lambda p, f: decode_lib.greedy(p, f, config))
+    beam = jax.jit(lambda p, f: decode_lib.beam_search(p, f, config,
+                                                       beam_size=4))
+
+    # -- greedy
+    ids = greedy(gen_params, feats)
+    jax.block_until_ready(ids)
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        ids = greedy(gen_params, feats)
+        jax.block_until_ready(ids)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    print(json.dumps({"metric": "greedy_captions_per_sec",
+                      "value": round(batch_size / float(np.mean(lat)), 1),
+                      "unit": "captions/s", "batch": batch_size}))
+    print(json.dumps({"metric": "greedy_p50_latency_ms",
+                      "value": round(float(np.percentile(lat, 50)) * 1e3, 2),
+                      "unit": "ms", "batch": batch_size}))
+    print(json.dumps({"metric": "greedy_p99_latency_ms",
+                      "value": round(float(np.percentile(lat, 99)) * 1e3, 2),
+                      "unit": "ms", "batch": batch_size}))
+
+    # -- beam 4
+    out = beam(gen_params, feats)
+    jax.block_until_ready(out)
+    lat = []
+    for _ in range(max(iters // 3, 5)):
+        t0 = time.perf_counter()
+        out = beam(gen_params, feats)
+        jax.block_until_ready(out)
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    print(json.dumps({"metric": "beam4_captions_per_sec",
+                      "value": round(batch_size / float(np.mean(lat)), 1),
+                      "unit": "captions/s", "batch": batch_size}))
+    print(json.dumps({"metric": "beam4_p50_latency_ms",
+                      "value": round(float(np.percentile(lat, 50)) * 1e3, 2),
+                      "unit": "ms", "batch": batch_size}))
+
+
+if __name__ == "__main__":
+    main()

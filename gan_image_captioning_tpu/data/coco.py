@@ -29,13 +29,19 @@ class CocoCaptions:
                  image_size: int = 256, captions_per_image: int = 5,
                  vocab_dicts: Optional[Tuple[dict, dict]] = None,
                  dataset_percent: float = 1.0, conditional: bool = True,
-                 use_cache: bool = True):
+                 use_cache: bool = True, use_native: bool = True):
         assert split in {"train", "val", "test"}
         self.split = split
         self.image_path = image_path
         self.image_size = image_size
         self.conditional = conditional
         self.dataset_percent = dataset_percent
+        if use_native:
+            from gan_image_captioning_tpu.data import native as native_lib
+
+            self._native = native_lib if native_lib.available() else None
+        else:
+            self._native = None
 
         self.captions, self.word_to_index, self.index_to_word = (
             vocab_lib.build_coco_records(captions_path, image_path, split,
@@ -57,5 +63,10 @@ class CocoCaptions:
             return ids, None
         rec = self.captions[index]
         path = os.path.join(self.image_path, rec["filepath"], rec["filename"])
+        if self._native is not None:
+            image = self._native.decode_image(path, self.image_size)
+            if image is not None:
+                return ids, image
+            # non-JPEG or corrupt file → PIL fallback
         image = images_lib.load_and_preprocess(path, self.image_size)
         return ids, image

@@ -30,6 +30,22 @@ def add_gumbel(rng, logits, eps: float = 1e-10):
     return logits + gumbel_noise(rng, logits.shape, logits.dtype, eps)
 
 
+_USE_PALLAS = False
+
+
+def set_use_pallas(flag: bool):
+    """Route :func:`gumbel_softmax` through the fused Pallas kernel
+    (``kernels/gumbel_sample.py``).  The kernel's PRNG stream differs from
+    ``jax.random``'s, so parity-sensitive paths keep this off; the sampling
+    distribution is identical."""
+    global _USE_PALLAS
+    _USE_PALLAS = bool(flag)
+
+
+def use_pallas() -> bool:
+    return _USE_PALLAS
+
+
 def gumbel_softmax(rng, logits, temperature, eps: float = 1e-10):
     """Soft sample ``softmax(temperature * (logits + g))`` plus its hard ids.
 
@@ -37,6 +53,14 @@ def gumbel_softmax(rng, logits, temperature, eps: float = 1e-10):
     soft sample (reference ``generator.py:73``); with Gumbel noise present
     this is a categorical draw from ``softmax(logits)``.
     """
+    if _USE_PALLAS and logits.ndim == 2:
+        from gan_image_captioning_tpu.kernels.gumbel_sample import (
+            fused_gumbel_sample)
+
+        seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        return fused_gumbel_sample(logits, seed,
+                                   jnp.asarray(temperature, jnp.float32))
     g_t = add_gumbel(rng, logits, eps)
     soft = jax.nn.softmax(g_t * temperature, axis=-1)
     ids = jnp.argmax(soft, axis=-1)

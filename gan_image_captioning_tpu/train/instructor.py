@@ -202,7 +202,13 @@ class GANInstructor:
         best_loss = None
         for adv_epoch in range(self.config.adv_epochs):
             t_start = time.time()
+            if self.config.profile_dir and adv_epoch == 0:
+                # Trace the first adversarial epoch (jax.profiler → Perfetto/
+                # TensorBoard); the reference has no profiling at all.
+                jax.profiler.start_trace(self.config.profile_dir)
             train_g_loss, train_d_loss = self.adv_loop("train", adv_epoch)
+            if self.config.profile_dir and adv_epoch == 0:
+                jax.profiler.stop_trace()
             val_g_loss, val_d_loss = self.adv_loop("val", adv_epoch)
 
             if best_loss is None or val_g_loss < best_loss:

@@ -46,6 +46,25 @@ def _maybe_jit(fn, config: Config, donate_argnums=()):
     return jax.jit(fn, donate_argnums=donate_argnums)
 
 
+def _compute_cast(config: Config, *trees):
+    """Mixed precision (``--dtype bfloat16``): master params stay float32 in
+    the TrainState/Adam, compute runs in bfloat16 (halves the HBM traffic
+    that dominates the sequential decode scan — each step re-reads the
+    [V, H] projection and LSTM weights).  The cast is differentiable, so
+    grads flow back to the float32 masters; losses are reduced in float32.
+    Default float32 = exact reference numerics."""
+    if config.dtype != "bfloat16":
+        return trees if len(trees) > 1 else trees[0]
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(jnp.bfloat16)
+        return x
+
+    out = tuple(jax.tree_util.tree_map(cast, t) for t in trees)
+    return out if len(out) > 1 else out[0]
+
+
 def _sample_weights(batch) -> Any:
     return batch.get("weights")
 
@@ -78,13 +97,15 @@ def mle_loss(config: Config, gen_params, batch, rng, train: bool):
     captions over ALL positions (pads included — no ignore_index there).
     Transformer: parallel teacher-forced causal scoring (report §3.2.2)."""
     _, rng_sample = jax.random.split(rng)
-    cond, new_stats = api.generator_condition(config, gen_params, batch, train)
+    gen_params_c, batch_c = _compute_cast(config, gen_params, batch)
+    cond, new_stats = api.generator_condition(config, gen_params_c, batch_c,
+                                              train)
     captions = batch["captions"]
-    logits = api.generator_mle_outputs(gen_params, cond, captions, rng_sample,
-                                       config)
+    logits = api.generator_mle_outputs(gen_params_c, cond, captions,
+                                       rng_sample, config)
     w = _sample_weights(batch)
     mask = None if w is None else jnp.broadcast_to(w[:, None], captions.shape)
-    loss = cross_entropy_loss(logits, captions, mask)
+    loss = cross_entropy_loss(logits.astype(jnp.float32), captions, mask)
     return loss, (new_stats, logits)
 
 
@@ -151,17 +172,23 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
     """
     rng_feat, rng_sample, rng_d1, rng_d2, rng_d3, rng_flip = (
         jax.random.split(rng, 6))
-    cond, new_stats = api.generator_condition(config, gen_params, batch, train)
+    gen_params_c, disc_params_c, batch_c = _compute_cast(
+        config, gen_params, disc_params, batch)
+    cond, new_stats = api.generator_condition(config, gen_params_c, batch_c,
+                                              train)
     captions = batch["captions"]
     seq_len = captions.shape[1]
 
-    soft, gen_ids = api.generator_sample(gen_params, cond, rng_sample,
+    soft, gen_ids = api.generator_sample(gen_params_c, cond, rng_sample,
                                          temperature, seq_len, False, config)
     fake = jax.lax.stop_gradient(soft)
 
-    d_real = api.discriminator_apply(disc_params, captions, config, rng_d1, train)
-    d_fake = api.discriminator_apply(disc_params, fake, config, rng_d2, train)
-    g_out = api.discriminator_apply(disc_params, soft, config, rng_d3, train)
+    d_real = api.discriminator_apply(disc_params_c, captions, config, rng_d1,
+                                     train).astype(jnp.float32)
+    d_fake = api.discriminator_apply(disc_params_c, fake, config, rng_d2,
+                                     train).astype(jnp.float32)
+    g_out = api.discriminator_apply(disc_params_c, soft, config, rng_d3,
+                                    train).astype(jnp.float32)
 
     if config.noisy_labels > 0.0 and train:
         # Flip real/fake roles for the D loss with probability p (per batch).
