@@ -32,6 +32,9 @@ ITERS = 20
 
 
 def main():
+    from gan_image_captioning_tpu.utils.runtime import setup
+
+    setup()
     from gan_image_captioning_tpu.config import Config
     from gan_image_captioning_tpu.data.loader import make_batch
     from gan_image_captioning_tpu.train.state import create_train_state
@@ -62,12 +65,16 @@ def main():
 
     for _ in range(WARMUP):
         state, metrics = step(state, batch, 10.0)
-    jax.block_until_ready(metrics["gen_adv_loss"])
+    float(metrics["gen_adv_loss"])  # host fetch = hard sync
 
+    # Each step consumes the previous step's state, so the chain executes
+    # sequentially on device; fetching the last loss to host bounds the whole
+    # chain.  (block_until_ready under-reports over the remote-execution
+    # tunnel, so sync via host transfer.)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch, 10.0)
-    jax.block_until_ready(metrics["gen_adv_loss"])
+    float(metrics["gen_adv_loss"])
     dt = time.perf_counter() - t0
 
     steps_per_sec = ITERS / dt

@@ -12,7 +12,11 @@ Prints one JSON line per measurement:
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +24,9 @@ import numpy as np
 
 
 def main(batch_size: int = 64, iters: int = 30):
+    from gan_image_captioning_tpu.utils.runtime import setup
+
+    setup()
     from gan_image_captioning_tpu.config import Config
     from gan_image_captioning_tpu.eval import decode as decode_lib
     from gan_image_captioning_tpu.models import api
@@ -39,13 +46,13 @@ def main(batch_size: int = 64, iters: int = 30):
                                                        beam_size=4))
 
     # -- greedy
-    ids = greedy(gen_params, feats)
-    jax.block_until_ready(ids)
+    ids = np.asarray(greedy(gen_params, feats))
     lat = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        ids = greedy(gen_params, feats)
-        jax.block_until_ready(ids)
+        # time to RESULT ON HOST — block_until_ready under-reports over the
+        # remote-execution tunnel, so fetch the ids to host each iteration.
+        ids = np.asarray(greedy(gen_params, feats))
         lat.append(time.perf_counter() - t0)
     lat = np.asarray(lat)
     print(json.dumps({"metric": "greedy_captions_per_sec",
@@ -59,13 +66,11 @@ def main(batch_size: int = 64, iters: int = 30):
                       "unit": "ms", "batch": batch_size}))
 
     # -- beam 4
-    out = beam(gen_params, feats)
-    jax.block_until_ready(out)
+    out = jax.device_get(beam(gen_params, feats))
     lat = []
     for _ in range(max(iters // 3, 5)):
         t0 = time.perf_counter()
-        out = beam(gen_params, feats)
-        jax.block_until_ready(out)
+        out = jax.device_get(beam(gen_params, feats))
         lat.append(time.perf_counter() - t0)
     lat = np.asarray(lat)
     print(json.dumps({"metric": "beam4_captions_per_sec",

@@ -216,6 +216,21 @@ def add_tpu_args(parser):
                         "epoch into this directory")
     g.add_argument("--no-jit", action="store_true",
                    help="disable jit (debugging)")
+    g.add_argument("--use-pallas", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="route Gumbel sampling through the fused Pallas "
+                        "kernel (auto = on when running on TPU). Its PRNG "
+                        "stream differs from jax.random's, so runs are not "
+                        "bit-comparable with --use-pallas off.")
+    g.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans: fail loudly at the op that "
+                        "first produces a NaN (the functional-purity "
+                        "equivalent of a sanitizer — SURVEY §5)")
+    g.add_argument("--length-buckets", type=str, default="",
+                   help="comma-separated caption-length bucket upper bounds "
+                        "(e.g. '12,20,36'); batches are grouped per bucket "
+                        "so short captions don't pay full-width compute. "
+                        "Empty = single fixed width (max_seq_len+2).")
 
 
 def build_parser():
@@ -305,6 +320,16 @@ class Config:
     num_workers: int = 4
     profile_dir: str = ""
     no_jit: bool = False
+    use_pallas: str = "auto"
+    debug_nans: bool = False
+    length_buckets: str = ""
+
+    def resolve_use_pallas(self) -> bool:
+        if self.use_pallas == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return self.use_pallas == "on"
 
     # ------------------------------------------------------------------ props
     @property
@@ -345,7 +370,14 @@ def config_from_args(args: argparse.Namespace) -> Config:
             if isinstance(val, list):
                 val = tuple(val)
             kw[key] = val
-    return Config(**kw)
+    config = Config(**kw)
+    if config.gen_arch == "gpt2":
+        # GPT-2-small preset (the stretch config, BASELINE.json config 5):
+        # the transformer generator at d=768, 12 layers, 12 heads, MLP 3072.
+        config = config.replace(gen_arch="transformer", gen_embed_dim=768,
+                                gen_hidden_dim=3072, gen_num_layers=12,
+                                gen_num_heads=12)
+    return config
 
 
 def make_experiment_dirs(args: argparse.Namespace) -> argparse.Namespace:

@@ -57,6 +57,10 @@ class CocoCaptions:
         # dataset_percent truncates (tasks.py:106-108)
         return int(self.dataset_percent * len(self.captions))
 
+    def caption_length(self, index: int) -> int:
+        """Token count (pre-wrap) — cheap lookup for length bucketing."""
+        return len(self._token_ids[index])
+
     def sample(self, index: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         ids = self._token_ids[index]
         if not self.conditional:

@@ -70,7 +70,7 @@ class Batcher:
     def __init__(self, dataset, batch_size: int, seq_len: int,
                  shuffle: bool = False, seed: int = 0, drop_last: bool = False,
                  pad_final: bool = True, num_workers: int = 2,
-                 prefetch: int = 4):
+                 prefetch: int = 4, bucket_bounds=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.seq_len = seq_len
@@ -81,6 +81,12 @@ class Batcher:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.epoch = 0
+        # Length buckets: upper bounds on PADDED width (tokens + <S>/<E>).
+        # Each batch draws from one bucket and pads to that bucket's bound —
+        # short captions stop paying full-width decode compute (one compiled
+        # program per distinct width).
+        self.bucket_bounds = sorted(bucket_bounds) if bucket_bounds else None
+        self._lengths = None
 
     def __len__(self):
         n = len(self.dataset)
@@ -88,27 +94,61 @@ class Batcher:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _index_batches(self):
-        n = len(self.dataset)
-        order = np.arange(n)
-        if self.shuffle:
-            # new permutation each epoch, deterministically seeded
-            rng = np.random.default_rng(self.seed + self.epoch)
-            rng.shuffle(order)
-        for start in range(0, n, self.batch_size):
-            idx = order[start: start + self.batch_size]
-            if len(idx) < self.batch_size and self.drop_last:
-                return
-            yield idx
+    def _caption_lengths(self):
+        if self._lengths is None:
+            get = getattr(self.dataset, "caption_length", None)
+            if get is None:
+                get = lambda i: len(self.dataset.sample(i)[0])  # noqa: E731
+            self._lengths = np.asarray(
+                [get(i) for i in range(len(self.dataset))])
+        return self._lengths
 
-    def _build(self, idx):
+    def _index_batches(self):
+        """Yields ``(indices, width)`` per batch."""
+        n = len(self.dataset)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        if not self.bucket_bounds:
+            order = np.arange(n)
+            if self.shuffle:
+                rng.shuffle(order)
+            for start in range(0, n, self.batch_size):
+                idx = order[start: start + self.batch_size]
+                if len(idx) < self.batch_size and self.drop_last:
+                    return
+                yield idx, self.seq_len
+            return
+
+        lengths = self._caption_lengths() + 2  # wrapped width
+        bounds = list(self.bucket_bounds)
+        if bounds[-1] < self.seq_len:
+            bounds.append(self.seq_len)
+        # bucket index per item; over-long captions clip to the top bucket
+        # (they get truncated there, same as the unbucketed path)
+        assignment = np.minimum(np.searchsorted(bounds, lengths),
+                                len(bounds) - 1)
+        batches = []
+        for b, bound in enumerate(bounds):
+            members = np.nonzero(assignment == b)[0]
+            if self.shuffle:
+                rng.shuffle(members)
+            for start in range(0, len(members), self.batch_size):
+                idx = members[start: start + self.batch_size]
+                if len(idx) < self.batch_size and self.drop_last:
+                    break
+                batches.append((idx, bound))
+        if self.shuffle:
+            rng.shuffle(batches)
+        yield from batches
+
+    def _build(self, item):
+        idx, width = item
         samples = [self.dataset.sample(int(i)) for i in idx]
         caps = [s[0] for s in samples]
         imgs = [s[1] for s in samples]
         pad_to = self.batch_size if self.pad_final else None
         if imgs[0] is None:
             imgs = None
-        return make_batch(caps, imgs, self.seq_len, pad_to)
+        return make_batch(caps, imgs, width, pad_to)
 
     def __iter__(self) -> Iterator[dict]:
         batches = list(self._index_batches())

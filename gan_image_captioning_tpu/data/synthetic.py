@@ -76,6 +76,10 @@ class SyntheticCaptions:
         base[:, y0: y0 + s // 4, x0: x0 + s // 4] += 0.5
         return base
 
+    def caption_length(self, index: int) -> int:
+        """Token count (pre-wrap) — the grammar is fixed-length 7."""
+        return 7
+
     def sample(self, index: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Deterministic per-index sample: (token_ids, image|None)."""
         rng = np.random.default_rng(self.seed * 1_000_003 + index)

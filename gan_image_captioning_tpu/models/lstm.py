@@ -97,3 +97,17 @@ def lstm_forward(params: List[dict], xs, state=None):
 
     state, outs = jax.lax.scan(step, state, jnp.swapaxes(xs, 0, 1))
     return jnp.swapaxes(outs, 0, 1), state
+
+
+def bilstm_forward(fwd_params: List[dict], bwd_params: List[dict], xs):
+    """Bidirectional LSTM over a sequence (teacher-forced scoring only —
+    a free-running decoder cannot be bidirectional).
+
+    The report explored bidirectional LSTMs (NLP_Report.pdf §4.2); the
+    committed reference exposes only stacked unidirectional ones
+    (``--gen-num-layers``, args.py:22-25).  Returns
+    ``[B, T, 2H]`` (forward ∥ backward concatenation, torch convention).
+    """
+    fwd_out, _ = lstm_forward(fwd_params, xs)
+    bwd_out, _ = lstm_forward(bwd_params, jnp.flip(xs, axis=1))
+    return jnp.concatenate([fwd_out, jnp.flip(bwd_out, axis=1)], axis=-1)

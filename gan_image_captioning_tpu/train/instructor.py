@@ -54,6 +54,13 @@ class GANInstructor:
                                  log_file=config.log_file + ".txt")
         self.writer = MetricWriter(self.save_dir)
 
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        from gan_image_captioning_tpu.ops import gumbel as gumbel_ops
+
+        gumbel_ops.set_use_pallas(config.resolve_use_pallas())
+
         # State (params + 3 optimizers + counters + temperature + rng).
         rng = jax.random.PRNGKey(config.seed)
         self.state = create_train_state(config, rng)
@@ -72,18 +79,22 @@ class GANInstructor:
         # Loaders (reference training.py:28-32; fixed shapes + threads here).
         seq = config.seq_len
         nw = config.num_workers
+        buckets = ([int(b) for b in config.length_buckets.split(",") if b]
+                   or None)
         self.pre_train_loader = Batcher(
             train_dataset, config.pre_train_batch_size, seq, shuffle=True,
-            seed=config.seed, drop_last=True, num_workers=nw)
+            seed=config.seed, drop_last=True, num_workers=nw,
+            bucket_bounds=buckets)
         self.pre_eval_loader = Batcher(
             dev_dataset, config.pre_eval_batch_size, seq, shuffle=False,
-            num_workers=nw)
+            num_workers=nw, bucket_bounds=buckets)
         self.adv_train_loader = Batcher(
             train_dataset, config.adv_train_batch_size, seq, shuffle=True,
-            seed=config.seed + 1, drop_last=True, num_workers=nw)
+            seed=config.seed + 1, drop_last=True, num_workers=nw,
+            bucket_bounds=buckets)
         self.adv_eval_loader = Batcher(
             dev_dataset, config.adv_eval_batch_size, seq, shuffle=False,
-            num_workers=nw)
+            num_workers=nw, bucket_bounds=buckets)
 
         self.pretrain_steps = 0
         self.adv_batch_steps = 0
@@ -174,6 +185,14 @@ class GANInstructor:
             def _decode(gen_params, batch):
                 cond, _ = api.generator_condition(config, gen_params, batch,
                                                   train=False)
+                if config.beam_size > 1:
+                    from gan_image_captioning_tpu.eval import decode as dlib
+
+                    ids, _ = dlib.beam_search(gen_params, cond["features"],
+                                              config,
+                                              beam_size=config.beam_size,
+                                              context=cond["context"])
+                    return ids
                 _, ids = api.generator_sample(gen_params, cond,
                                               jax.random.PRNGKey(0), 1.0,
                                               config.seq_len, True, config)

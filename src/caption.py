@@ -39,6 +39,10 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
 
+    from gan_image_captioning_tpu.utils.runtime import setup
+
+    setup()
+
     from src.main import build_datasets
 
     args_ds = args

@@ -1,0 +1,108 @@
+"""Standalone evaluation CLI: NLL_gen + BLEU-4 from a checkpoint.
+
+    python src/evaluate.py --checkpoint save/expt_1/models/pretrained_model.ckpt \
+        --dataset synthetic --beam-size 1
+
+Computes the report's two quality metrics (NLP_Report.pdf §4.3, Tables 1-5)
+on the val split:
+  * NLL_gen — free-running generator cross-entropy against real captions
+    (identical math to the reference's pretrain val loss, training.py:81-83),
+  * BLEU-4 — corpus BLEU of decoded captions (greedy or beam) vs references.
+The reference planned but never wired this evaluation (``main.py:49``
+commented out, BLEU imports dead at ``training.py:13,75-76``).
+
+Prints one JSON line: {"nll_gen": …, "bleu4": …, "num_samples": N}.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from gan_image_captioning_tpu.config import build_parser, config_from_args
+
+
+def parse_args(argv=None):
+    parser = build_parser()
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--split", type=str, default="val",
+                        choices=["train", "val", "test"])
+    parser.add_argument("--max-batches", type=int, default=0,
+                        help="0 = full split")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    from gan_image_captioning_tpu.utils.runtime import setup
+
+    setup()
+
+    from src.main import build_datasets
+
+    train_ds, val_ds = build_datasets(args)
+    ds = {"train": train_ds, "val": val_ds, "test": val_ds}[args.split]
+    args.vocab_size = train_ds.vocab_size
+    config = config_from_args(args)
+
+    from gan_image_captioning_tpu.data.loader import Batcher
+    from gan_image_captioning_tpu.eval import decode as decode_lib
+    from gan_image_captioning_tpu.eval.metrics import bleu4_from_batches
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.ops.losses import cross_entropy_loss
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+
+    template = api.init_generator(jax.random.PRNGKey(0), config)
+    try:
+        gen_params = ckpt_lib.load_params(args.checkpoint, template)
+    except Exception:
+        disc_template = api.init_discriminator(jax.random.PRNGKey(1), config)
+        both = ckpt_lib.load_params(args.checkpoint,
+                                    {"generator": template,
+                                     "discriminator": disc_template})
+        gen_params = both["generator"]
+
+    def eval_batch(params, batch, rng):
+        cond, _ = api.generator_condition(config, params, batch, train=False)
+        logits = api.generator_mle_outputs(params, cond, batch["captions"],
+                                           rng, config)
+        import jax.numpy as jnp
+
+        w = batch.get("weights")
+        mask = (None if w is None
+                else jnp.broadcast_to(w[:, None], batch["captions"].shape))
+        nll = cross_entropy_loss(logits, batch["captions"], mask)
+        if config.beam_size > 1:
+            ids, _ = decode_lib.beam_search(params, cond["features"], config,
+                                            beam_size=config.beam_size,
+                                            context=cond["context"])
+        else:
+            ids = decode_lib.greedy(params, cond["features"], config,
+                                    context=cond["context"])
+        return nll, ids
+
+    fn = eval_batch if config.no_jit else jax.jit(eval_batch)
+    loader = Batcher(ds, config.pre_eval_batch_size, config.seq_len,
+                     shuffle=False, num_workers=config.num_workers)
+    nlls, gen_b, real_b, w_b, n = [], [], [], [], 0
+    for i, batch in enumerate(loader):
+        if args.max_batches and i >= args.max_batches:
+            break
+        nll, ids = fn(gen_params, batch, jax.random.PRNGKey(i))
+        nlls.append(float(nll))
+        gen_b.append(np.asarray(ids))
+        real_b.append(batch["captions"])
+        w_b.append(batch.get("weights"))
+        n += int(batch["weights"].sum())
+    bleu = bleu4_from_batches(gen_b, real_b, w_b)
+    print(json.dumps({"nll_gen": round(float(np.mean(nlls)), 4),
+                      "bleu4": round(bleu, 5), "num_samples": n}))
+
+
+if __name__ == "__main__":
+    main()

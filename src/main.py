@@ -52,6 +52,10 @@ def build_datasets(args):
 def main(argv=None):
     args = get_args(argv)
 
+    from gan_image_captioning_tpu.utils.runtime import setup
+
+    setup()
+
     train_dataset, val_dataset = build_datasets(args)
     args.vocab_size = train_dataset.vocab_size  # reference main.py:38
 

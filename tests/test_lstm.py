@@ -70,3 +70,20 @@ def test_lstm_carried_state():
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(jnp.concatenate([first, second], axis=1)),
         atol=1e-6)
+
+
+def test_bilstm_forward():
+    rng = jax.random.PRNGKey(6)
+    B, T, E, H = 2, 6, 4, 5
+    fwd = lstm.init_lstm_params(rng, E, H, 1)
+    bwd = lstm.init_lstm_params(jax.random.PRNGKey(7), E, H, 1)
+    xs = jax.random.normal(jax.random.PRNGKey(8), (B, T, E))
+    out = lstm.bilstm_forward(fwd, bwd, xs)
+    assert out.shape == (B, T, 2 * H)
+    # forward half equals the plain forward pass; backward half equals the
+    # reversed pass re-reversed
+    f, _ = lstm.lstm_forward(fwd, xs)
+    b, _ = lstm.lstm_forward(bwd, jnp.flip(xs, 1))
+    np.testing.assert_allclose(np.asarray(out[..., :H]), np.asarray(f), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[..., H:]),
+                               np.asarray(jnp.flip(b, 1)), atol=1e-6)
