@@ -47,9 +47,14 @@ def _kernel(seed_ref, temp_ref, logits_ref, soft_ref, ids_ref):
     pltpu.prng_seed(seed)
     logits = logits_ref[:]  # [TB, V] in VMEM
 
-    bits = pltpu.prng_random_bits(logits.shape)  # uint32
-    # uniform in (0, 1): use the top 24 bits for a clean float mantissa
-    u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # prng_random_bits yields int32 on TPU — bitcast to uint32 BEFORE the
+    # shift (sign extension would poison the uniform transform), then back to
+    # int32 for the float cast (Mosaic lowers int32→f32 but not uint32→f32;
+    # after >>8 the top bits are zero so the int32 view is non-negative).
+    bits = pltpu.bitcast(pltpu.prng_random_bits(logits.shape), jnp.uint32)
+    top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+    # uniform in [0, 1): 24 bits map cleanly onto the float mantissa
+    u = top24.astype(jnp.float32) * (1.0 / (1 << 24))
     g = -jnp.log(-jnp.log(u + _EPS) + _EPS)
 
     x = (logits.astype(jnp.float32) + g) * temp_ref[0]

@@ -33,6 +33,11 @@ def parse_args(argv=None):
                         choices=["train", "val", "test"])
     parser.add_argument("--max-batches", type=int, default=0,
                         help="0 = full split")
+    parser.add_argument("--disc-score", action="store_true",
+                        help="also report the discriminator's mean sigmoid "
+                        "score on generated vs real captions (the automatic "
+                        "counterpart of the report's Table 6 'Discriminator "
+                        "score' row; needs an adv_model.ckpt)")
     return parser.parse_args(argv)
 
 
@@ -67,6 +72,18 @@ def main(argv=None):
                                      "discriminator": disc_template})
         gen_params = both["generator"]
 
+    disc_params = None
+    if args.disc_score:
+        disc_template = api.init_discriminator(jax.random.PRNGKey(1), config)
+        try:
+            both = ckpt_lib.load_params(args.checkpoint,
+                                        {"generator": template,
+                                         "discriminator": disc_template})
+            disc_params = both["discriminator"]
+        except Exception:
+            print("warning: --disc-score needs an adv_model.ckpt "
+                  "(generator+discriminator); skipping", file=sys.stderr)
+
     def eval_batch(params, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)
         logits = api.generator_mle_outputs(params, cond, batch["captions"],
@@ -84,24 +101,40 @@ def main(argv=None):
         else:
             ids = decode_lib.greedy(params, cond["features"], config,
                                     context=cond["context"])
-        return nll, ids
+        # Discriminator realism score (the report's Table 6 row
+        # "Discriminator score": mean sigmoid over generated captions).
+        if disc_params is not None:
+            d_gen = jnp.mean(jax.nn.sigmoid(api.discriminator_apply(
+                disc_params, ids, config, train=False)))
+            d_real = jnp.mean(jax.nn.sigmoid(api.discriminator_apply(
+                disc_params, batch["captions"], config, train=False)))
+        else:
+            d_gen = d_real = jnp.float32(0.0)
+        return nll, ids, d_gen, d_real
 
     fn = eval_batch if config.no_jit else jax.jit(eval_batch)
     loader = Batcher(ds, config.pre_eval_batch_size, config.seq_len,
                      shuffle=False, num_workers=config.num_workers)
     nlls, gen_b, real_b, w_b, n = [], [], [], [], 0
+    d_gen_scores, d_real_scores = [], []
     for i, batch in enumerate(loader):
         if args.max_batches and i >= args.max_batches:
             break
-        nll, ids = fn(gen_params, batch, jax.random.PRNGKey(i))
+        nll, ids, d_gen, d_real = fn(gen_params, batch, jax.random.PRNGKey(i))
         nlls.append(float(nll))
         gen_b.append(np.asarray(ids))
         real_b.append(batch["captions"])
         w_b.append(batch.get("weights"))
         n += int(batch["weights"].sum())
+        d_gen_scores.append(float(d_gen))
+        d_real_scores.append(float(d_real))
     bleu = bleu4_from_batches(gen_b, real_b, w_b)
-    print(json.dumps({"nll_gen": round(float(np.mean(nlls)), 4),
-                      "bleu4": round(bleu, 5), "num_samples": n}))
+    result = {"nll_gen": round(float(np.mean(nlls)), 4),
+              "bleu4": round(bleu, 5), "num_samples": n}
+    if disc_params is not None:
+        result["disc_score_generated"] = round(float(np.mean(d_gen_scores)), 4)
+        result["disc_score_real"] = round(float(np.mean(d_real_scores)), 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
