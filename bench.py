@@ -35,6 +35,12 @@ def main():
     from gan_image_captioning_tpu.utils.runtime import setup
 
     setup()
+    import jax as _jax
+
+    from gan_image_captioning_tpu.ops import gumbel as gumbel_ops
+
+    # fused Pallas Gumbel sampler on TPU: +~4.5% step rate (measured)
+    gumbel_ops.set_use_pallas(_jax.default_backend() == "tpu")
     from gan_image_captioning_tpu.config import Config
     from gan_image_captioning_tpu.data.loader import make_batch
     from gan_image_captioning_tpu.train.state import create_train_state

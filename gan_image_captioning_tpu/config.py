@@ -216,6 +216,10 @@ def add_tpu_args(parser):
                         "epoch into this directory")
     g.add_argument("--no-jit", action="store_true",
                    help="disable jit (debugging)")
+    g.add_argument("--device-preprocess", type=int, default=0, choices=[0, 1],
+                   help="ship resized uint8 images to the device and "
+                        "normalize there (4× smaller host→device batches; "
+                        "the fused image-pipeline path)")
     g.add_argument("--use-pallas", type=str, default="auto",
                    choices=["auto", "on", "off"],
                    help="route Gumbel sampling through the fused Pallas "
@@ -320,6 +324,7 @@ class Config:
     num_workers: int = 4
     profile_dir: str = ""
     no_jit: bool = False
+    device_preprocess: int = 0
     use_pallas: str = "auto"
     debug_nans: bool = False
     length_buckets: str = ""

@@ -35,6 +35,21 @@ def load_and_preprocess(path: str, image_size: int) -> np.ndarray:
     return np.transpose(arr, (2, 0, 1)).copy()  # HWC → CHW
 
 
+def load_resize_u8(path: str, image_size: int) -> np.ndarray:
+    """JPEG → resized CHW uint8 (PIL fallback for the device-preprocess
+    path; normalization happens on device, kernels/image_norm.py)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.resize((image_size, image_size), Image.BILINEAR)
+        arr = np.asarray(im, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    elif arr.shape[-1] == 4:
+        arr = arr[..., :3]
+    return np.transpose(arr, (2, 0, 1)).copy()
+
+
 def normalize_uint8_batch(batch_hwc_uint8: np.ndarray) -> np.ndarray:
     """[B, H, W, 3] uint8 → [B, 3, H, W] normalized float32 (vectorized)."""
     x = batch_hwc_uint8.astype(np.float32) / 255.0

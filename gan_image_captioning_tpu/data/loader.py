@@ -53,10 +53,13 @@ def make_batch(captions_list, images_list, seq_len: int,
     batch = {"captions": captions, "lengths": lengths, "weights": weights}
     if images_list is not None and images_list[0] is not None:
         img_shape = images_list[0].shape
-        images = np.zeros((batch_size,) + img_shape, np.float32)
+        dtype = np.asarray(images_list[0]).dtype
+        images = np.zeros((batch_size,) + img_shape, dtype)
         for i, im in enumerate(images_list):
             images[i] = im
-        batch["images"] = images
+        # uint8 images defer normalization to the device (see
+        # kernels/image_norm.py); float images arrive pre-normalized.
+        batch["images_u8" if dtype == np.uint8 else "images"] = images
     return batch
 
 

@@ -59,6 +59,15 @@ def _load():
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")]
+        lib.gic_decode_image_u8.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+        lib.gic_decode_image_u8.restype = ctypes.c_int
+        lib.gic_decode_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_int]
+        lib.gic_decode_batch_u8.restype = ctypes.c_int
         lib.gic_assemble_captions.restype = None
         _lib = lib
         return _lib
@@ -85,6 +94,15 @@ def decode_batch(paths: List[str], image_size: int,
     out = np.empty((n, 3, image_size, image_size), np.float32)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     lib.gic_decode_batch(c_paths, n, image_size, out, num_threads)
+    return out
+
+
+def decode_image_u8(path: str, image_size: int) -> Optional[np.ndarray]:
+    """JPEG → resized CHW uint8 (normalization deferred to the device)."""
+    lib = _load()
+    out = np.empty((3, image_size, image_size), np.uint8)
+    if lib.gic_decode_image_u8(path.encode(), image_size, out) != 0:
+        return None
     return out
 
 

@@ -44,12 +44,23 @@ def generator_condition(config: Config, gen_params, batch: Dict[str, Any],
     if config.cgan:
         from gan_image_captioning_tpu.models import encoder as encoder_lib
 
+        if "images_u8" in batch:
+            # device-side normalization of uint8 host batches (4× less
+            # host→device transfer; kernels/image_norm.py)
+            from gan_image_captioning_tpu.kernels.image_norm import (
+                normalize_images)
+
+            dtype = (jnp.bfloat16 if config.dtype == "bfloat16"
+                     else jnp.float32)
+            images = normalize_images(batch["images_u8"], dtype)
+        else:
+            images = batch["images"]
         if config.gen_arch != "lstm":
             feats, grid, new_stats = encoder_lib.encode_with_grid(
-                gen_params["encoder"], batch["images"], config, train)
+                gen_params["encoder"], images, config, train)
             return {"features": feats, "context": grid}, new_stats
         feats, new_stats = encoder_lib.encode(
-            gen_params["encoder"], batch["images"], config, train)
+            gen_params["encoder"], images, config, train)
         return {"features": feats, "context": None}, new_stats
     batch_size = captions.shape[0]
     return ({"features": gen_lstm.start_token_features(
@@ -107,6 +118,51 @@ def discriminator_apply(params, inp, config: Config, rng=None,
     if config.disc_arch == "ar_transformer":
         return disc_tf.apply_autoregressive(params, inp, config, rng, train)
     return disc_tf.apply(params, inp, config, rng, train)
+
+
+def discriminator_apply_three(params, real_ids, fake, soft, config: Config,
+                              rng=None, train: bool = False):
+    """The adversarial step's three discriminator passes
+    (``training.py:162-164``) as ONE trunk execution over the concatenated
+    ``[real; fake; gen]`` batch — one conv/attention stack + one backward
+    instead of three.  Returns ``(d_real, d_fake, g_out)`` flat logits.
+
+    Only the embeddings differ per pass (gather for int real ids, matmul for
+    the soft tensors); the trunk is linear in batch so concatenation is
+    exact.  Dropout draws one mask over the 3B rows (still i.i.d. per row —
+    the reference drew three independent masks, equally valid)."""
+    b = real_ids.shape[0]
+    if config.disc_arch == "cnn":
+        emb = jnp.concatenate([
+            disc_cnn.embed_tokens(params, real_ids),
+            disc_cnn.embed_tokens(params, fake),
+            disc_cnn.embed_tokens(params, soft),
+        ], axis=0)
+        logits = disc_cnn.apply_embedded(params, emb, config, rng, train)
+        per = config.disc_num_rep
+    else:
+        emb = jnp.concatenate([
+            disc_tf._embed(params, real_ids),
+            disc_tf._embed(params, fake),
+            disc_tf._embed(params, soft),
+        ], axis=0)
+        causal = config.disc_arch == "ar_transformer"
+        x = disc_tf._trunk_embedded(params, emb, config, causal)
+        if causal:
+            if train:
+                keep = jax.random.bernoulli(rng, 0.8, x.shape)
+                x = jnp.where(keep, x / 0.8, 0.0)
+            logits = disc_tf.dense(params["head"], x)[..., 0].reshape(-1)
+            per = config.seq_len
+        else:
+            pooled = jnp.mean(x, axis=1)
+            if train:
+                keep = jax.random.bernoulli(rng, 0.8, pooled.shape)
+                pooled = jnp.where(keep, pooled / 0.8, 0.0)
+            logits = disc_tf.dense(params["head"], pooled)[:, 0]
+            per = 1
+    n = b * per
+    return logits[:n], logits[n: 2 * n], logits[2 * n:]
 
 
 def disc_logits_per_sample(config: Config) -> int:

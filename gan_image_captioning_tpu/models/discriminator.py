@@ -101,6 +101,33 @@ def _highway(params: dict, pred):
     return gate * jax.nn.relu(hw) + (1.0 - gate) * pred
 
 
+def apply_embedded(params: dict, emb, config: Config, rng=None,
+                   train: bool = False, dropout_rate: float = 0.2):
+    """Trunk from embedded input ``[N, L, E]`` → ``[N * num_rep]`` logits.
+
+    Split out so the adversarial step can run the trunk ONCE over the
+    concatenated [real; fake; gen] batch (one conv stack + backward instead
+    of the reference's three, ``training.py:162-164``)."""
+    eds = config.emb_dim_single
+    emb4 = emb[:, None, :, :]                          # [N, 1, L, E]
+
+    pools = []
+    for conv_params in params["convs"]:
+        con = jax.nn.relu(_conv_bank(conv_params, emb4, eds))  # [B,N,L',R]
+        pools.append(jnp.max(con, axis=2))                     # [B, N, R]
+    pred = jnp.concatenate(pools, axis=1)              # [B, F, R]
+    pred = jnp.transpose(pred, (0, 2, 1)).reshape(-1, config.disc_feature_dim)
+    pred = _highway(params, pred)                      # [(B·R), F]
+
+    if train and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, pred.shape)
+        pred = jnp.where(keep, pred / (1.0 - dropout_rate), 0.0)
+
+    pred = pred @ params["feature2out"]["w"].T + params["feature2out"]["b"]
+    logits = pred @ params["out2logits"]["w"].T + params["out2logits"]["b"]
+    return logits[:, 0]                                # [(N·R)]
+
+
 def apply(params: dict, inp, config: Config, rng=None, train: bool = False,
           dropout_rate: float = 0.2):
     """Discriminator logits — reference ``Discriminator.forward``
@@ -114,27 +141,8 @@ def apply(params: dict, inp, config: Config, rng=None, train: bool = False,
     Returns:
       ``[B * num_rep]`` logits (one score per representation).
     """
-    eds = config.emb_dim_single
     emb = embed_tokens(params, inp)                    # [B, L, E]
-    emb4 = emb[:, None, :, :]                          # [B, 1, L, E]
-
-    pools = []
-    for conv_params in params["convs"]:
-        con = jax.nn.relu(_conv_bank(conv_params, emb4, eds))  # [B,N,L',R]
-        pools.append(jnp.max(con, axis=2))                     # [B, N, R]
-    pred = jnp.concatenate(pools, axis=1)              # [B, F, R]
-
-    batch = pred.shape[0]
-    pred = jnp.transpose(pred, (0, 2, 1)).reshape(-1, config.disc_feature_dim)
-    pred = _highway(params, pred)                      # [(B·R), F]
-
-    if train and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, pred.shape)
-        pred = jnp.where(keep, pred / (1.0 - dropout_rate), 0.0)
-
-    pred = pred @ params["feature2out"]["w"].T + params["feature2out"]["b"]
-    logits = pred @ params["out2logits"]["w"].T + params["out2logits"]["b"]
-    return logits[:, 0]                                # [(B·R)]
+    return apply_embedded(params, emb, config, rng, train, dropout_rate)
 
 
 def get_feature(params: dict, inp, config: Config):

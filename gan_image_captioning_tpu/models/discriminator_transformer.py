@@ -57,7 +57,15 @@ def _embed(params, inp):
 
 
 def _trunk(params, inp, config: Config, causal: bool, lengths=None):
-    x = dense(params["in_proj"], _embed(params, inp))
+    return _trunk_embedded(params, _embed(params, inp), config, causal,
+                           lengths)
+
+
+def _trunk_embedded(params, emb, config: Config, causal: bool, lengths=None):
+    """Trunk from already-embedded input [N, L, E] (lets the fused
+    adversarial step concatenate real/fake/gen after their differing
+    embedding paths)."""
+    x = dense(params["in_proj"], emb)
     t = x.shape[1]
     x = x + params["pos"][:t]
     mask = causal_mask(t) if causal else jnp.ones((1, 1, t, t), bool)

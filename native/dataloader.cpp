@@ -189,6 +189,48 @@ int gic_decode_image(const char* path, int out_size, float* out_chw) {
   return 0;
 }
 
+// Decode + resize to CHW uint8 (normalization deferred to the device —
+// uint8 transfers are 4x smaller than float32).  Matches PIL semantics:
+// resize produces uint8, normalization is a separate stage (tasks.py:92-99).
+int gic_decode_image_u8(const char* path, int out_size, uint8_t* out_chw) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  if (!decode_jpeg(path, &rgb, &w, &h)) return 1;
+  // reuse the float pipeline then undo the normalize into rounded uint8
+  std::vector<float> tmp(static_cast<size_t>(3) * out_size * out_size);
+  resize_normalize(rgb, w, h, out_size, tmp.data());
+  const size_t plane = static_cast<size_t>(out_size) * out_size;
+  for (int c = 0; c < 3; ++c) {
+    for (size_t i = 0; i < plane; ++i) {
+      float v = (tmp[c * plane + i] * kStd[c] + kMean[c]) * 255.0f;
+      v = std::min(std::max(v + 0.5f, 0.0f), 255.0f);
+      out_chw[c * plane + i] = static_cast<uint8_t>(v);
+    }
+  }
+  return 0;
+}
+
+// Threaded uint8 batch decode: out [n, 3, S, S] uint8.
+int gic_decode_batch_u8(const char** paths, int n, int out_size,
+                        uint8_t* out, int num_threads) {
+  std::atomic<int> next(0), failures(0);
+  const size_t per = static_cast<size_t>(3) * out_size * out_size;
+  num_threads = std::max(1, num_threads);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < num_threads; ++t) {
+    pool.emplace_back([&] {
+      for (int i = next.fetch_add(1); i < n; i = next.fetch_add(1)) {
+        if (gic_decode_image_u8(paths[i], out_size, out + per * i) != 0) {
+          std::memset(out + per * i, 0, per);
+          failures.fetch_add(1);
+        }
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  return failures.load();
+}
+
 // Threaded batch decode. paths: n C strings; out: [n, 3, S, S] float32.
 // Returns the number of failed images (their slots are zero-filled).
 int gic_decode_batch(const char** paths, int n, int out_size, float* out,

@@ -37,15 +37,18 @@ def build_datasets(args):
 
     captions_path = os.path.join(args.data_dir, "dataset_coco.json")
     conditional = args.conditional_gan == 1
+    device_pre = bool(getattr(args, "device_preprocess", 0))
     train = CocoCaptions(captions_path, args.data_dir, "train",
                          args.image_size, args.captions_per_image,
                          dataset_percent=args.dataset_percent,
-                         conditional=conditional)
+                         conditional=conditional,
+                         device_preprocess=device_pre)
     val = CocoCaptions(captions_path, args.data_dir, "val", args.image_size,
                        args.captions_per_image,
                        vocab_dicts=(train.word_to_index, train.index_to_word),
                        dataset_percent=args.dataset_percent,
-                       conditional=conditional)
+                       conditional=conditional,
+                       device_preprocess=device_pre)
     return train, val
 
 

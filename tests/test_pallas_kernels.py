@@ -78,3 +78,34 @@ def test_dispatcher_flag():
     # different PRNG streams → different draws, same distribution family
     assert soft_p.shape == soft_j.shape
     np.testing.assert_allclose(np.asarray(soft_p.sum(-1)), np.ones(4), atol=1e-5)
+
+
+def test_image_normalize_matches_reference_constants():
+    from gan_image_captioning_tpu.kernels.image_norm import normalize_images
+    from gan_image_captioning_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
+
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (2, 3, 8, 16), dtype=np.uint8)
+    out = np.asarray(normalize_images(jnp.asarray(u8)))
+    ref = (u8.astype(np.float32) / 255.0
+           - IMAGENET_MEAN.reshape(1, 3, 1, 1)) / IMAGENET_STD.reshape(1, 3, 1, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_device_preprocess_conditional_step():
+    """images_u8 batches flow through generator_condition → encoder."""
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.data.loader import make_batch
+    from gan_image_captioning_tpu.models import api
+
+    cfg = Config(vocab_size=40, gen_embed_dim=12, gen_hidden_dim=16,
+                 max_seq_len=6, conditional_gan=1, image_size=32)
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    caps = [np.arange(4, 8), np.arange(5, 10)]
+    imgs = [np.random.RandomState(s).randint(0, 256, (3, 32, 32),
+                                             dtype=np.uint8) for s in (0, 1)]
+    batch = make_batch(caps, imgs, cfg.seq_len)
+    assert "images_u8" in batch and batch["images_u8"].dtype == np.uint8
+    cond, stats = api.generator_condition(cfg, params, batch, train=False)
+    assert cond["features"].shape == (2, 12)
+    assert np.all(np.isfinite(np.asarray(cond["features"])))
