@@ -35,12 +35,18 @@ def main():
     from gan_image_captioning_tpu.utils.runtime import setup
 
     setup()
+    import os as _os
+
     import jax as _jax
 
     from gan_image_captioning_tpu.ops import gumbel as gumbel_ops
 
-    # fused Pallas Gumbel sampler on TPU: +~4.5% step rate (measured)
-    gumbel_ops.set_use_pallas(_jax.default_backend() == "tpu")
+    # The Pallas sampler helped the unfused step (+4.5%) but acts as a
+    # fusion barrier inside the scan of the fused-trunk step (measured
+    # regression) — default off; opt in with GIC_BENCH_PALLAS=1.
+    gumbel_ops.set_use_pallas(
+        _os.environ.get("GIC_BENCH_PALLAS") == "1"
+        and _jax.default_backend() == "tpu")
     from gan_image_captioning_tpu.config import Config
     from gan_image_captioning_tpu.data.loader import make_batch
     from gan_image_captioning_tpu.train.state import create_train_state

@@ -216,6 +216,12 @@ def add_tpu_args(parser):
                         "epoch into this directory")
     g.add_argument("--no-jit", action="store_true",
                    help="disable jit (debugging)")
+    g.add_argument("--cache-features", type=int, default=0, choices=[0, 1],
+                   help="precompute frozen-backbone features once per image "
+                        "instead of re-running the CNN every epoch (the "
+                        "reference recomputes it, training.py:65-66; implies "
+                        "eval-mode backbone BatchNorm). Conditional + frozen "
+                        "backbone + lstm generator only.")
     g.add_argument("--device-preprocess", type=int, default=0, choices=[0, 1],
                    help="ship resized uint8 images to the device and "
                         "normalize there (4× smaller host→device batches; "
@@ -324,6 +330,7 @@ class Config:
     num_workers: int = 4
     profile_dir: str = ""
     no_jit: bool = False
+    cache_features: int = 0
     device_preprocess: int = 0
     use_pallas: str = "auto"
     debug_nans: bool = False

@@ -65,6 +65,10 @@ class CocoCaptions:
         """Token count (pre-wrap) — cheap lookup for length bucketing."""
         return len(self._token_ids[index])
 
+    def caption_ids(self, index: int) -> np.ndarray:
+        """Token ids without touching the image (for feature caching)."""
+        return self._token_ids[index]
+
     def sample(self, index: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         ids = self._token_ids[index]
         if not self.conditional:

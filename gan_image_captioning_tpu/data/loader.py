@@ -57,9 +57,15 @@ def make_batch(captions_list, images_list, seq_len: int,
         images = np.zeros((batch_size,) + img_shape, dtype)
         for i, im in enumerate(images_list):
             images[i] = im
-        # uint8 images defer normalization to the device (see
-        # kernels/image_norm.py); float images arrive pre-normalized.
-        batch["images_u8" if dtype == np.uint8 else "images"] = images
+        if len(img_shape) == 1:
+            # [512] cached frozen-backbone features (SURVEY §7.4)
+            batch["backbone_feats"] = images
+        elif dtype == np.uint8:
+            # uint8 images defer normalization to the device
+            # (kernels/image_norm.py)
+            batch["images_u8"] = images
+        else:
+            batch["images"] = images  # pre-normalized float CHW
     return batch
 
 

@@ -41,12 +41,13 @@ class Stepper(NamedTuple):
 def lstm_stepper(dec: dict, config: Config, dtype=jnp.float32) -> Stepper:
     hidden = dec["lstm"][0]["w_hh"].shape[1]
     layers = len(dec["lstm"])
+    fused = lstm_lib.fuse_layer_params(dec["lstm"])
 
     def init_state(n):
         return lstm_lib.zero_state(layers, n, hidden, dtype)
 
     def step(state, x, t):
-        h_top, state = lstm_lib.lstm_step(dec["lstm"], x, state)
+        h_top, state = lstm_lib.lstm_step(fused, x, state)
         logits = h_top @ dec["linear"]["w"].T + dec["linear"]["b"]
         return logits, state
 

@@ -44,6 +44,12 @@ def generator_condition(config: Config, gen_params, batch: Dict[str, Any],
     if config.cgan:
         from gan_image_captioning_tpu.models import encoder as encoder_lib
 
+        if "backbone_feats" in batch:
+            # frozen backbone: pooled features precomputed once per image
+            # (SURVEY §7.4); only the trainable head runs per step.
+            feats, new_stats = encoder_lib.project_head(
+                gen_params["encoder"], batch["backbone_feats"], config, train)
+            return {"features": feats, "context": None}, new_stats
         if "images_u8" in batch:
             # device-side normalization of uint8 host batches (4× less
             # host→device transfer; kernels/image_norm.py)

@@ -81,6 +81,22 @@ def encode(params: dict, images, config: Config, train: bool = False):
     return feats, {"backbone": new_backbone_stats, "head": new_head_stats}
 
 
+def project_head(params: dict, pooled, config: Config, train: bool = False):
+    """Trainable head only: ``Linear(512→D)`` + ``BatchNorm1d(0.01)``
+    (generator.py:15-16,24) applied to cached backbone features.
+
+    When the backbone is frozen its pooled output never changes, so the
+    instructor can precompute it once per image and feed ``[B, 512]``
+    batches here — the reference recomputed the whole ResNet every epoch
+    (SURVEY §7.4's "free win")."""
+    feats = pooled @ params["proj"]["w"].T + params["proj"]["b"]
+    feats, new_head_stats = resnet_lib.batch_norm(
+        feats, params["head_bn"], params["bn_stats"]["head"], train,
+        momentum=HEAD_BN_MOMENTUM)
+    return feats, {"backbone": params["bn_stats"]["backbone"],
+                   "head": new_head_stats}
+
+
 def encode_with_grid(params: dict, images, config: Config,
                      train: bool = False):
     """One backbone pass → both conditioning forms:

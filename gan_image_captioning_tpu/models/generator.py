@@ -137,10 +137,11 @@ def sample(decoder_params, features, rng, temperature, seq_len: int,
     if init_states is None:
         init_states = lstm.zero_state(len(decoder_params["lstm"]), batch,
                                       hidden_dim, features.dtype)
+    fused_lstm = lstm.fuse_layer_params(decoder_params["lstm"])
 
     def step(carry, rng_t):
         x, states = carry
-        h_top, states = lstm.lstm_step(decoder_params["lstm"], x, states)
+        h_top, states = lstm.lstm_step(fused_lstm, x, states)
         logits = _project(decoder_params, h_top)
         if pretrain:
             out = logits

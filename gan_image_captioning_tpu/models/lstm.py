@@ -40,10 +40,27 @@ def init_lstm_params(rng, input_dim: int, hidden_dim: int, num_layers: int,
     return params
 
 
+def fuse_layer_params(params: List[dict]) -> List[dict]:
+    """Pre-fuse each layer's input+recurrent weights into one ``[in+H, 4H]``
+    matrix and one bias — done ONCE per call, outside any scan (fusing
+    inside the step body would copy the weight matrix every timestep)."""
+    return [{"w": jnp.concatenate([lp["w_ih"], lp["w_hh"]], axis=1).T,
+             "b": lp["b_ih"] + lp["b_hh"]} for lp in params]
+
+
 def lstm_cell(layer_params: dict, x, h, c):
-    """One LSTM cell step.  ``x``: [B, in], ``h``/``c``: [B, H]."""
-    gates = (x @ layer_params["w_ih"].T + layer_params["b_ih"]
-             + h @ layer_params["w_hh"].T + layer_params["b_hh"])
+    """One LSTM cell step.  ``x``: [B, in], ``h``/``c``: [B, H].
+
+    Accepts either raw torch-layout params (w_ih/w_hh/b_ih/b_hh) or
+    pre-fused ones from :func:`fuse_layer_params` — the fused form runs the
+    input and recurrent matmuls as one ``[B, in+H] @ [in+H, 4H]`` MXU pass
+    (same sums as torch's two-matmul formulation)."""
+    if "w" in layer_params:
+        gates = (jnp.concatenate([x, h], axis=-1) @ layer_params["w"]
+                 + layer_params["b"])
+    else:
+        gates = (x @ layer_params["w_ih"].T + layer_params["b_ih"]
+                 + h @ layer_params["w_hh"].T + layer_params["b_hh"])
     i, f, g, o = jnp.split(gates, 4, axis=-1)  # torch gate order
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
@@ -90,9 +107,10 @@ def lstm_forward(params: List[dict], xs, state=None):
     hidden_dim = params[0]["w_hh"].shape[1]
     if state is None:
         state = zero_state(len(params), batch, hidden_dim, xs.dtype)
+    fused = fuse_layer_params(params)
 
     def step(carry, x_t):
-        h_top, carry = lstm_step(params, x_t, carry)
+        h_top, carry = lstm_step(fused, x_t, carry)
         return carry, h_top
 
     state, outs = jax.lax.scan(step, state, jnp.swapaxes(xs, 0, 1))

@@ -23,7 +23,6 @@ configs (SURVEY §2.3 CP/Ulysses rows).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

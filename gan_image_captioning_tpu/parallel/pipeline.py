@@ -22,7 +22,6 @@ Exactness: the pipelined result equals applying the stages sequentially
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

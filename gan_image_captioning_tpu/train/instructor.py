@@ -76,6 +76,22 @@ class GANInstructor:
         self.adv_step = make_adv_step(config)
         self.adv_eval_step = make_adv_eval_step(config)
 
+        if (config.cache_features and config.cgan
+                and not config.trainable_backbone
+                and config.gen_arch == "lstm"):
+            from gan_image_captioning_tpu.data.feature_cache import (
+                CachedFeatureDataset, precompute_backbone_features)
+
+            self.log.info("Caching frozen-backbone features "
+                          "(one pass per image)…")
+            for name in ("train_dataset", "dev_dataset"):
+                base = getattr(self, name)
+                feats = precompute_backbone_features(
+                    base, self.state.gen_params["encoder"], config)
+                setattr(self, name, CachedFeatureDataset(base, feats))
+            train_dataset = self.train_dataset
+            dev_dataset = self.dev_dataset
+
         # Loaders (reference training.py:28-32; fixed shapes + threads here).
         seq = config.seq_len
         nw = config.num_workers

@@ -28,7 +28,6 @@ Batches are dicts with static structure:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax
@@ -183,14 +182,17 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
                                          temperature, seq_len, False, config)
     fake = jax.lax.stop_gradient(soft)
 
-    # One trunk execution over [real; fake; gen] instead of the reference's
-    # three separate passes (training.py:162-164) — see
-    # api.discriminator_apply_three.
-    d_real, d_fake, g_out = api.discriminator_apply_three(
-        disc_params_c, captions, fake, soft, config, rng_d1, train)
-    d_real = d_real.astype(jnp.float32)
-    d_fake = d_fake.astype(jnp.float32)
-    g_out = g_out.astype(jnp.float32)
+    # Three separate discriminator passes (training.py:162-164).  A manually
+    # concatenated [real; fake; gen] single-trunk variant exists
+    # (api.discriminator_apply_three) but measured ~40% SLOWER on v5e than
+    # letting XLA schedule the three passes — the big [3B, L, V] @ [V, E]
+    # embedding matmul and conv pads lay out worse than three smaller ones.
+    d_real = api.discriminator_apply(disc_params_c, captions, config, rng_d1,
+                                     train).astype(jnp.float32)
+    d_fake = api.discriminator_apply(disc_params_c, fake, config, rng_d2,
+                                     train).astype(jnp.float32)
+    g_out = api.discriminator_apply(disc_params_c, soft, config, rng_d3,
+                                    train).astype(jnp.float32)
 
     if config.noisy_labels > 0.0 and train:
         # Flip real/fake roles for the D loss with probability p (per batch).

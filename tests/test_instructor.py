@@ -1,0 +1,92 @@
+"""Instructor engine: schedule, checkpoints, resume continuity."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.data.synthetic import SyntheticCaptions
+from gan_image_captioning_tpu.train.instructor import GANInstructor
+
+
+def _config(tmp, **kw):
+    ds = SyntheticCaptions("train", num_items=32)
+    base = dict(vocab_size=ds.vocab_size, gen_embed_dim=12, gen_hidden_dim=16,
+                max_seq_len=9, disc_embed_dim=8, disc_num_rep=4,
+                disc_filter_sizes=(2, 3), disc_num_filters=(6, 6),
+                pre_train_batch_size=8, pre_eval_batch_size=8,
+                adv_train_batch_size=8, adv_eval_batch_size=8,
+                pretrain_epochs=1, adv_epochs=2, num_workers=1,
+                save_dir=os.path.join(tmp, "save"),
+                model_dir=os.path.join(tmp, "save", "models"),
+                log_file=os.path.join(tmp, "save", "log"))
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture()
+def datasets():
+    return (SyntheticCaptions("train", num_items=32),
+            SyntheticCaptions("val", num_items=16))
+
+
+def test_run_schedule_and_checkpoints(tmp_path, datasets):
+    cfg = _config(str(tmp_path), checkpoint_every=1)
+    inst = GANInstructor(cfg, *datasets, silent=True)
+    inst._run()
+    assert os.path.isdir(os.path.join(cfg.model_dir, "pretrained_model.ckpt"))
+    assert os.path.isdir(os.path.join(cfg.model_dir, "adv_model.ckpt"))
+    assert os.path.isdir(os.path.join(cfg.model_dir, "state_0.ckpt"))
+    # counters advanced: 1 pretrain epoch × 4 batches; 2 adv epochs × 4
+    assert inst.pretrain_steps == 4
+    assert int(inst.state.gen_steps) == 8
+    # temperature followed the exp ramp to max at the final epoch
+    assert float(inst.state.temperature) == pytest.approx(
+        cfg.temperature ** (2 / 2), rel=1e-3)
+
+
+def test_resume_continues_counters(tmp_path, datasets):
+    cfg = _config(str(tmp_path), checkpoint_every=1, adv_epochs=1)
+    inst = GANInstructor(cfg, *datasets, silent=True)
+    inst._run()
+    ckpt = os.path.join(cfg.model_dir, "state_0.ckpt")
+
+    cfg2 = _config(str(tmp_path) + "_resumed", resume=ckpt, adv_epochs=1,
+                   pretrain_epochs=0)
+    inst2 = GANInstructor(cfg2, *datasets, silent=True)
+    # counters restored from the checkpointed step (taken at adv epoch 0,
+    # before that epoch's adv_loop had run... state_0 saved AFTER epoch 0)
+    start_steps = int(inst2.state.gen_steps)
+    assert start_steps == int(inst.state.gen_steps)
+    inst2._run()
+    assert int(inst2.state.gen_steps) == start_steps + 4
+
+
+def test_eval_quality_hook(tmp_path, datasets):
+    cfg = _config(str(tmp_path), adv_epochs=1, eval_bleu_every=1)
+    inst = GANInstructor(cfg, *datasets, silent=True)
+    inst._run()
+    q = inst.evaluate_quality(max_batches=1)
+    assert np.isfinite(q["nll_gen"]) and 0.0 <= q["bleu4"] <= 1.0
+
+
+def test_cached_features_run(tmp_path):
+    """--cache-features: frozen backbone runs once per image; training then
+    feeds [B, 512] feature batches through the trainable head only."""
+    train = SyntheticCaptions("train", num_items=16, image_size=32,
+                              conditional=True)
+    val = SyntheticCaptions("val", num_items=8, image_size=32,
+                            conditional=True)
+    cfg = _config(str(tmp_path), conditional_gan=1, image_size=32,
+                  cache_features=1, pretrain_epochs=1, adv_epochs=1)
+    inst = GANInstructor(cfg, train, val, silent=True)
+    from gan_image_captioning_tpu.data.feature_cache import CachedFeatureDataset
+
+    assert isinstance(inst.train_dataset, CachedFeatureDataset)
+    assert inst.train_dataset.features.shape == (16, 512)
+    batch = next(iter(inst.pre_train_loader))
+    assert "backbone_feats" in batch and "images" not in batch
+    inst._run()
+    assert os.path.isdir(os.path.join(cfg.model_dir, "adv_model.ckpt"))
