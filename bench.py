@@ -79,14 +79,16 @@ def main():
         state, metrics = step(state, batch, 10.0)
     float(metrics["gen_adv_loss"])  # host fetch = hard sync
 
-    # Each step consumes the previous step's state, so the chain executes
-    # sequentially on device; fetching the last loss to host bounds the whole
-    # chain.  (block_until_ready under-reports over the remote-execution
-    # tunnel, so sync via host transfer.)
+    # Timing: ITERS chained per-call steps with donated state — each step
+    # consumes the previous one's output, so the chain executes sequentially
+    # on device while async dispatch keeps the queue fed; the final host
+    # fetch bounds the whole chain.  (A lax.fori_loop-wrapped multi-step
+    # variant was measured SLOWER — 60.5 vs 72.5 steps/s — the loop carry
+    # copies what per-call donation aliases; see docs/benchmarks.md.)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         state, metrics = step(state, batch, 10.0)
-    float(metrics["gen_adv_loss"])
+    float(metrics["gen_adv_loss"])  # host fetch = hard sync
     dt = time.perf_counter() - t0
 
     steps_per_sec = ITERS / dt

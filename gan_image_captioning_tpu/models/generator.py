@@ -152,9 +152,19 @@ def sample(decoder_params, features, rng, temperature, seq_len: int,
         return (x_next, states), (out, ids)
 
     rngs = jax.random.split(rng, seq_len)
-    (_, _), (outs, ids) = jax.lax.scan(step, (features, init_states), rngs)
+    (_, _), (outs, ids) = jax.lax.scan(step, (features, init_states), rngs,
+                                       unroll=_scan_unroll())
     # scan stacks on axis 0 (time); return batch-major like the reference.
     return jnp.swapaxes(outs, 0, 1), jnp.swapaxes(ids, 0, 1)
+
+
+def _scan_unroll() -> int:
+    """Decode-scan unroll factor (GIC_SCAN_UNROLL, default 2): unrolling a
+    few sequential steps per loop iteration amortizes scan bookkeeping and
+    gives XLA room to overlap the small per-token matmuls."""
+    import os
+
+    return max(1, int(os.environ.get("GIC_SCAN_UNROLL", "2")))
 
 
 def teacher_forced(decoder_params, features, captions, rng=None,

@@ -117,11 +117,25 @@ class GANInstructor:
 
     # ----------------------------------------------------------- MLE phase
 
+    def _progress(self, loader, what: str):
+        """tqdm batch bar (reference training.py:52,133) when available and
+        attached to a tty; otherwise the plain iterator."""
+        try:
+            import sys as _sys
+
+            from tqdm import tqdm
+
+            if _sys.stderr.isatty():
+                return tqdm(loader, total=len(loader), desc=what, leave=False)
+        except Exception:
+            pass
+        return loader
+
     def genpretrain_loop(self, what: str):
         """One sweep — reference ``genpretrain_loop`` (training.py:48-97)."""
         loader = self.pre_train_loader if what == "train" else self.pre_eval_loader
         losses = []
-        for batch in loader:
+        for batch in self._progress(loader, f"pretrain/{what}"):
             if what == "train":
                 self.state, metrics = self.mle_step(self.state, batch)
                 self.pretrain_steps += 1
@@ -171,7 +185,8 @@ class GANInstructor:
         num_batches = max(len(loader), 1)
         g_losses, d_losses = [], []
         temp = float(self.state.temperature) or 1.0
-        for batch_idx, batch in enumerate(loader):
+        for batch_idx, batch in enumerate(
+                self._progress(loader, f"adv/{what}")):
             if what == "train":
                 temp = self._temperature(adv_epoch, (batch_idx + 1) / num_batches)
                 self.state, metrics = self.adv_step(self.state, batch, temp)

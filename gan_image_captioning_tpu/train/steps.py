@@ -173,6 +173,11 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
         jax.random.split(rng, 6))
     gen_params_c, disc_params_c, batch_c = _compute_cast(
         config, gen_params, disc_params, batch)
+    # keep the Gumbel temperature in the compute dtype — a float32 scalar
+    # would silently promote the whole soft sample out of bfloat16
+    temperature = jnp.asarray(
+        temperature, jnp.bfloat16 if config.dtype == "bfloat16"
+        else jnp.float32)
     cond, new_stats = api.generator_condition(config, gen_params_c, batch_c,
                                               train)
     captions = batch["captions"]

@@ -90,3 +90,29 @@ def test_sharded_step_equals_single_device(devices8, mesh_spec):
     w_ref = np.asarray(state_ref.gen_params["decoder"]["linear"]["w"])
     w_sh = np.asarray(jax.device_get(state_sh.gen_params["decoder"]["linear"]["w"]))
     np.testing.assert_allclose(w_ref, w_sh, atol=1e-5)
+
+
+def test_sharded_conditional_step(devices8):
+    """Conditional (image encoder) train step under dp sharding: images
+    shard over the data axis through the conv stack."""
+    from gan_image_captioning_tpu.data.loader import make_batch
+    import numpy as np
+
+    ds_imgs = [np.random.RandomState(s).randn(3, 32, 32).astype(np.float32)
+               for s in range(8)]
+    caps = [np.arange(4, 9 + (s % 3)) for s in range(8)]
+    cfg, _ = small_config(vocab_size=64)
+    cfg = cfg.replace(conditional_gan=1, image_size=32,
+                      pre_train_batch_size=8)
+    batch = make_batch(caps, ds_imgs, cfg.seq_len)
+
+    state_ref = create_train_state(cfg, jax.random.PRNGKey(0))
+    mle = make_mle_step(cfg)
+    state_ref, m_ref = mle(state_ref, batch)
+
+    mesh = make_mesh("data:4,model:2", devices8)
+    state_sh = shard_train_state(create_train_state(cfg, jax.random.PRNGKey(0)),
+                                 mesh)
+    state_sh, m_sh = mle(state_sh, shard_batch(batch, mesh))
+    np.testing.assert_allclose(float(m_ref["gen_pretrain_loss"]),
+                               float(m_sh["gen_pretrain_loss"]), rtol=2e-4)
