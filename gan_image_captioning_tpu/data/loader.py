@@ -178,8 +178,10 @@ class Batcher:
                     if stop.is_set():
                         return
                     out.put(self._build(idx))
-            finally:
                 out.put(None)
+            except BaseException as exc:  # surface worker failures in the
+                out.put(exc)              # consumer instead of truncating
+                                          # the epoch silently
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -188,6 +190,8 @@ class Batcher:
                 item = out.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

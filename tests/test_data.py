@@ -142,3 +142,22 @@ def test_coco_dataset_end_to_end(tmp_path):
                            dataset_percent=0.5, conditional=False,
                            use_cache=False)
     assert len(ds_half) == len(ds) // 2
+
+
+def test_batcher_worker_exception_propagates():
+    """A failing sample() in the worker thread must raise in the consumer,
+    not silently truncate the epoch."""
+    class Exploding:
+        def __len__(self):
+            return 8
+
+        def sample(self, i):
+            if i == 5:
+                raise RuntimeError("boom")
+            return np.array([4, 5], np.int32), None
+
+    import pytest as _pytest
+
+    b = Batcher(Exploding(), batch_size=2, seq_len=6, num_workers=2)
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(b)
