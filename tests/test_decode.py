@@ -80,3 +80,24 @@ def test_beam_is_jittable():
     ids, scores = f(params, feats)
     ids2, scores2 = dec_lib.beam_search(params, feats, cfg, beam_size=4)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+
+
+def test_beam_search_sharded_dp(devices8):
+    """Beam search under a data-parallel mesh reproduces single-device ids."""
+    from gan_image_captioning_tpu.parallel.mesh import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = cfg_for("lstm")
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (8, cfg.gen_embed_dim))
+    ids_ref, _ = dec_lib.beam_search(params, feats, cfg, beam_size=3)
+
+    mesh = make_mesh("data:4", devices8[:4])
+    feats_sh = jax.device_put(feats, NamedSharding(mesh, P("data", None)))
+    params_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)
+    ids_sh, _ = jax.jit(lambda p, f: dec_lib.beam_search(p, f, cfg,
+                                                         beam_size=3))(
+        params_sh, feats_sh)
+    np.testing.assert_array_equal(np.asarray(ids_ref),
+                                  np.asarray(jax.device_get(ids_sh)))

@@ -90,3 +90,19 @@ def test_cached_features_run(tmp_path):
     assert "backbone_feats" in batch and "images" not in batch
     inst._run()
     assert os.path.isdir(os.path.join(cfg.model_dir, "adv_model.ckpt"))
+
+
+def test_training_is_deterministic(tmp_path, datasets):
+    """Same seed → identical parameter trajectory (the reference pins seed
+    1008 'for reproducibility', main.py:14-23)."""
+    import jax
+
+    cfg_a = _config(str(tmp_path) + "_a", adv_epochs=1)
+    cfg_b = _config(str(tmp_path) + "_b", adv_epochs=1)
+    ia = GANInstructor(cfg_a, *datasets, silent=True)
+    ib = GANInstructor(cfg_b, *datasets, silent=True)
+    ia._run()
+    ib._run()
+    for la, lb in zip(jax.tree_util.tree_leaves(ia.state.gen_params),
+                      jax.tree_util.tree_leaves(ib.state.gen_params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
