@@ -1,0 +1,185 @@
+"""Caption serving entry point.
+
+A minimal production-style serving loop around the batched jitted decoder:
+requests arrive as JSON lines (stdin or TCP), are micro-batched up to
+``--serve-batch-size``, decoded in one device program (greedy or beam), and
+answered as JSON lines.  The decode program is compiled once at startup
+(warm), so steady-state latency is the device decode + transfer only.
+
+    # stdin/stdout mode:
+    echo '{"n": 3}' | python src/serve.py --checkpoint …/pretrained_model.ckpt \
+        --dataset synthetic --beam-size 4
+
+    # TCP mode:
+    python src/serve.py --checkpoint … --port 7777 &
+    printf '{"image": "/path/img.jpg"}\n' | nc localhost 7777
+
+Request forms:
+  {"n": k}              → k unconditional captions
+  {"image": "<path>"}   → caption for one image (conditional checkpoints)
+Response: {"captions": [...], "logprobs": [...], "latency_ms": t}
+"""
+
+import json
+import os
+import socketserver
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from gan_image_captioning_tpu.config import build_parser, config_from_args
+
+
+def parse_args(argv=None):
+    parser = build_parser()
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--port", type=int, default=0,
+                        help="TCP port (0 = stdin/stdout loop)")
+    parser.add_argument("--serve-batch-size", type=int, default=8)
+    return parser.parse_args(argv)
+
+
+class CaptionService:
+    def __init__(self, args):
+        from gan_image_captioning_tpu.utils.runtime import setup
+
+        setup()
+        from src.main import build_datasets
+
+        train_ds, _ = build_datasets(args)
+        args.vocab_size = train_ds.vocab_size
+        self.index_to_word = train_ds.index_to_word
+        self.config = config_from_args(args)
+        self.batch_size = args.serve_batch_size
+
+        from gan_image_captioning_tpu.eval import decode as decode_lib
+        from gan_image_captioning_tpu.models import api
+        from gan_image_captioning_tpu.models.generator import (
+            start_token_features)
+        from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+
+        template = api.init_generator(jax.random.PRNGKey(0), self.config)
+        try:
+            self.gen_params = ckpt_lib.load_params(args.checkpoint, template)
+        except Exception:
+            disc_t = api.init_discriminator(jax.random.PRNGKey(1), self.config)
+            both = ckpt_lib.load_params(
+                args.checkpoint, {"generator": template, "discriminator": disc_t})
+            self.gen_params = both["generator"]
+
+        config = self.config
+        beam = max(1, config.beam_size)
+
+        def decode(params, feats):
+            if beam > 1:
+                return decode_lib.beam_search(params, feats, config,
+                                              beam_size=beam)
+            ids = decode_lib.greedy(params, feats, config)
+            lp = decode_lib.sequence_logprob(params, feats, ids, config)
+            return ids, lp
+
+        self._decode = jax.jit(decode)
+        self._start_features = start_token_features
+        # warm through the REAL request path so the first client request
+        # hits the compiled program (requests pad to serve_batch_size)
+        self.handle_request({"n": 1})
+
+    def _features_unconditional(self, n):
+        dec = self.gen_params["decoder"]
+        return self._start_features(
+            dec if self.config.gen_arch == "lstm" else {"embed": dec["embed"]},
+            n)
+
+    def _features_image(self, paths):
+        from gan_image_captioning_tpu.data.images import load_and_preprocess
+        from gan_image_captioning_tpu.models import api
+
+        imgs = np.stack([load_and_preprocess(p, self.config.image_size)
+                         for p in paths])
+        batch = {"captions": np.zeros((len(paths), self.config.seq_len),
+                                      np.int32),
+                 "images": imgs}
+        cond, _ = api.generator_condition(self.config, self.gen_params, batch,
+                                          train=False)
+        return cond["features"]
+
+    def handle_request(self, req: dict) -> dict:
+        from gan_image_captioning_tpu.eval.metrics import (ids_to_words,
+                                                           strip_caption)
+
+        t0 = time.perf_counter()
+        if "image" in req:
+            if not self.config.cgan:
+                return {"error": "checkpoint is unconditional; use {'n': k}"}
+            feats = self._features_image([req["image"]] * 1)
+            n = 1
+        else:
+            n = int(req.get("n", 1))
+            feats = self._features_unconditional(n)
+        # pad to a multiple of the warm batch size and decode in chunks of
+        # exactly serve_batch_size — ONE compiled shape for every request
+        feats = np.asarray(feats)
+        pad = (-feats.shape[0]) % self.batch_size
+        if pad:
+            feats = np.concatenate([feats, feats[:1].repeat(pad, 0)])
+        if feats.shape[0] > self.batch_size:
+            parts = [self._decode(self.gen_params, feats[i: i + self.batch_size])
+                     for i in range(0, feats.shape[0], self.batch_size)]
+            ids = np.concatenate([np.asarray(p[0]) for p in parts])
+            lps = np.concatenate([np.asarray(p[1]) for p in parts])
+            ids, lps = ids[:n], lps[:n]
+            from gan_image_captioning_tpu.eval.metrics import ids_to_words as _itw
+
+            captions = [" ".join(_itw(strip_caption(r), self.index_to_word))
+                        for r in ids]
+            return {"captions": captions,
+                    "logprobs": [round(float(x), 4) for x in lps],
+                    "latency_ms": round((time.perf_counter() - t0) * 1e3, 2)}
+        ids, lps = self._decode(self.gen_params, feats)
+        ids, lps = np.asarray(ids)[:n], np.asarray(lps)[:n]
+        captions = [" ".join(ids_to_words(strip_caption(row),
+                                          self.index_to_word))
+                    for row in ids]
+        return {"captions": captions,
+                "logprobs": [round(float(x), 4) for x in lps],
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 2)}
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    service = CaptionService(args)
+    print(json.dumps({"status": "ready",
+                      "vocab_size": service.config.vocab_size}), flush=True)
+
+    if args.port:
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for line in self.rfile:
+                    try:
+                        resp = service.handle_request(json.loads(line))
+                    except Exception as exc:  # malformed request
+                        resp = {"error": str(exc)}
+                    self.wfile.write((json.dumps(resp) + "\n").encode())
+                    self.wfile.flush()
+
+        with socketserver.ThreadingTCPServer(("127.0.0.1", args.port),
+                                             Handler) as srv:
+            srv.serve_forever()
+    else:
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                resp = service.handle_request(json.loads(line))
+            except Exception as exc:
+                resp = {"error": str(exc)}
+            print(json.dumps(resp), flush=True)
+
+
+if __name__ == "__main__":
+    main()
