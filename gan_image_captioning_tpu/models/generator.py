@@ -151,11 +151,25 @@ def sample(decoder_params, features, rng, temperature, seq_len: int,
         x_next = decoder_params["embed"][ids]
         return (x_next, states), (out, ids)
 
+    if _scan_remat():
+        # The fused adversarial step is HBM-bandwidth-bound (~97% of the
+        # v5e roofline, docs/benchmarks.md) with ~25× FLOP headroom —
+        # rematerializing the per-step activations in the backward pass
+        # trades cheap FLOPs for expensive residual traffic.
+        step = jax.checkpoint(step)
+
     rngs = jax.random.split(rng, seq_len)
     (_, _), (outs, ids) = jax.lax.scan(step, (features, init_states), rngs,
                                        unroll=_scan_unroll())
     # scan stacks on axis 0 (time); return batch-major like the reference.
     return jnp.swapaxes(outs, 0, 1), jnp.swapaxes(ids, 0, 1)
+
+
+def _scan_remat() -> bool:
+    """GIC_SCAN_REMAT=1 recomputes decode activations in the backward pass."""
+    import os
+
+    return os.environ.get("GIC_SCAN_REMAT", "0") == "1"
 
 
 def _scan_unroll() -> int:
