@@ -64,6 +64,31 @@ def _compute_cast(config: Config, *trees):
     return out if len(out) > 1 else out[0]
 
 
+def _bf16_grads(config: Config) -> bool:
+    """GIC_BF16_GRADS=1 (bfloat16 mode only): differentiate wrt the bf16
+    compute params so the scan's per-step weight-gradient accumulators stay
+    bf16 — the dominant HBM traffic of the decode backward (the [V,H]
+    projection/embedding dW read-modify-writes, docs/benchmarks.md roofline).
+    Master weights and Adam moments remain float32."""
+    import os
+
+    return (config.dtype == "bfloat16"
+            and os.environ.get("GIC_BF16_GRADS", "0") == "1")
+
+
+def _grad_boundary(config: Config, loss_fn, params, has_aux=False):
+    """value_and_grad with the bf16-grad boundary option: grads come back in
+    the master dtype either way (cast after accumulation)."""
+    if not _bf16_grads(config):
+        return jax.value_and_grad(loss_fn, has_aux=has_aux)(params)
+    params_c = _compute_cast(config.replace(dtype="bfloat16"), params)
+    out, grads = jax.value_and_grad(loss_fn, has_aux=has_aux)(params_c)
+    grads = jax.tree_util.tree_map(
+        lambda g, p: g.astype(p.dtype) if hasattr(g, "dtype") else g,
+        grads, params)
+    return out, grads
+
+
 def _sample_weights(batch) -> Any:
     return batch.get("weights")
 
@@ -249,9 +274,9 @@ def make_adv_step(config: Config):
                                       rng_step, temperature, train=True)
             return d_loss
 
-        (g_loss, aux), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.gen_params)
-        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params)
+        (g_loss, aux), g_grads = _grad_boundary(
+            config, g_loss_fn, state.gen_params, has_aux=True)
+        d_loss, d_grads = _grad_boundary(config, d_loss_fn, state.disc_params)
 
         # --- D update, conditionally (disc_train_freq) ---
         def update_disc(operand):

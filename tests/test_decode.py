@@ -101,3 +101,18 @@ def test_beam_search_sharded_dp(devices8):
         params_sh, feats_sh)
     np.testing.assert_array_equal(np.asarray(ids_ref),
                                   np.asarray(jax.device_get(ids_sh)))
+
+
+def test_beam_width_monotonic_quality():
+    """Wider beams never find worse sequences (scores are comparable because
+    ranking uses raw log-prob at length_penalty=0)."""
+    cfg = cfg_for("lstm", vocab_size=17, max_seq_len=5)
+    params = api.init_generator(jax.random.PRNGKey(9), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(10), (6, cfg.gen_embed_dim))
+    prev = None
+    for k in (1, 2, 4, 8):
+        _, scores = dec_lib.beam_search(params, feats, cfg, beam_size=k)
+        scores = np.asarray(scores)
+        if prev is not None:
+            assert np.all(scores >= prev - 1e-4), (k, scores, prev)
+        prev = scores

@@ -1,0 +1,51 @@
+"""Caption service (in-process): request handling, chunking, error paths."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, parse_args
+
+    # make a tiny checkpoint on disk
+    tmp = str(tmp_path_factory.mktemp("serve"))
+    cfg = Config(vocab_size=35, gen_embed_dim=12, gen_hidden_dim=16,
+                 max_seq_len=9)
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    ckpt = os.path.join(tmp, "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+
+    args = parse_args([
+        "--checkpoint", ckpt, "--dataset", "synthetic", "--max-seq-len", "9",
+        "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+        "--serve-batch-size", "4", "--beam-size", "2"])
+    return CaptionService(args)
+
+
+def test_unconditional_request(service):
+    resp = service.handle_request({"n": 3})
+    assert len(resp["captions"]) == 3 and len(resp["logprobs"]) == 3
+    assert all(isinstance(c, str) for c in resp["captions"])
+    assert resp["latency_ms"] > 0
+
+
+def test_chunked_request_exceeds_batch(service):
+    resp = service.handle_request({"n": 9})  # 9 > serve_batch_size=4
+    assert len(resp["captions"]) == 9
+    # deterministic decode → duplicate feature rows give duplicate captions
+    assert resp["captions"][0] == resp["captions"][4]
+
+
+def test_image_request_on_unconditional_checkpoint(service):
+    resp = service.handle_request({"image": "/nonexistent.jpg"})
+    assert "error" in resp
