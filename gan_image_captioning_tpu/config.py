@@ -216,6 +216,16 @@ def add_tpu_args(parser):
                         "epoch into this directory")
     g.add_argument("--no-jit", action="store_true",
                    help="disable jit (debugging)")
+    g.add_argument("--encoder-init", type=str, default="sweep",
+                   choices=["sweep", "natural"],
+                   help="'sweep' = reference parity: the init sweep "
+                        "overwrites EVERY encoder weight incl. BatchNorm "
+                        "scales with U(-0.05,0.05) (generator.py:116-123), "
+                        "which measurably kills the backbone's signal "
+                        "(~1e-9 cross-image feature variance — likely why "
+                        "the report's Table 4 shows conditioning not "
+                        "helping). 'natural' keeps kaiming/BN-ones init "
+                        "for the encoder so conditioning works.")
     g.add_argument("--cache-features", type=int, default=0, choices=[0, 1],
                    help="precompute frozen-backbone features once per image "
                         "instead of re-running the CNN every epoch (the "
@@ -330,6 +340,7 @@ class Config:
     num_workers: int = 4
     profile_dir: str = ""
     no_jit: bool = False
+    encoder_init: str = "sweep"
     cache_features: int = 0
     device_preprocess: int = 0
     use_pallas: str = "auto"

@@ -78,10 +78,17 @@ def init_generator_params(rng, config: Config, dtype=jnp.float32,
 
         params["encoder"] = encoder_lib.init_encoder_params(k_enc, config, dtype)
 
+    natural_encoder = getattr(config, "encoder_init", "sweep") == "natural"
+
     def _skip(path, leaf):
-        # BatchNorm running stats / num_batches are not nn.Parameters in torch,
-        # so the reference's init sweep never touches them.
+        # BatchNorm running stats are not nn.Parameters in torch, so the
+        # reference's init sweep never touches them.  With
+        # --encoder-init natural the WHOLE encoder keeps its native init
+        # (the sweep numerically kills the backbone — see
+        # tests/test_conditioning.py docstring).
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if natural_encoder and keys and keys[0] == "encoder":
+            return True
         return any(k in ("mean", "var", "running_mean", "running_var") for k in keys)
 
     return init_param_tree(k_init, params, config.gen_init, skip_predicate=_skip)

@@ -160,8 +160,12 @@ def init_transformer_generator_params(rng, config: Config, dtype=jnp.float32,
 
         params["encoder"] = encoder_lib.init_encoder_params(k_enc, config, dtype)
 
+    natural_encoder = getattr(config, "encoder_init", "sweep") == "natural"
+
     def _skip(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if natural_encoder and keys and keys[0] == "encoder":
+            return True
         return any(k in ("mean", "var") for k in keys)
 
     return init_param_tree(k_init, params, config.gen_init,

@@ -242,6 +242,17 @@ class GANInstructor:
             real_batches.append(batch["captions"])
             weight_batches.append(batch.get("weights"))
         bleu4 = bleu4_from_batches(gen_batches, real_batches, weight_batches)
+
+        # qualitative sample: a couple of decoded captions into the log
+        i2w = getattr(self.dev_dataset, "index_to_word", None)
+        if i2w and gen_batches:
+            from gan_image_captioning_tpu.eval.metrics import (ids_to_words,
+                                                               strip_caption)
+
+            for row, ref in list(zip(gen_batches[0], real_batches[0]))[:2]:
+                self.log.info("[SAMPLE] gen: %s | ref: %s" % (
+                    " ".join(ids_to_words(strip_caption(row), i2w)),
+                    " ".join(ids_to_words(strip_caption(ref), i2w))))
         return {"nll_gen": float(np.mean(nll or [0])), "bleu4": bleu4}
 
     def _run(self):
