@@ -79,9 +79,15 @@ class Batcher:
     def __init__(self, dataset, batch_size: int, seq_len: int,
                  shuffle: bool = False, seed: int = 0, drop_last: bool = False,
                  pad_final: bool = True, num_workers: int = 2,
-                 prefetch: int = 4, bucket_bounds=None):
+                 prefetch: int = 4, bucket_bounds=None, host_shard=None):
         self.dataset = dataset
         self.batch_size = batch_size
+        # host_shard=(process_index, process_count): each host iterates a
+        # disjoint stride of the (shuffled) index space, feeding its local
+        # slice of the global data-parallel batch (SURVEY §2.3 DP row:
+        # "per-host data loading feeding local shards").  All hosts share
+        # the seed, so the global epoch order is consistent.
+        self.host_shard = host_shard
         self.seq_len = seq_len
         self.shuffle = shuffle
         self.seed = seed
@@ -99,6 +105,9 @@ class Batcher:
 
     def __len__(self):
         n = len(self.dataset)
+        if self.host_shard is not None:
+            idx, count = self.host_shard
+            n = len(range(idx, n, count))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -112,6 +121,12 @@ class Batcher:
                 [get(i) for i in range(len(self.dataset))])
         return self._lengths
 
+    def _host_slice(self, order):
+        if self.host_shard is None:
+            return order
+        idx, count = self.host_shard
+        return order[idx::count]
+
     def _index_batches(self):
         """Yields ``(indices, width)`` per batch."""
         n = len(self.dataset)
@@ -120,6 +135,8 @@ class Batcher:
             order = np.arange(n)
             if self.shuffle:
                 rng.shuffle(order)
+            order = self._host_slice(order)
+            n = len(order)
             for start in range(0, n, self.batch_size):
                 idx = order[start: start + self.batch_size]
                 if len(idx) < self.batch_size and self.drop_last:
@@ -140,6 +157,7 @@ class Batcher:
             members = np.nonzero(assignment == b)[0]
             if self.shuffle:
                 rng.shuffle(members)
+            members = self._host_slice(members)
             for start in range(0, len(members), self.batch_size):
                 idx = members[start: start + self.batch_size]
                 if len(idx) < self.batch_size and self.drop_last:

@@ -97,20 +97,24 @@ class GANInstructor:
         nw = config.num_workers
         buckets = ([int(b) for b in config.length_buckets.split(",") if b]
                    or None)
+        # multi-host: each process loads its disjoint slice of the epoch
+        # (DP feeding, SURVEY §2.3); single process → no sharding.
+        shard = ((jax.process_index(), jax.process_count())
+                 if jax.process_count() > 1 else None)
         self.pre_train_loader = Batcher(
             train_dataset, config.pre_train_batch_size, seq, shuffle=True,
             seed=config.seed, drop_last=True, num_workers=nw,
-            bucket_bounds=buckets)
+            bucket_bounds=buckets, host_shard=shard)
         self.pre_eval_loader = Batcher(
             dev_dataset, config.pre_eval_batch_size, seq, shuffle=False,
-            num_workers=nw, bucket_bounds=buckets)
+            num_workers=nw, bucket_bounds=buckets, host_shard=shard)
         self.adv_train_loader = Batcher(
             train_dataset, config.adv_train_batch_size, seq, shuffle=True,
             seed=config.seed + 1, drop_last=True, num_workers=nw,
-            bucket_bounds=buckets)
+            bucket_bounds=buckets, host_shard=shard)
         self.adv_eval_loader = Batcher(
             dev_dataset, config.adv_eval_batch_size, seq, shuffle=False,
-            num_workers=nw, bucket_bounds=buckets)
+            num_workers=nw, bucket_bounds=buckets, host_shard=shard)
 
         self.pretrain_steps = 0
         self.adv_batch_steps = 0
@@ -185,6 +189,7 @@ class GANInstructor:
         num_batches = max(len(loader), 1)
         g_losses, d_losses = [], []
         temp = float(self.state.temperature) or 1.0
+        t_sweep = time.time()
         for batch_idx, batch in enumerate(
                 self._progress(loader, f"adv/{what}")):
             if what == "train":
@@ -202,6 +207,10 @@ class GANInstructor:
             step = int(self.state.gen_steps)
             self.writer.add_scalar(d_tag, d_loss, step)
             self.writer.add_scalar(g_tag, g_loss, step)
+        if what == "train" and g_losses:
+            rate = len(g_losses) / max(time.time() - t_sweep, 1e-9)
+            self.writer.add_scalar("adv_steps_per_sec", rate,
+                                   int(self.state.gen_steps))
         return float(np.mean(g_losses or [0])), float(np.mean(d_losses or [0]))
 
     def evaluate_quality(self, max_batches: Optional[int] = None):

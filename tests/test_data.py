@@ -161,3 +161,24 @@ def test_batcher_worker_exception_propagates():
     b = Batcher(Exploding(), batch_size=2, seq_len=6, num_workers=2)
     with _pytest.raises(RuntimeError, match="boom"):
         list(b)
+
+
+def test_host_sharded_loading_partitions_the_epoch():
+    """host_shard=(i, n): hosts iterate disjoint slices that union to the
+    full epoch (multi-host DP feeding, SURVEY §2.3)."""
+    ds = SyntheticCaptions("train", num_items=23, conditional=False)
+    seen = []
+    for host in range(3):
+        b = Batcher(ds, batch_size=4, seq_len=12, shuffle=True, seed=5,
+                    num_workers=1, host_shard=(host, 3))
+        for batch in b:
+            for row, w in zip(batch["captions"], batch["weights"]):
+                if w > 0:
+                    seen.append(tuple(row.tolist()))
+    # every sample appears exactly once across hosts
+    full = []
+    for batch in Batcher(ds, 4, 12, shuffle=False, num_workers=1):
+        for row, w in zip(batch["captions"], batch["weights"]):
+            if w > 0:
+                full.append(tuple(row.tolist()))
+    assert sorted(seen) == sorted(full)
