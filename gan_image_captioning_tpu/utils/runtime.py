@@ -14,6 +14,11 @@ def setup(cache_dir: str = ""):
     """Call before the first jit compilation in any entry point."""
     import jax
 
+    # TPU only: CPU AOT cache entries record exact machine features and can
+    # load with feature mismatches (SIGILL risk) when the compiling and
+    # executing hosts differ; CPU compiles are fast anyway.
+    if jax.default_backend() != "tpu":
+        return
     cache_dir = cache_dir or os.environ.get(
         "GIC_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "gic_xla"))
