@@ -254,6 +254,7 @@ def add_tpu_args(parser):
 
 
 def build_parser():
+    """The full argparse surface: reference groups + TPU extensions."""
     parser = argparse.ArgumentParser("NLP GAN args (TPU-native rebuild)")
     # Registration order mirrors the reference (args.py:204-206).
     add_training_args(parser)
@@ -348,6 +349,7 @@ class Config:
     length_buckets: str = ""
 
     def resolve_use_pallas(self) -> bool:
+        """'auto' → True on TPU backends only."""
         if self.use_pallas == "auto":
             import jax
 

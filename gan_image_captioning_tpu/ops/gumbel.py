@@ -43,6 +43,7 @@ def set_use_pallas(flag: bool):
 
 
 def use_pallas() -> bool:
+    """Current Pallas-sampler routing state (see :func:`set_use_pallas`)."""
     return _USE_PALLAS
 
 

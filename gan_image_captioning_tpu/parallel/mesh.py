@@ -50,6 +50,7 @@ def parse_mesh_spec(spec: str, num_devices: int) -> Tuple[Tuple[str, ...], Tuple
 
 
 def make_mesh(spec: str = "", devices: Optional[list] = None) -> Mesh:
+    """Build a ``jax.sharding.Mesh`` from a ``--mesh`` spec string."""
     devices = list(devices if devices is not None else jax.devices())
     names, sizes = parse_mesh_spec(spec, len(devices))
     mesh_devices = np.asarray(devices).reshape(sizes)

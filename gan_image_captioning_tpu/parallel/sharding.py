@@ -49,6 +49,7 @@ def generator_param_spec(params: Any, mesh: Mesh) -> Any:
 
 
 def discriminator_param_spec(params: Any, mesh: Mesh) -> Any:
+    """PartitionSpec tree for discriminator params (embedding cols → model)."""
     model = "model" if _has_axis(mesh, "model") else None
 
     def spec_for(path, leaf):
