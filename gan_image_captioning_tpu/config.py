@@ -216,6 +216,13 @@ def add_tpu_args(parser):
                         "epoch into this directory")
     g.add_argument("--no-jit", action="store_true",
                    help="disable jit (debugging)")
+    g.add_argument("--vocab-multiple", type=int, default=1,
+                   help="round the dataset vocab size up to a multiple of "
+                        "this (128 recommended on TPU: aligns the vocab dim "
+                        "to the 128-lane MXU tiling and makes vocab-dim "
+                        "tensor parallelism divisible). Padded ids are never "
+                        "produced by data and decode maps them to <UNK>. "
+                        "1 = reference parity (main.py:38 uses the raw size).")
     g.add_argument("--encoder-init", type=str, default="sweep",
                    choices=["sweep", "natural"],
                    help="'sweep' = reference parity: the init sweep "
@@ -341,6 +348,7 @@ class Config:
     num_workers: int = 4
     profile_dir: str = ""
     no_jit: bool = False
+    vocab_multiple: int = 1
     encoder_init: str = "sweep"
     cache_features: int = 0
     device_preprocess: int = 0

@@ -61,6 +61,11 @@ def main(argv=None):
 
     train_dataset, val_dataset = build_datasets(args)
     args.vocab_size = train_dataset.vocab_size  # reference main.py:38
+    if args.vocab_multiple > 1:
+        # TPU alignment: pad the vocab dim to the MXU's 128-lane tiling and
+        # make vocab-dim tensor parallelism divisible; padded ids are inert.
+        m = args.vocab_multiple
+        args.vocab_size = ((args.vocab_size + m - 1) // m) * m
 
     config = config_from_args(args)
 

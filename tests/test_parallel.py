@@ -116,3 +116,28 @@ def test_sharded_conditional_step(devices8):
     state_sh, m_sh = mle(state_sh, shard_batch(batch, mesh))
     np.testing.assert_allclose(float(m_ref["gen_pretrain_loss"]),
                                float(m_sh["gen_pretrain_loss"]), rtol=2e-4)
+
+
+def test_tp_sharded_greedy_decode(devices8):
+    """Greedy decode with vocab-dim tensor parallelism == single device
+    (the projection/argmax compute sharded over 'model')."""
+    from gan_image_captioning_tpu.eval import decode as dec_lib
+    from gan_image_captioning_tpu.parallel.sharding import generator_param_spec
+    from jax.sharding import NamedSharding
+
+    cfg, _ = small_config(vocab_size=64)
+    from gan_image_captioning_tpu.models import api
+
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (4, cfg.gen_embed_dim))
+    ids_ref = dec_lib.greedy(params, feats, cfg)
+
+    mesh = make_mesh("model:2", devices8[:2])
+    spec = generator_param_spec(params, mesh)
+    params_sh = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, spec)
+    feats_sh = jax.device_put(feats, NamedSharding(mesh, P()))
+    ids_sh = jax.jit(lambda p, f: dec_lib.greedy(p, f, cfg))(params_sh,
+                                                             feats_sh)
+    np.testing.assert_array_equal(np.asarray(ids_ref),
+                                  np.asarray(jax.device_get(ids_sh)))
