@@ -87,13 +87,14 @@ def generator_sample(gen_params, cond: Dict[str, Any], rng, temperature,
 
 
 def generator_mle_outputs(gen_params, cond: Dict[str, Any], captions, rng,
-                          config: Config):
+                          config: Config, lengths=None):
     """MLE-phase logits ``[B, T, V]`` (targets = ``captions``).
 
     LSTM: free-running pretrain-mode sample — the reference's actual
     objective (``training.py:71``; ``Decoder.forward`` is never called).
-    Transformer: parallel teacher-forced causal pass — the report's MLE mode
-    (§3.2.2 "parallel decode in MLE")."""
+    Transformer: parallel teacher-forced causal pass with padding attention
+    masks over the key positions beyond each caption's length — the report's
+    MLE mode (§3.2.2 "parallel decode in MLE", "padding attention masks")."""
     seq_len = captions.shape[1]
     if config.gen_arch == "lstm":
         logits, _ = gen_lstm.sample(gen_params["decoder"], cond["features"],
@@ -102,7 +103,7 @@ def generator_mle_outputs(gen_params, cond: Dict[str, Any], captions, rng,
         return logits
     logits = gen_tf.teacher_forced(gen_params["decoder"], cond["features"],
                                    captions, config, pretrain=True,
-                                   context=cond["context"])
+                                   context=cond["context"], lengths=lengths)
     return logits[:, :seq_len]
 
 

@@ -126,7 +126,8 @@ def mle_loss(config: Config, gen_params, batch, rng, train: bool):
                                               train)
     captions = batch["captions"]
     logits = api.generator_mle_outputs(gen_params_c, cond, captions,
-                                       rng_sample, config)
+                                       rng_sample, config,
+                                       lengths=batch.get("lengths"))
     w = _sample_weights(batch)
     mask = None if w is None else jnp.broadcast_to(w[:, None], captions.shape)
     loss = cross_entropy_loss(logits.astype(jnp.float32), captions, mask)

@@ -87,7 +87,8 @@ def main(argv=None):
     def eval_batch(params, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)
         logits = api.generator_mle_outputs(params, cond, batch["captions"],
-                                           rng, config)
+                                           rng, config,
+                                           lengths=batch.get("lengths"))
         import jax.numpy as jnp
 
         w = batch.get("weights")
