@@ -98,17 +98,43 @@ def init_block(rng, d_model, d_mlp, dtype, cross: bool = False):
 
 def block_apply(p, x, n_heads, mask=None, context=None, context_mask=None):
     """Pre-LN block: self-attn → (cross-attn) → MLP, residual each."""
+    x = _constrain(x)
     x = x + attention(p["attn"], layer_norm(p["ln1"], x), layer_norm(p["ln1"], x),
                       n_heads, mask)
     if context is not None and "cross" in p:
         x = x + attention(p["cross"], layer_norm(p["ln_cross"], x), context,
                           n_heads, context_mask)
-    h = layer_norm(p["ln2"], x)
+    h = layer_norm(p["ln2"], _constrain(x))
     return x + dense(p["mlp"]["fc2"], jax.nn.gelu(dense(p["mlp"]["fc1"], h)))
 
 
 def causal_mask(t: int):
+    """Lower-triangular [1, 1, T, T] attend-mask."""
     return jnp.tril(jnp.ones((t, t), bool))[None, None, :, :]
+
+
+# --------------------------------------------------- sequence parallelism
+# GSPMD-style SP: when a PartitionSpec is set, block activations carry a
+# with_sharding_constraint pinning [B, T, D] to (data, sp, None) — XLA then
+# keeps the MLP/layernorm compute sequence-sharded and inserts the K/V
+# all-gathers only around attention.  (The explicit shard_map ring/Ulysses
+# kernels live in parallel/context_parallel.py; this is the
+# compiler-managed integration for the jitted train step.)
+_ACTIVATION_SPEC = None
+
+
+def set_activation_sharding(sharding):
+    """Set (or clear with None) the activation sharding — pass a
+    ``NamedSharding(mesh, P('data', 'sp', None))`` (a bare PartitionSpec
+    needs an ambient ``jax.set_mesh``)."""
+    global _ACTIVATION_SPEC
+    _ACTIVATION_SPEC = sharding
+
+
+def _constrain(x):
+    if _ACTIVATION_SPEC is not None and x.ndim == 3:
+        return jax.lax.with_sharding_constraint(x, _ACTIVATION_SPEC)
+    return x
 
 
 # ----------------------------------------------------------------- generator

@@ -141,3 +141,45 @@ def test_tp_sharded_greedy_decode(devices8):
                                                              feats_sh)
     np.testing.assert_array_equal(np.asarray(ids_ref),
                                   np.asarray(jax.device_get(ids_sh)))
+
+
+def test_sequence_parallel_transformer_mle(devices8):
+    """GSPMD sequence parallelism: transformer MLE step with block
+    activations constrained to (data, sp) reproduces single-device numerics
+    (XLA inserts the attention all-gathers)."""
+    from gan_image_captioning_tpu.models import transformer as tf_lib
+    from jax.sharding import NamedSharding
+
+    ds = SyntheticCaptions("train", num_items=16)
+    cfg = Config(vocab_size=64, gen_arch="transformer", gen_embed_dim=16,
+                 gen_hidden_dim=32, gen_num_layers=2, gen_num_heads=4,
+                 max_seq_len=10, disc_embed_dim=8, disc_num_rep=4,
+                 disc_filter_sizes=(2,), disc_num_filters=(8,),
+                 pre_train_batch_size=8)
+    batch = next(iter(Batcher(ds, 8, cfg.seq_len, num_workers=1,
+                              drop_last=True)))
+
+    state_ref = create_train_state(cfg, jax.random.PRNGKey(0))
+    mle = make_mle_step(cfg)
+    state_ref, m_ref = mle(state_ref, batch)
+
+    mesh = make_mesh("data:2,sp:2", devices8[:4])
+    try:
+        tf_lib.set_activation_sharding(NamedSharding(mesh, P("data", "sp", None)))
+        state_sh = create_train_state(cfg, jax.random.PRNGKey(0))
+        state_sh = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())), state_sh)
+        batch_sh = {k: jax.device_put(np.asarray(v),
+                                      NamedSharding(mesh, P(
+                                          "data", *([None] * (np.asarray(v).ndim - 1)))))
+                    for k, v in batch.items()}
+        mle_sh = make_mle_step(cfg)
+        state_sh, m_sh = mle_sh(state_sh, batch_sh)
+    finally:
+        tf_lib.set_activation_sharding(None)
+
+    np.testing.assert_allclose(float(m_ref["gen_pretrain_loss"]),
+                               float(m_sh["gen_pretrain_loss"]), rtol=2e-5)
+    w_ref = np.asarray(state_ref.gen_params["decoder"]["linear"]["w"])
+    w_sh = np.asarray(jax.device_get(state_sh.gen_params["decoder"]["linear"]["w"]))
+    np.testing.assert_allclose(w_ref, w_sh, atol=2e-5)
