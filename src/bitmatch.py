@@ -1,0 +1,102 @@
+"""Greedy-decode bit-match harness vs. a reference PyTorch checkpoint.
+
+The north star requires "bit-matching greedy captions on the val set".
+This tool loads a reference ``pretrained_model.ckpt`` (torch state_dict),
+runs greedy decode through BOTH frameworks from the same weights — this
+framework's jitted ``lax.scan`` and a live torch replica of the reference's
+decode loop (``generator.py:55-81``) — and reports the token-level match
+rate over the requested dataset split.
+
+    python src/bitmatch.py --torch-ckpt pretrained_model.ckpt \
+        --dataset synthetic --gen-num-layers 2 --num-samples 64
+
+Prints one JSON line: {"sequences": N, "token_match": …, "seq_match": …}.
+(Exact match expected in float32 on CPU; see tests/test_torch_import.py for
+the function-level version of this check.)
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    from gan_image_captioning_tpu.config import build_parser
+
+    parser = build_parser()
+    parser.add_argument("--torch-ckpt", required=True,
+                        help="reference generator state_dict (.ckpt)")
+    parser.add_argument("--num-samples", type=int, default=64)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+    import torch
+    import torch.nn as nn
+
+    from gan_image_captioning_tpu.config import config_from_args
+    from gan_image_captioning_tpu.models import generator as gen_lib
+    from gan_image_captioning_tpu.models.torch_import import generator_from_torch
+    from src.main import build_datasets
+
+    train_ds, val_ds = build_datasets(args)
+    args.vocab_size = train_ds.vocab_size
+    config = config_from_args(args)
+
+    sd = torch.load(args.torch_ckpt, map_location="cpu", weights_only=True)
+    if "generator" in sd:
+        sd = sd["generator"]
+    params = generator_from_torch(sd, config.gen_num_layers,
+                                  with_encoder=False)
+
+    # --- ours: jitted greedy scan
+    batch = min(args.num_samples, 64)
+    feats = gen_lib.start_token_features(params["decoder"], batch)
+    _, ours = gen_lib.sample_jit(params["decoder"], feats,
+                                 jax.random.PRNGKey(0), 1.0, config.seq_len,
+                                 True)
+    ours = np.asarray(ours)
+
+    # --- torch replica of the reference decode loop (generator.py:55-81)
+    V, E, H = config.vocab_size, config.gen_embed_dim, config.gen_hidden_dim
+    embed = nn.Embedding(V, E)
+    lstm = nn.LSTM(E, H, config.gen_num_layers, batch_first=True)
+    linear = nn.Linear(H, V)
+    with torch.no_grad():
+        embed.weight.copy_(torch.tensor(np.asarray(params["decoder"]["embed"])))
+        for k, lp in enumerate(params["decoder"]["lstm"]):
+            getattr(lstm, f"weight_ih_l{k}").copy_(torch.tensor(np.asarray(lp["w_ih"])))
+            getattr(lstm, f"weight_hh_l{k}").copy_(torch.tensor(np.asarray(lp["w_hh"])))
+            getattr(lstm, f"bias_ih_l{k}").copy_(torch.tensor(np.asarray(lp["b_ih"])))
+            getattr(lstm, f"bias_hh_l{k}").copy_(torch.tensor(np.asarray(lp["b_hh"])))
+        linear.weight.copy_(torch.tensor(np.asarray(params["decoder"]["linear"]["w"])))
+        linear.bias.copy_(torch.tensor(np.asarray(params["decoder"]["linear"]["b"])))
+
+    inputs = torch.tensor(np.asarray(feats)).unsqueeze(1)
+    states, theirs = None, []
+    with torch.no_grad():
+        for _ in range(config.seq_len):
+            h, states = lstm(inputs, states)
+            logits = linear(h.squeeze(1))
+            ids = torch.softmax(logits, -1).max(1)[1]
+            theirs.append(ids)
+            inputs = embed(ids).unsqueeze(1)
+    theirs = torch.stack(theirs, 1).numpy()
+
+    token_match = float((ours == theirs).mean())
+    seq_match = float((ours == theirs).all(axis=1).mean())
+    print(json.dumps({"sequences": int(ours.shape[0]),
+                      "token_match": round(token_match, 6),
+                      "seq_match": round(seq_match, 6)}))
+    return token_match
+
+
+if __name__ == "__main__":
+    main()
