@@ -110,3 +110,28 @@ def test_default_config_shapes():
     ids = jax.random.randint(jax.random.PRNGKey(1), (2, cfg.seq_len), 0, 211)
     out = disc(params, ids, train=False)
     assert out.shape == (2 * 64,)
+
+
+def test_apply_three_matches_separate_passes():
+    """The concatenated-trunk utility (kept for study; the train step uses
+    separate passes after it measured slower on v5e — docs/benchmarks.md)
+    must stay numerically identical to three applies in eval mode."""
+    from gan_image_captioning_tpu.models import api
+
+    cfg = tiny_config()
+    params = disc_lib.init_discriminator_params(jax.random.PRNGKey(0), cfg)
+    B, L, V = 3, cfg.seq_len, cfg.vocab_size
+    real = jax.random.randint(jax.random.PRNGKey(1), (B, L), 0, V)
+    fake = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(2), (B, L, V)))
+    soft = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(3), (B, L, V)))
+    d_r, d_f, g_o = api.discriminator_apply_three(params, real, fake, soft,
+                                                  cfg, train=False)
+    np.testing.assert_allclose(np.asarray(d_r),
+                               np.asarray(disc_lib.apply(params, real, cfg)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_f),
+                               np.asarray(disc_lib.apply(params, fake, cfg)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_o),
+                               np.asarray(disc_lib.apply(params, soft, cfg)),
+                               atol=1e-5)
