@@ -119,6 +119,33 @@ class GANInstructor:
         self.pretrain_steps = 0
         self.adv_batch_steps = 0
 
+        # Graceful interruption (SIGTERM/SIGINT → full-state checkpoint):
+        # a crash in the reference loses everything except the last best-val
+        # state_dict (SURVEY §5 "failure detection"); here preemption saves
+        # a resumable TrainState at the next epoch boundary.
+        self._interrupted = False
+        import signal
+        import threading
+
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    signal.signal(sig, lambda *_: self._request_interrupt())
+                except (ValueError, OSError):
+                    pass
+
+    def _request_interrupt(self):
+        self._interrupted = True
+
+    def _checkpoint_if_interrupted(self) -> bool:
+        if not self._interrupted:
+            return False
+        path = os.path.join(self.model_dir, "interrupt_state.ckpt")
+        ckpt_lib.save_state(path, self.state)
+        self.log.info("Interrupted — resumable TrainState saved to %s "
+                      "(restart with --resume %s)" % (path, path))
+        return True
+
     # ----------------------------------------------------------- MLE phase
 
     def _progress(self, loader, what: str):
@@ -158,6 +185,8 @@ class GANInstructor:
         total_loss = 0.0
         best_loss = None
         for epoch in range(epochs):
+            if self._checkpoint_if_interrupted():
+                break
             train_epoch_loss = float(np.mean(self.genpretrain_loop("train") or [0]))
             total_loss += train_epoch_loss
             val_epoch_loss = float(np.mean(self.genpretrain_loop("val") or [0]))
@@ -271,6 +300,8 @@ class GANInstructor:
         self.log.info("Starting Adversarial Training...")
         best_loss = None
         for adv_epoch in range(self.config.adv_epochs):
+            if self._checkpoint_if_interrupted():
+                break
             t_start = time.time()
             if self.config.profile_dir and adv_epoch == 0:
                 # Trace the first adversarial epoch (jax.profiler → Perfetto/

@@ -106,3 +106,22 @@ def test_training_is_deterministic(tmp_path, datasets):
     for la, lb in zip(jax.tree_util.tree_leaves(ia.state.gen_params),
                       jax.tree_util.tree_leaves(ib.state.gen_params)):
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_interrupt_checkpoints_and_stops(tmp_path, datasets):
+    """A SIGTERM-style interrupt saves a resumable TrainState at the next
+    epoch boundary and stops cleanly."""
+    cfg = _config(str(tmp_path), pretrain_epochs=3, adv_epochs=3)
+    inst = GANInstructor(cfg, *datasets, silent=True)
+    inst._request_interrupt()  # what the signal handler does
+    inst._run()
+    ckpt = os.path.join(cfg.model_dir, "interrupt_state.ckpt")
+    assert os.path.isdir(ckpt)
+    # nothing trained (interrupt hit before the first epoch)
+    assert inst.pretrain_steps == 0 and int(inst.state.gen_steps) == 0
+    # and the checkpoint resumes
+    cfg2 = _config(str(tmp_path) + "_r", resume=ckpt, pretrain_epochs=0,
+                   adv_epochs=1)
+    inst2 = GANInstructor(cfg2, *datasets, silent=True)
+    inst2._run()
+    assert int(inst2.state.gen_steps) == 4
