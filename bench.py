@@ -58,7 +58,10 @@ def main():
         max_seq_len=34,
         disc_embed_dim=64, disc_num_rep=64,
         disc_filter_sizes=(3, 4, 5), disc_num_filters=(300, 300, 300),
-        adv_train_batch_size=64,
+        # B=64 is the reference's batch (sbatch/args defaults); the decode
+        # scan is weight-bandwidth-bound there, so larger batches amortize —
+        # GIC_BENCH_BATCH overrides for scaling measurements.
+        adv_train_batch_size=int(_os.environ.get("GIC_BENCH_BATCH", "64")),
         # bfloat16 compute with float32 masters — the TPU-first precision
         # choice (the MXU's native format; halves HBM traffic in the
         # sequential decode scan).

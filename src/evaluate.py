@@ -63,26 +63,21 @@ def main(argv=None):
     from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
 
     template = api.init_generator(jax.random.PRNGKey(0), config)
+    disc_template = api.init_discriminator(jax.random.PRNGKey(1), config)
+    disc_params = None
     try:
         gen_params = ckpt_lib.load_params(args.checkpoint, template)
     except Exception:
-        disc_template = api.init_discriminator(jax.random.PRNGKey(1), config)
         both = ckpt_lib.load_params(args.checkpoint,
                                     {"generator": template,
                                      "discriminator": disc_template})
         gen_params = both["generator"]
-
-    disc_params = None
-    if args.disc_score:
-        disc_template = api.init_discriminator(jax.random.PRNGKey(1), config)
-        try:
-            both = ckpt_lib.load_params(args.checkpoint,
-                                        {"generator": template,
-                                         "discriminator": disc_template})
-            disc_params = both["discriminator"]
-        except Exception:
-            print("warning: --disc-score needs an adv_model.ckpt "
-                  "(generator+discriminator); skipping", file=sys.stderr)
+        disc_params = both["discriminator"]
+    if args.disc_score and disc_params is None:
+        print("warning: --disc-score needs an adv_model.ckpt "
+              "(generator+discriminator); skipping", file=sys.stderr)
+    if not args.disc_score:
+        disc_params = None
 
     def eval_batch(params, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)

@@ -131,16 +131,10 @@ class CaptionService:
                      for i in range(0, feats.shape[0], self.batch_size)]
             ids = np.concatenate([np.asarray(p[0]) for p in parts])
             lps = np.concatenate([np.asarray(p[1]) for p in parts])
-            ids, lps = ids[:n], lps[:n]
-            from gan_image_captioning_tpu.eval.metrics import ids_to_words as _itw
-
-            captions = [" ".join(_itw(strip_caption(r), self.index_to_word))
-                        for r in ids]
-            return {"captions": captions,
-                    "logprobs": [round(float(x), 4) for x in lps],
-                    "latency_ms": round((time.perf_counter() - t0) * 1e3, 2)}
-        ids, lps = self._decode(self.gen_params, feats)
-        ids, lps = np.asarray(ids)[:n], np.asarray(lps)[:n]
+        else:
+            out = self._decode(self.gen_params, feats)
+            ids, lps = np.asarray(out[0]), np.asarray(out[1])
+        ids, lps = ids[:n], lps[:n]
         captions = [" ".join(ids_to_words(strip_caption(row),
                                           self.index_to_word))
                     for row in ids]
