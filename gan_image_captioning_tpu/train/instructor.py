@@ -70,6 +70,19 @@ class GANInstructor:
             self.log.info("Resumed TrainState from %s (gen_steps=%d)"
                           % (config.resume, int(self.state.gen_steps)))
 
+        # Device mesh (--mesh, e.g. "data:4,model:2"): shard the TrainState
+        # per parallel/sharding.py's dp/tp rules and every batch over 'data';
+        # the SAME jitted steps then run SPMD with XLA collectives.
+        self.mesh = None
+        if config.mesh:
+            from gan_image_captioning_tpu.parallel.mesh import make_mesh
+            from gan_image_captioning_tpu.parallel.sharding import (
+                shard_train_state)
+
+            self.mesh = make_mesh(config.mesh)
+            self.state = shard_train_state(self.state, self.mesh)
+            self.log.info("Sharded over mesh %s" % dict(self.mesh.shape))
+
         # Jitted steps.
         self.mle_step = make_mle_step(config)
         self.mle_eval_step = make_mle_eval_step(config)
@@ -148,6 +161,14 @@ class GANInstructor:
 
     # ----------------------------------------------------------- MLE phase
 
+    def _device_batch(self, batch):
+        """Shard a host batch over the mesh's data axis (no-op un-meshed)."""
+        if self.mesh is None:
+            return batch
+        from gan_image_captioning_tpu.parallel.sharding import shard_batch
+
+        return shard_batch(batch, self.mesh)
+
     def _progress(self, loader, what: str):
         """tqdm batch bar (reference training.py:52,133) when available and
         attached to a tty; otherwise the plain iterator."""
@@ -167,6 +188,7 @@ class GANInstructor:
         loader = self.pre_train_loader if what == "train" else self.pre_eval_loader
         losses = []
         for batch in self._progress(loader, f"pretrain/{what}"):
+            batch = self._device_batch(batch)
             if what == "train":
                 self.state, metrics = self.mle_step(self.state, batch)
                 self.pretrain_steps += 1
@@ -221,6 +243,7 @@ class GANInstructor:
         t_sweep = time.time()
         for batch_idx, batch in enumerate(
                 self._progress(loader, f"adv/{what}")):
+            batch = self._device_batch(batch)
             if what == "train":
                 temp = self._temperature(adv_epoch, (batch_idx + 1) / num_batches)
                 self.state, metrics = self.adv_step(self.state, batch, temp)
@@ -273,9 +296,10 @@ class GANInstructor:
         for i, batch in enumerate(self.pre_eval_loader):
             if max_batches is not None and i >= max_batches:
                 break
-            self.state, metrics = self.mle_eval_step(self.state, batch)
+            batch_dev = self._device_batch(batch)
+            self.state, metrics = self.mle_eval_step(self.state, batch_dev)
             nll.append(float(metrics["gen_pretrain_loss"]))
-            ids = self._greedy_decode(self.state.gen_params, batch)
+            ids = self._greedy_decode(self.state.gen_params, batch_dev)
             gen_batches.append(np.asarray(ids))
             real_batches.append(batch["captions"])
             weight_batches.append(batch.get("weights"))
