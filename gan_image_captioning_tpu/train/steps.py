@@ -93,6 +93,20 @@ def _sample_weights(batch) -> Any:
     return batch.get("weights")
 
 
+def noisy_label_flip(rng, d_real, d_fake, p, num_rep):
+    """Swap real/fake discriminator logits i.i.d. per SAMPLE with
+    probability ``p`` (the report §4.3 noisy-labels trick).
+
+    Logits are [B * num_rep] in sample-major layout (all of a sample's
+    ``num_rep`` representation logits contiguous, discriminator.py:51,60
+    layout) — the per-sample draw broadcasts across a sample's replicas so
+    its representations flip together."""
+    batch = d_real.shape[0] // num_rep
+    flip = jax.random.bernoulli(rng, p, (batch,))
+    flip = jnp.repeat(flip, num_rep)
+    return jnp.where(flip, d_fake, d_real), jnp.where(flip, d_real, d_fake)
+
+
 def _rep_weights(batch, num_rep: int):
     """Per-sample weights replicated to the discriminator's [B*num_rep]
     logit layout (discriminator.py:51,60: sample-major then rep)."""
@@ -226,10 +240,9 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
                                     train).astype(jnp.float32)
 
     if config.noisy_labels > 0.0 and train:
-        # Flip real/fake roles for the D loss with probability p (per batch).
-        flip = jax.random.bernoulli(rng_flip, config.noisy_labels)
-        d_real_in = jnp.where(flip, d_fake, d_real)
-        d_fake_in = jnp.where(flip, d_real, d_fake)
+        d_real_in, d_fake_in = noisy_label_flip(
+            rng_flip, d_real, d_fake, config.noisy_labels,
+            api.disc_logits_per_sample(config))
     else:
         d_real_in, d_fake_in = d_real, d_fake
 

@@ -101,3 +101,37 @@ def test_label_smoothing_changes_only_real_term():
     g2, d2 = gan_losses(x, x, x, "standard", real_label=0.9)
     assert float(g1) == float(g2)
     assert float(d1) != float(d2)
+
+
+def test_noisy_label_flip_per_sample_statistics():
+    # Report §4.3 noisy labels: flips are i.i.d. per SAMPLE (not one draw
+    # for the whole batch), constant across a sample's num_rep replicas.
+    import jax
+    import jax.numpy as jnp
+
+    from gan_image_captioning_tpu.train.steps import noisy_label_flip
+
+    B, num_rep = 512, 4
+    d_real = jnp.repeat(jnp.arange(B, dtype=jnp.float32), num_rep)
+    d_fake = -d_real - 1.0
+    r_in, f_in = noisy_label_flip(
+        jax.random.PRNGKey(7), d_real, d_fake, 0.5, num_rep)
+    r_in, f_in = np.asarray(r_in), np.asarray(f_in)
+
+    flipped = (r_in < 0).reshape(B, num_rep)
+    # constant within each sample's replica block
+    assert (flipped == flipped[:, :1]).all()
+    # i.i.d. per sample at p=0.5: ~B/2 flips (binomial 6-sigma bounds),
+    # impossible under per-batch flipping (0 or B)
+    n = flipped[:, 0].sum()
+    assert 0.5 * B - 6 * np.sqrt(0.25 * B) < n < 0.5 * B + 6 * np.sqrt(0.25 * B)
+    # swap is exact: flipped rows exchange real/fake, others untouched
+    np.testing.assert_array_equal(
+        np.where(flipped.reshape(-1), np.asarray(d_fake), np.asarray(d_real)), r_in)
+    np.testing.assert_array_equal(
+        np.where(flipped.reshape(-1), np.asarray(d_real), np.asarray(d_fake)), f_in)
+
+    # p=0 is the identity
+    r0, f0 = noisy_label_flip(jax.random.PRNGKey(3), d_real, d_fake, 0.0, num_rep)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(d_real))
+    np.testing.assert_array_equal(np.asarray(f0), np.asarray(d_fake))
