@@ -1,4 +1,4 @@
-"""Checkpointing with resume.
+"""Checkpointing with resume — async by default.
 
 The reference writes best-val ``state_dict`` files only — no optimizer
 state, no step counters, and nothing is ever loaded back
@@ -10,42 +10,97 @@ state, no step counters, and nothing is ever loaded back
 * :func:`save_state` / :func:`load_state` — the FULL :class:`TrainState`
   (params + all three Adam states + step counters + temperature + PRNG key),
   enabling step-granular ``--resume``.
+
+Saves are ASYNC (SURVEY §5): the caller thread only snapshots the pytree to
+host memory (the device→host copy must happen before donated buffers are
+reused by the next step); the Orbax write runs on a single background writer
+thread so the step loop never stalls on filesystem I/O.  Ordering is
+preserved (one worker, FIFO).  :func:`wait_for_checkpoints` is the barrier —
+called automatically before any load and at interpreter exit; pass
+``sync=True`` for must-complete-now saves (the SIGTERM interrupt path).
 """
 
 from __future__ import annotations
 
+import atexit
 import os
-from typing import Any
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, List
 
 import jax
 import numpy as np
+
+_writer_lock = threading.Lock()
+_writer: ThreadPoolExecutor | None = None
+_pending: List[Future] = []
 
 
 def _tree_to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_params(path: str, params: Any):
-    """Save a params pytree (Orbax StandardCheckpointer)."""
+def _orbax_write(path: str, host_tree: Any):
+    """Synchronous Orbax write of an already-host-resident tree."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, _tree_to_numpy(params), force=True)
+    ckptr.save(path, host_tree, force=True)
     ckptr.wait_until_finished()
+
+
+def _get_writer() -> ThreadPoolExecutor:
+    global _writer
+    with _writer_lock:
+        if _writer is None:
+            _writer = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="gic-ckpt")
+            atexit.register(wait_for_checkpoints)
+        return _writer
+
+
+def wait_for_checkpoints():
+    """Barrier: block until every async save has committed; re-raise the
+    first writer error."""
+    with _writer_lock:
+        pending, _pending[:] = list(_pending), []
+    for fut in pending:
+        fut.result()
+
+
+def pending_checkpoints() -> int:
+    """Number of async saves not yet known-complete (testing/metrics)."""
+    with _writer_lock:
+        _pending[:] = [f for f in _pending if not f.done()]
+        return len(_pending)
+
+
+def save_params(path: str, params: Any, sync: bool = False):
+    """Save a params pytree (Orbax).  Returns immediately after the
+    device→host snapshot unless ``sync=True``."""
+    path = os.path.abspath(path)
+    host_tree = _tree_to_numpy(params)
+    if sync:
+        wait_for_checkpoints()  # keep ordering vs earlier async saves
+        _orbax_write(path, host_tree)
+        return
+    fut = _get_writer().submit(_orbax_write, path, host_tree)
+    with _writer_lock:
+        _pending.append(fut)
 
 
 def load_params(path: str, target: Any):
     """Restore a params pytree shaped like ``target``."""
     import orbax.checkpoint as ocp
 
+    wait_for_checkpoints()
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), target=target)
 
 
-def save_state(path: str, state):
+def save_state(path: str, state, sync: bool = False):
     """Save the full TrainState."""
-    save_params(path, state)
+    save_params(path, state, sync=sync)
 
 
 def load_state(path: str, template):

@@ -154,7 +154,8 @@ class GANInstructor:
         if not self._interrupted:
             return False
         path = os.path.join(self.model_dir, "interrupt_state.ckpt")
-        ckpt_lib.save_state(path, self.state)
+        # sync: the process is about to exit — the save must hit disk now
+        ckpt_lib.save_state(path, self.state, sync=True)
         self.log.info("Interrupted — resumable TrainState saved to %s "
                       "(restart with --resume %s)" % (path, path))
         return True
@@ -369,3 +370,7 @@ class GANInstructor:
                                        int(self.state.gen_steps))
                 self.log.info("[EVAL] NLL_gen %.4f | BLEU-4 %.5f"
                               % (q["nll_gen"], q["bleu4"]))
+
+        # barrier: all async checkpoint writes must be committed before the
+        # run is reported complete
+        ckpt_lib.wait_for_checkpoints()
