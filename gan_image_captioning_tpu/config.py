@@ -159,8 +159,10 @@ def add_tpu_args(parser):
                    help="generator architecture (report §3.2.2 adds the "
                         "transformer variant; 'gpt2' is the stretch config)")
     g.add_argument("--disc-arch", type=str, default="cnn",
-                   choices=["cnn", "transformer", "ar_transformer"],
-                   help="discriminator architecture (report §3.2.3-3.2.4)")
+                   choices=["cnn", "transformer", "ar_transformer", "bilstm"],
+                   help="discriminator architecture (report §3.2.3-3.2.4; "
+                        "'bilstm' is the report §4.2 bidirectional-LSTM "
+                        "setting as a sequence discriminator)")
     g.add_argument("--encoder-arch", type=str, default="resnet18",
                    choices=["resnet18", "vit"],
                    help="image encoder backbone")

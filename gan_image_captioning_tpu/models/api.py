@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from gan_image_captioning_tpu.config import Config
 from gan_image_captioning_tpu.models import discriminator as disc_cnn
+from gan_image_captioning_tpu.models import discriminator_bilstm as disc_bilstm
 from gan_image_captioning_tpu.models import discriminator_transformer as disc_tf
 from gan_image_captioning_tpu.models import generator as gen_lstm
 from gan_image_captioning_tpu.models import transformer as gen_tf
@@ -112,6 +113,8 @@ def generator_mle_outputs(gen_params, cond: Dict[str, Any], captions, rng,
 def init_discriminator(rng, config: Config, dtype=jnp.float32):
     if config.disc_arch == "cnn":
         return disc_cnn.init_discriminator_params(rng, config, dtype)
+    if config.disc_arch == "bilstm":
+        return disc_bilstm.init_bilstm_discriminator_params(rng, config, dtype)
     return disc_tf.init_transformer_discriminator_params(rng, config, dtype)
 
 
@@ -122,6 +125,8 @@ def discriminator_apply(params, inp, config: Config, rng=None,
     [B·L] (all flat 1-D, as the loss zoo expects)."""
     if config.disc_arch == "cnn":
         return disc_cnn.apply(params, inp, config, rng, train)
+    if config.disc_arch == "bilstm":
+        return disc_bilstm.apply(params, inp, config, rng, train)
     if config.disc_arch == "ar_transformer":
         return disc_tf.apply_autoregressive(params, inp, config, rng, train)
     return disc_tf.apply(params, inp, config, rng, train)
@@ -147,6 +152,14 @@ def discriminator_apply_three(params, real_ids, fake, soft, config: Config,
         ], axis=0)
         logits = disc_cnn.apply_embedded(params, emb, config, rng, train)
         per = config.disc_num_rep
+    elif config.disc_arch == "bilstm":
+        emb = jnp.concatenate([
+            disc_bilstm.embed_tokens(params, real_ids),
+            disc_bilstm.embed_tokens(params, fake),
+            disc_bilstm.embed_tokens(params, soft),
+        ], axis=0)
+        logits = disc_bilstm.apply_embedded(params, emb, config, rng, train)
+        per = 1
     else:
         emb = jnp.concatenate([
             disc_tf._embed(params, real_ids),
@@ -178,4 +191,4 @@ def disc_logits_per_sample(config: Config) -> int:
         return config.disc_num_rep
     if config.disc_arch == "ar_transformer":
         return config.seq_len
-    return 1
+    return 1  # transformer and bilstm: one sequence-level logit

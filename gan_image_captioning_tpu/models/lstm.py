@@ -123,8 +123,10 @@ def bilstm_forward(fwd_params: List[dict], bwd_params: List[dict], xs):
 
     The report explored bidirectional LSTMs (NLP_Report.pdf §4.2); the
     committed reference exposes only stacked unidirectional ones
-    (``--gen-num-layers``, args.py:22-25).  Returns
-    ``[B, T, 2H]`` (forward ∥ backward concatenation, torch convention).
+    (``--gen-num-layers``, args.py:22-25).  Used by the ``--disc-arch
+    bilstm`` sequence discriminator (models/discriminator_bilstm.py).
+    Returns ``[B, T, 2H]`` (forward ∥ backward concatenation, torch
+    convention).
     """
     fwd_out, _ = lstm_forward(fwd_params, xs)
     bwd_out, _ = lstm_forward(bwd_params, jnp.flip(xs, axis=1))

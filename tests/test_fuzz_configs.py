@@ -14,7 +14,7 @@ from gan_image_captioning_tpu.train.steps import make_adv_step, make_mle_step
 
 def _random_config(rng):
     gen_arch = rng.choice(["lstm", "transformer"])
-    disc_arch = rng.choice(["cnn", "transformer", "ar_transformer"])
+    disc_arch = rng.choice(["cnn", "transformer", "ar_transformer", "bilstm"])
     heads = int(rng.choice([1, 2, 4]))
     d = heads * int(rng.choice([4, 8]))
     num_rep = int(rng.choice([1, 2, 4]))
@@ -37,6 +37,7 @@ def _random_config(rng):
         dtype=str(rng.choice(["float32", "bfloat16"])),
         disc_train_freq=int(rng.integers(1, 3)),
         label_smoothing=float(rng.choice([0.0, 0.1])),
+        noisy_labels=float(rng.choice([0.0, 0.2])),
     )
 
 
