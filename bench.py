@@ -11,12 +11,28 @@ Prints ONE JSON line:
    "vs_baseline": N / REF_BASELINE}
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md —
-"must be measured fresh").  REF_BASELINE below is an estimate of the
-reference's P40 adversarial step rate: its per-batch work is 36 sequential
-cuDNN LSTM single-step launches + a [B,L,V] one-hot materialization + 3
-discriminator conv stacks + two backward passes + two optimizer steps,
-eager, ≈ 100 ms/batch on a P40 → ~10 steps/s.  The north-star target
-(BASELINE.json) is >10× that rate.
+"must be measured fresh").  REF_BASELINE below is a GROUNDED, deliberately
+generous estimate of the reference's P40 adversarial step rate, derived
+from measurements of the reference's own code (benchmarks/ref_baseline.py,
+results committed in benchmarks/ref_baseline_results.json):
+
+  * measured flagship rate, torch-CPU (this host): 0.0068 steps/s;
+  * measured eager DISPATCH FLOOR (same loop body, near-zero-FLOP
+    tensors): 7.2 steps/s — the eager per-op Python overhead a GPU does
+    not remove (it adds kernel-launch latency on top), so the reference
+    cannot exceed ≈ its host's dispatch floor on ANY accelerator;
+  * analytic compute bound: ≈240 GFLOP/step (decode 45G fwd + 3 disc
+    passes 35G fwd + ≈2× backward) → ≥20 ms/step at P40 fp32 peak
+    (11.76 TFLOPS) even at impossible 100% MFU.
+
+  Combining a host 2× faster than ours (dispatch ≈70 ms) with generous
+  30% MFU eager compute (≈68 ms) gives ≈7 steps/s; REF_BASELINE = 10
+  rounds UP in the reference's favor.  Full derivation:
+  docs/benchmarks.md "Reference baseline".  The north-star target
+  (BASELINE.json) is >10× that rate.
+
+Env overrides: GIC_BENCH_BATCH, GIC_BENCH_ITERS, GIC_BENCH_WARMUP,
+GIC_BENCH_DTYPE (float32|bfloat16), GIC_BENCH_PALLAS.
 """
 
 import json
@@ -25,10 +41,12 @@ import time
 import jax
 import jax.numpy as jnp
 
-REF_BASELINE_STEPS_PER_SEC = 10.0  # estimated P40 rate; see module docstring
+REF_BASELINE_STEPS_PER_SEC = 10.0  # grounded estimate; see module docstring
 
-WARMUP = 3
-ITERS = 20
+import os as _os_top
+
+WARMUP = int(_os_top.environ.get("GIC_BENCH_WARMUP", "3"))
+ITERS = int(_os_top.environ.get("GIC_BENCH_ITERS", "20"))
 
 
 def main():
@@ -64,8 +82,9 @@ def main():
         adv_train_batch_size=int(_os.environ.get("GIC_BENCH_BATCH", "64")),
         # bfloat16 compute with float32 masters — the TPU-first precision
         # choice (the MXU's native format; halves HBM traffic in the
-        # sequential decode scan).
-        dtype="bfloat16",
+        # sequential decode scan).  GIC_BENCH_DTYPE=float32 for CPU
+        # apples-to-apples runs vs the torch reference.
+        dtype=_os.environ.get("GIC_BENCH_DTYPE", "bfloat16"),
     )
     batch_size = config.adv_train_batch_size
 
