@@ -81,7 +81,8 @@ def generator_sample(gen_params, cond: Dict[str, Any], rng, temperature,
     """Free-running decode → ``(outputs [B, T, V], ids [B, T])``."""
     if config.gen_arch == "lstm":
         return gen_lstm.sample(gen_params["decoder"], cond["features"], rng,
-                               temperature, seq_len, pretrain)
+                               temperature, seq_len, pretrain,
+                               impl=config.decode_impl)
     return gen_tf.sample(gen_params["decoder"], cond["features"], rng,
                          temperature, seq_len, pretrain, config,
                          context=cond["context"])
@@ -100,7 +101,7 @@ def generator_mle_outputs(gen_params, cond: Dict[str, Any], captions, rng,
     if config.gen_arch == "lstm":
         logits, _ = gen_lstm.sample(gen_params["decoder"], cond["features"],
                                     rng, jnp.float32(1.0), seq_len,
-                                    pretrain=True)
+                                    pretrain=True, impl=config.decode_impl)
         return logits
     logits = gen_tf.teacher_forced(gen_params["decoder"], cond["features"],
                                    captions, config, pretrain=True,

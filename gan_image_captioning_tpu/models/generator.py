@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from gan_image_captioning_tpu.config import Config
 from gan_image_captioning_tpu.models import lstm
-from gan_image_captioning_tpu.ops.gumbel import add_gumbel, gumbel_softmax
+from gan_image_captioning_tpu.ops.gumbel import (add_gumbel, gumbel_noise,
+                                                 gumbel_softmax)
 from gan_image_captioning_tpu.ops.initializers import init_param_tree
 
 START_TOKEN = 1  # <S> — reference tasks.py:43
@@ -115,8 +116,111 @@ def sample_jit(decoder_params, features, rng, temperature, seq_len, pretrain):
     return sample(decoder_params, features, rng, temperature, seq_len, pretrain)
 
 
+def _decode_impl_default() -> str:
+    """GIC_DECODE_IMPL ∈ {fused, decoupled}.  Fused is the default: the
+    decoupled restructure was measured to move MORE HBM bytes on v5e
+    (12.1 vs 10.9 GB/step — XLA already defers the scan's weight gradients
+    to batched contractions; see benchmarks/step_cost.py and
+    docs/benchmarks.md)."""
+    import os
+
+    return os.environ.get("GIC_DECODE_IMPL", "fused")
+
+
 def sample(decoder_params, features, rng, temperature, seq_len: int,
-           pretrain: bool = False, init_states=None):
+           pretrain: bool = False, init_states=None, impl: Optional[str] = None):
+    """Free-running decode — reference ``Decoder.sample``
+    (``generator.py:55-81``).  Dispatches between two mathematically
+    equivalent implementations (same ids, same outputs, same gradients):
+
+    * ``decoupled`` (default): sampling scan + batched rescore —
+      :func:`_sample_decoupled`, the TPU HBM-roofline restructure.
+    * ``fused``: the single differentiable scan — :func:`_sample_fused`.
+    """
+    if impl is None:
+        impl = _decode_impl_default()
+    if impl == "decoupled":
+        return _sample_decoupled(decoder_params, features, rng, temperature,
+                                 seq_len, pretrain, init_states)
+    return _sample_fused(decoder_params, features, rng, temperature,
+                         seq_len, pretrain, init_states)
+
+
+def _sample_decoupled(decoder_params, features, rng, temperature,
+                      seq_len: int, pretrain: bool, init_states):
+    """The decoupled decode restructure (optional; see measurement note).
+
+    Key observation: the reference detaches the feedback path
+    (``self.embed(pred_index.detach())``, ``generator.py:75``), so the
+    differentiable graph of a free-running sample is EXACTLY a
+    teacher-forced pass over the ids it happened to sample.
+
+    MEASUREMENT (v5e, benchmarks/step_cost.py): XLA's autodiff of the fused
+    scan already defers the per-step weight gradients to batched
+    contractions (fused adversarial g-grad = 2.17 GB), so this restructure's
+    second forward and [T, B, V] logit/noise/softmax materializations make
+    it a net LOSS (3.21 GB) — ``fused`` remains the default.  The structure
+    is kept (flag-gated, equivalence-tested) because it is the right shape
+    for policy-gradient rescoring (train/reinforce.py reuses
+    :func:`lstm.lstm_seq_tm`) and for backends whose scan transpose is
+    weaker.
+
+    Two phases:
+
+    1. **Sampling scan (gradient-free):** the sequential part — LSTM step →
+       project → argmax(logits [+ Gumbel]) → embed feedback — under
+       ``stop_gradient``, emitting only the int32 ids.  No residuals are
+       saved, nothing is differentiated.
+    2. **Batched rescore (differentiable):** embedding gather of the
+       sampled ids (backward = ONE scatter-add), teacher-forced LSTM via
+       :func:`lstm.lstm_seq_tm` (deferred-gradient BPTT: weight grads fall
+       out of single large matmuls), and the vocab projection as ONE
+       [T·B, H] × [H, V] MXU matmul whose backward reads W once.  The
+       Gumbel noise is regenerated from the same per-step PRNG keys, so the
+       soft outputs match the fused implementation's.
+    """
+    batch = features.shape[0]
+    hidden_dim = decoder_params["lstm"][0]["w_hh"].shape[1]
+    if init_states is None:
+        init_states = lstm.zero_state(len(decoder_params["lstm"]), batch,
+                                      hidden_dim, features.dtype)
+    rngs = jax.random.split(rng, seq_len)
+
+    # ---- phase 1: sampling scan, ids only, no gradients -------------------
+    p_ng, f_ng, s_ng = jax.lax.stop_gradient(
+        (decoder_params, features, init_states))
+    fused_lstm = lstm.fuse_layer_params(p_ng["lstm"])
+
+    def step(carry, rng_t):
+        x, states = carry
+        h_top, states = lstm.lstm_step(fused_lstm, x, states)
+        logits = _project(p_ng, h_top)
+        if not pretrain:
+            # argmax(softmax(temp·(logits+g))) == argmax(logits+g), temp > 0
+            logits = add_gumbel(rng_t, logits)
+        ids = jnp.argmax(logits, axis=-1)
+        return (p_ng["embed"][ids], states), ids
+
+    _, ids_tm = jax.lax.scan(step, (f_ng, s_ng), rngs,
+                             unroll=_scan_unroll())          # [T, B]
+
+    # ---- phase 2: differentiable batched rescore on the sampled ids -------
+    emb_tm = decoder_params["embed"][ids_tm[:-1]]            # [T-1, B, E]
+    xs_tm = jnp.concatenate([features[None], emb_tm], axis=0)
+    hs_tm = lstm.lstm_seq_tm(decoder_params["lstm"], xs_tm, init_states)
+    logits_tm = _project(decoder_params, hs_tm)              # [T, B, V]
+    if pretrain:
+        out_tm = logits_tm
+    else:
+        noise = jax.vmap(
+            lambda k: gumbel_noise(k, logits_tm.shape[1:], logits_tm.dtype)
+        )(rngs)                                              # same keys → same g
+        out_tm = jax.nn.softmax((logits_tm + noise) * temperature, axis=-1)
+    return jnp.swapaxes(out_tm, 0, 1), jnp.swapaxes(ids_tm, 0, 1)
+
+
+def _sample_fused(decoder_params, features, rng, temperature, seq_len: int,
+                  pretrain: bool = False, init_states=None):
     """Free-running decode as one ``lax.scan`` — reference
     ``Decoder.sample`` (``generator.py:55-81``).
 
@@ -249,7 +353,8 @@ class Generator:
         if seq_len is None:
             seq_len = self.config.seq_len
         return sample(params["decoder"], features, rng, temperature,
-                      seq_len, pretrain)
+                      seq_len, pretrain,
+                      impl=getattr(self.config, "decode_impl", None))
 
     def forward(self, params, images, captions, rng=None, temperature=1.0,
                 pretrain=False, train: bool = False):

@@ -117,6 +117,117 @@ def lstm_forward(params: List[dict], xs, state=None):
     return jnp.swapaxes(outs, 0, 1), state
 
 
+# ------------------------------------------------- deferred-gradient BPTT
+
+def _gate_activations(gates):
+    """Split pre-activations into activated (i, f, g, o) — torch gate order
+    (matches :func:`lstm_cell`'s math exactly)."""
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    return jax.nn.sigmoid(i), jax.nn.sigmoid(f), jnp.tanh(g), jax.nn.sigmoid(o)
+
+
+def _layer_seq_scan(w_fused, b_fused, xs, h0, c0):
+    """One layer over the full sequence (time-major), saving residuals."""
+
+    def step(carry, x_t):
+        h, c = carry
+        gates = jnp.concatenate([x_t, h], axis=-1) @ w_fused + b_fused
+        i, f, g, o = _gate_activations(gates)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), (h_new, c_new, gates)
+
+    _, (hs, cs, gates) = jax.lax.scan(step, (h0, c0), xs)
+    return hs, cs, gates
+
+
+@jax.custom_vjp
+def _layer_seq(w_fused, b_fused, xs, h0, c0):
+    """Teacher-forced single-layer LSTM, time-major ``xs`` [T, B, in] →
+    ``hs`` [T, B, H].
+
+    Forward math is identical to scanning :func:`lstm_cell` with fused
+    weights.  The custom VJP is the TPU point: XLA's autodiff of the scan
+    accumulates the [in+H, 4H] weight gradient in HBM at EVERY timestep
+    (read-modify-write of a float32 buffer the size of the weights — the
+    dominant traffic of the decode backward, docs/benchmarks.md roofline).
+    Here the reverse scan only carries (dh, dc) [B, H] and emits the small
+    per-step gate gradients; every weight gradient then falls out of ONE
+    large MXU matmul over the stacked sequence.
+    """
+    hs, _, _ = _layer_seq_scan(w_fused, b_fused, xs, h0, c0)
+    return hs
+
+
+def _layer_seq_fwd(w_fused, b_fused, xs, h0, c0):
+    hs, cs, gates = _layer_seq_scan(w_fused, b_fused, xs, h0, c0)
+    return hs, (w_fused, xs, h0, c0, hs, cs, gates)
+
+
+def _layer_seq_bwd(res, d_hs):
+    w_fused, xs, h0, c0, hs, cs, gates = res
+    in_dim = xs.shape[-1]
+    w_hh = w_fused[in_dim:]  # [H, 4H]
+    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+
+    def rstep(carry, inp):
+        dh, dc = carry
+        d_h_t, gates_t, c_prev_t, c_t = inp
+        dh = dh + d_h_t
+        i, f, g, o = _gate_activations(gates_t)
+        tc = jnp.tanh(c_t)
+        do_pre = dh * tc * o * (1.0 - o)
+        dc = dc + dh * o * (1.0 - tc * tc)
+        di_pre = dc * g * i * (1.0 - i)
+        df_pre = dc * c_prev_t * f * (1.0 - f)
+        dg_pre = dc * i * (1.0 - g * g)
+        d_pre = jnp.concatenate([di_pre, df_pre, dg_pre, do_pre], axis=-1)
+        # Recurrent-path gradient per step (reads only the [H, 4H] slice);
+        # the input-path gradient is deferred to one big matmul below.
+        dh_prev = d_pre @ w_hh.T
+        dc_prev = dc * f
+        return (dh_prev, dc_prev), d_pre
+
+    zero = jnp.zeros_like(h0)
+    (dh0, dc0), d_pre = jax.lax.scan(
+        rstep, (zero, zero), (d_hs, gates, c_prev, cs), reverse=True)
+
+    t, b = d_pre.shape[0], d_pre.shape[1]
+    d2 = d_pre.reshape(t * b, -1)
+    xh = jnp.concatenate([xs, h_prev], axis=-1).reshape(t * b, -1)
+    dw = xh.T @ d2                    # ONE [in+H, 4H] matmul, not T RMWs
+    db = d2.sum(axis=0)
+    dxs = (d2 @ w_fused[:in_dim].T).reshape(xs.shape)
+    return dw, db, dxs, dh0, dc0
+
+
+_layer_seq.defvjp(_layer_seq_fwd, _layer_seq_bwd)
+
+
+def lstm_seq_tm(params: List[dict], xs_tm, state=None):
+    """Teacher-forced multi-layer LSTM over a time-major sequence.
+
+    ``xs_tm``: [T, B, in] → [T, B, H] (top-layer outputs).  Numerically the
+    same forward as :func:`lstm_forward`; the deferred-gradient VJP of
+    :func:`_layer_seq` makes its backward pass a handful of large matmuls
+    instead of per-step weight-gradient accumulation.  Gradients w.r.t. the
+    torch-layout params flow through the (cheap, one-time) concat/transpose
+    that builds the fused weights.
+    """
+    batch = xs_tm.shape[1]
+    hidden_dim = params[0]["w_hh"].shape[1]
+    if state is None:
+        state = zero_state(len(params), batch, hidden_dim, xs_tm.dtype)
+    h0, c0 = state
+    x = xs_tm
+    for layer, lp in enumerate(params):
+        w = jnp.concatenate([lp["w_ih"], lp["w_hh"]], axis=1).T
+        b = lp["b_ih"] + lp["b_hh"]
+        x = _layer_seq(w, b, x, h0[layer], c0[layer])
+    return x
+
+
 def bilstm_forward(fwd_params: List[dict], bwd_params: List[dict], xs):
     """Bidirectional LSTM over a sequence (teacher-forced scoring only —
     a free-running decoder cannot be bidirectional).
