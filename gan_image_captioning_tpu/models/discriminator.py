@@ -101,6 +101,44 @@ def _highway(params: dict, pred):
     return gate * jax.nn.relu(hw) + (1.0 - gate) * pred
 
 
+def _use_conv_kernel(config: Config) -> bool:
+    """Route the conv/relu/maxpool chain through the fused Pallas kernel
+    (kernels/disc_conv.py) — numerics-equivalent (gradient-tested), it only
+    changes WHERE the activation maps live (VMEM instead of ~6 GB/step of
+    HBM traffic, the measured byte sink of the adversarial step: the fused
+    step drops 10.9 → 3.3 GB).  Default OFF pending kernel-compute
+    optimization: the first VPU formulation's tap loops run slower than the
+    HBM time they save (59.7 vs 77 steps/s measured) — the step flips from
+    memory- to compute-bound.  GIC_DISC_KERNEL=1 opts in.
+    """
+    import os
+
+    from gan_image_captioning_tpu.kernels.disc_conv import kernel_supported
+
+    env = os.environ.get("GIC_DISC_KERNEL")
+    if env is not None:
+        return env == "1" and kernel_supported(config.emb_dim_single)
+    return False
+
+
+def conv_pooled(params: dict, emb, config: Config):
+    """Pooled conv features ``[(N·R), F]`` from embedded input [N, L, E] —
+    conv banks → bias → relu → max over time (discriminator.py:42-45)."""
+    eds = config.emb_dim_single
+    if _use_conv_kernel(config):
+        from gan_image_captioning_tpu.kernels.disc_conv import pooled_features
+
+        pooled = pooled_features(params["convs"], emb, eds)    # [B, R, F]
+        return pooled.reshape(-1, config.disc_feature_dim)
+    emb4 = emb[:, None, :, :]                          # [N, 1, L, E]
+    pools = []
+    for conv_params in params["convs"]:
+        con = jax.nn.relu(_conv_bank(conv_params, emb4, eds))  # [B,N,L',R]
+        pools.append(jnp.max(con, axis=2))                     # [B, N, R]
+    pred = jnp.concatenate(pools, axis=1)              # [B, F, R]
+    return jnp.transpose(pred, (0, 2, 1)).reshape(-1, config.disc_feature_dim)
+
+
 def apply_embedded(params: dict, emb, config: Config, rng=None,
                    train: bool = False, dropout_rate: float = 0.2):
     """Trunk from embedded input ``[N, L, E]`` → ``[N * num_rep]`` logits.
@@ -108,15 +146,7 @@ def apply_embedded(params: dict, emb, config: Config, rng=None,
     Split out so the adversarial step can run the trunk ONCE over the
     concatenated [real; fake; gen] batch (one conv stack + backward instead
     of the reference's three, ``training.py:162-164``)."""
-    eds = config.emb_dim_single
-    emb4 = emb[:, None, :, :]                          # [N, 1, L, E]
-
-    pools = []
-    for conv_params in params["convs"]:
-        con = jax.nn.relu(_conv_bank(conv_params, emb4, eds))  # [B,N,L',R]
-        pools.append(jnp.max(con, axis=2))                     # [B, N, R]
-    pred = jnp.concatenate(pools, axis=1)              # [B, F, R]
-    pred = jnp.transpose(pred, (0, 2, 1)).reshape(-1, config.disc_feature_dim)
+    pred = conv_pooled(params, emb, config)
     pred = _highway(params, pred)                      # [(B·R), F]
 
     if train and dropout_rate > 0.0:

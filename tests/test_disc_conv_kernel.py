@@ -1,0 +1,127 @@
+"""Fused disc conv→relu→maxpool Pallas kernel vs the jnp/XLA path.
+
+The kernel (kernels/disc_conv.py) must be numerics-equivalent to the
+reference formulation — values AND gradients — across bank shapes, eds > 1,
+and dtypes.  On CPU it runs in Pallas interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.kernels.disc_conv import pooled_features
+from gan_image_captioning_tpu.models import discriminator as disc
+
+
+def jnp_pooled(params, emb, config):
+    """The plain XLA path (conv_general + relu + max) as oracle."""
+    eds = config.emb_dim_single
+    emb4 = emb[:, None, :, :]
+    pools = []
+    for conv_params in params["convs"]:
+        con = jax.nn.relu(disc._conv_bank(conv_params, emb4, eds))
+        pools.append(jnp.max(con, axis=2))
+    pred = jnp.concatenate(pools, axis=1)
+    return jnp.transpose(pred, (0, 2, 1)).reshape(-1, config.disc_feature_dim)
+
+
+CONFIGS = [
+    # (vocab, E, num_rep, filter_sizes, num_filters, L) — eds = E/num_rep
+    dict(disc_embed_dim=16, disc_num_rep=16, disc_filter_sizes=(2, 3, 4),
+         disc_num_filters=(5, 6, 7), max_seq_len=8),           # eds = 1
+    dict(disc_embed_dim=24, disc_num_rep=6, disc_filter_sizes=(3, 5),
+         disc_num_filters=(4, 8), max_seq_len=10),             # eds = 4
+    dict(disc_embed_dim=8, disc_num_rep=8, disc_filter_sizes=(3,),
+         disc_num_filters=(9,), max_seq_len=5),                # single bank
+]
+
+
+@pytest.mark.parametrize("overrides", CONFIGS)
+def test_kernel_matches_xla_forward(overrides):
+    config = Config(vocab_size=50, **overrides)
+    params = disc.init_discriminator_params(jax.random.PRNGKey(0), config)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(1), (3, config.seq_len, config.disc_embed_dim))
+    ref = np.asarray(jnp_pooled(params, emb, config))
+    out = pooled_features(params["convs"], emb, config.emb_dim_single)
+    out = np.asarray(out.reshape(-1, config.disc_feature_dim))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("overrides", CONFIGS)
+def test_kernel_matches_xla_gradients(overrides):
+    config = Config(vocab_size=50, **overrides)
+    params = disc.init_discriminator_params(jax.random.PRNGKey(2), config)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(3), (2, config.seq_len, config.disc_embed_dim))
+    probe = jax.random.normal(
+        jax.random.PRNGKey(4),
+        (2 * config.disc_num_rep, config.disc_feature_dim))
+
+    def loss_ref(convs, emb):
+        p = dict(params, convs=convs)
+        return jnp.sum(jnp_pooled(p, emb, config) * probe)
+
+    def loss_ker(convs, emb):
+        out = pooled_features(convs, emb, config.emb_dim_single)
+        return jnp.sum(out.reshape(-1, config.disc_feature_dim) * probe)
+
+    v_r, g_r = jax.value_and_grad(loss_ref, argnums=(0, 1))(
+        params["convs"], emb)
+    v_k, g_k = jax.value_and_grad(loss_ker, argnums=(0, 1))(
+        params["convs"], emb)
+    np.testing.assert_allclose(float(v_k), float(v_r), rtol=1e-5)
+    flat_r, _ = jax.tree_util.tree_flatten(g_r)
+    flat_k, _ = jax.tree_util.tree_flatten(g_k)
+    for a, b in zip(flat_k, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_full_discriminator_path_with_kernel(monkeypatch):
+    """apply() routed through the kernel equals the jnp path end-to-end."""
+    config = Config(vocab_size=40, disc_embed_dim=16, disc_num_rep=16,
+                    disc_filter_sizes=(2, 3), disc_num_filters=(4, 5),
+                    max_seq_len=6)
+    params = disc.init_discriminator_params(jax.random.PRNGKey(5), config)
+    ids = jax.random.randint(jax.random.PRNGKey(6), (3, config.seq_len),
+                             0, config.vocab_size)
+    monkeypatch.setenv("GIC_DISC_KERNEL", "0")
+    ref = np.asarray(disc.apply(params, ids, config))
+    monkeypatch.setenv("GIC_DISC_KERNEL", "1")
+    out = np.asarray(disc.apply(params, ids, config))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_adv_gradients_with_kernel(monkeypatch):
+    """Full adversarial d-grad equality: kernel vs jnp conv path."""
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train.steps import adv_losses
+
+    config = Config(vocab_size=47, gen_embed_dim=8, gen_hidden_dim=12,
+                    gen_num_layers=1, max_seq_len=6, disc_embed_dim=8,
+                    disc_num_rep=8, disc_filter_sizes=(2, 3),
+                    disc_num_filters=(4, 4))
+    gp = api.init_generator(jax.random.PRNGKey(7), config)
+    dp = api.init_discriminator(jax.random.PRNGKey(8), config)
+    caps = jax.random.randint(jax.random.PRNGKey(9), (4, config.seq_len),
+                              0, config.vocab_size)
+
+    def d_grad():
+        def loss(d):
+            _, dl, _ = adv_losses(config, gp, d, {"captions": caps},
+                                  jax.random.PRNGKey(10), 2.0, train=False)
+            return dl
+        return jax.grad(loss)(dp)
+
+    monkeypatch.setenv("GIC_DISC_KERNEL", "0")
+    g_ref = d_grad()
+    monkeypatch.setenv("GIC_DISC_KERNEL", "1")
+    g_ker = d_grad()
+    flat_r, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_k, _ = jax.tree_util.tree_flatten(g_ker)
+    for a, b in zip(flat_k, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
