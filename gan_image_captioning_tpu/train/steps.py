@@ -209,6 +209,11 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
       * optional one-sided label smoothing / noisy labels implement the
         report §4.3 stabilization tricks (flag-gated, off by default).
     """
+    if config.adv_objective == "reinforce":
+        from gan_image_captioning_tpu.train.reinforce import reinforce_losses
+
+        return reinforce_losses(config, gen_params, disc_params, batch, rng,
+                                temperature, train)
     rng_feat, rng_sample, rng_d1, rng_d2, rng_d3, rng_flip = (
         jax.random.split(rng, 6))
     gen_params_c, disc_params_c, batch_c = _compute_cast(
