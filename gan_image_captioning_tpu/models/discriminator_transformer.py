@@ -69,11 +69,22 @@ def _trunk_embedded(params, emb, config: Config, causal: bool, lengths=None):
     t = x.shape[1]
     x = x + params["pos"][:t]
     mask = causal_mask(t) if causal else jnp.ones((1, 1, t, t), bool)
+    # exactly-causal / full masks are eligible for the explicit CP kernels
+    # and pipelining (transformer.set_context_parallel / set_pipeline)
+    cp_causal = causal if lengths is None else None
     if lengths is not None:
         key_ok = jnp.arange(t)[None, :] < lengths[:, None]
         mask = mask & key_ok[:, None, None, :]
-    for blk in params["blocks"]:
-        x = block_apply(blk, x, config.disc_num_heads, mask)
+    from gan_image_captioning_tpu.models.transformer import (pipeline_blocks,
+                                                             pp_applicable)
+
+    if cp_causal is not None and pp_applicable(params["blocks"], x):
+        x = pipeline_blocks(params["blocks"], x, config.disc_num_heads,
+                            causal=causal)
+    else:
+        for blk in params["blocks"]:
+            x = block_apply(blk, x, config.disc_num_heads, mask,
+                            cp_causal=cp_causal)
     return layer_norm(params["ln_f"], x)
 
 

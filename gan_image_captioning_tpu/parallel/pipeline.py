@@ -84,13 +84,18 @@ def pipeline_local(stage_params, microbatches, stage_fn: Callable,
 
 
 def pipeline_apply(stacked_params, x, stage_fn: Callable, mesh: Mesh,
-                   axis_name: str = "pp", num_microbatches: int = 4):
+                   axis_name: str = "pp", num_microbatches: int = 4,
+                   injit: bool = False):
     """Run ``x`` through ``n_stages`` stacked stages, pipelined over the mesh.
 
     Args:
       stacked_params: pytree whose leaves have a leading ``n_stages`` axis.
       x: [B, ...] input batch (B divisible by ``num_microbatches``).
       stage_fn: ``(params_one_stage, x_mb) -> y_mb`` (shape-preserving).
+      injit: True when called inside a jitted program (e.g. from the fused
+        train steps via ``transformer.pipeline_blocks``) — stage placement
+        then uses ``with_sharding_constraint`` (``device_put`` is an
+        eager-placement op).
     """
     n_stages = mesh.shape[axis_name]
     b = x.shape[0]
@@ -109,9 +114,15 @@ def pipeline_apply(stacked_params, x, stage_fn: Callable, mesh: Mesh,
             P()),
         out_specs=P(),
     )
-    params_sharded = jax.tree_util.tree_map(
-        lambda p: jax.device_put(p, NamedSharding(mesh, P(axis_name))),
-        stacked_params)
+    if injit:
+        params_sharded = jax.tree_util.tree_map(
+            lambda p: jax.lax.with_sharding_constraint(
+                p, NamedSharding(mesh, P(axis_name))),
+            stacked_params)
+    else:
+        params_sharded = jax.tree_util.tree_map(
+            lambda p: jax.device_put(p, NamedSharding(mesh, P(axis_name))),
+            stacked_params)
     out = fn(params_sharded, micro)
     return out.reshape((b,) + out.shape[2:])
 

@@ -83,6 +83,30 @@ class GANInstructor:
             self.state = shard_train_state(self.state, self.mesh)
             self.log.info("Sharded over mesh %s" % dict(self.mesh.shape))
 
+            # sp axis → sequence parallelism inside the jitted steps:
+            # GSPMD activation sharding by default; --cp-mode ring|ulysses
+            # swaps the self-attention for the explicit shard_map kernels.
+            from gan_image_captioning_tpu.models import transformer as tf_lib
+
+            if "sp" in self.mesh.shape:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                data_ax = "data" if "data" in self.mesh.shape else None
+                tf_lib.set_activation_sharding(
+                    NamedSharding(self.mesh, P(data_ax, "sp", None)))
+                if config.cp_mode in ("ring", "ulysses"):
+                    tf_lib.set_context_parallel(config.cp_mode, self.mesh)
+                self.log.info("Sequence parallelism on sp:%d (%s)"
+                              % (self.mesh.shape["sp"], config.cp_mode))
+            # pp axis → GPipe microbatch pipeline over the block stacks in
+            # the teacher-forced passes (parallel/pipeline.py).
+            if "pp" in self.mesh.shape:
+                tf_lib.set_pipeline(
+                    self.mesh, num_microbatches=config.pp_microbatches)
+                self.log.info("Pipeline parallelism on pp:%d (%d microbatches)"
+                              % (self.mesh.shape["pp"],
+                                 config.pp_microbatches))
+
         # Jitted steps.
         self.mle_step = make_mle_step(config)
         self.mle_eval_step = make_mle_eval_step(config)
