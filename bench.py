@@ -85,6 +85,9 @@ def main():
         # sequential decode scan).  GIC_BENCH_DTYPE=float32 for CPU
         # apples-to-apples runs vs the torch reference.
         dtype=_os.environ.get("GIC_BENCH_DTYPE", "bfloat16"),
+        # decode/disc-kernel overrides for A/B measurements
+        # (GIC_DISC_KERNEL=0/1 is read directly by models/discriminator.py)
+        decode_impl=_os.environ.get("GIC_DECODE_IMPL", "fused"),
     )
     batch_size = config.adv_train_batch_size
 

@@ -251,6 +251,50 @@ def add_tpu_args(parser):
                         "kernel (auto = on when running on TPU). Its PRNG "
                         "stream differs from jax.random's, so runs are not "
                         "bit-comparable with --use-pallas off.")
+    g.add_argument("--cp-mode", type=str, default="gspmd",
+                   choices=["gspmd", "ring", "ulysses"],
+                   help="sequence-parallel attention mode when the --mesh "
+                        "has an 'sp' axis: 'gspmd' = compiler-managed "
+                        "activation sharding; 'ring'/'ulysses' = the "
+                        "explicit shard_map kernels "
+                        "(parallel/context_parallel.py) inside the fused "
+                        "train steps")
+    g.add_argument("--pp-microbatches", type=int, default=4,
+                   help="GPipe microbatches when the --mesh has a 'pp' "
+                        "axis (batch must divide evenly)")
+    g.add_argument("--adv-objective", type=str, default="gumbel",
+                   choices=["gumbel", "reinforce"],
+                   help="adversarial generator objective: 'gumbel' = the "
+                        "reference's Gumbel-softmax relaxation "
+                        "(generator.py:84-96); 'reinforce' = SeqGAN-style "
+                        "policy gradient with rollout-based rewards "
+                        "(BASELINE.json config 4 — not present in the "
+                        "committed reference code)")
+    g.add_argument("--rollout-num", type=int, default=0,
+                   help="Monte-Carlo completions per prefix for rollout "
+                        "rewards (reinforce objective). 0 = terminal-only "
+                        "reward (one D score per sequence)")
+    g.add_argument("--rollout-stride", type=int, default=4,
+                   help="evaluate rollout rewards every N prefix positions "
+                        "(bounds the O(T²·K) rollout cost; SeqGAN uses 1)")
+    g.add_argument("--rl-baseline", type=str, default="greedy",
+                   choices=["greedy", "batch_mean"],
+                   help="REINFORCE variance-reduction baseline: 'greedy' = "
+                        "self-critical (the greedy decode's discriminator "
+                        "score), 'batch_mean' = batch average reward")
+    g.add_argument("--decode-impl", type=str, default="fused",
+                   choices=["fused", "decoupled"],
+                   help="LSTM free-running decode implementation. 'fused' "
+                        "(default) = one differentiable scan. 'decoupled' "
+                        "splits a gradient-free sampling scan from a "
+                        "batched teacher-forced rescore (valid because the "
+                        "feedback is detached, reference generator.py:75; "
+                        "identical ids/outputs/gradients — tested). "
+                        "MEASURED on v5e: decoupled moves MORE HBM bytes "
+                        "(12.1 vs 10.9 GB/step — XLA already defers scan "
+                        "weight grads; the rescore adds [T,B,V] "
+                        "materializations and a second forward), so fused "
+                        "stays the default (benchmarks/step_cost.py).")
     g.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans: fail loudly at the op that "
                         "first produces a NaN (the functional-purity "
@@ -355,6 +399,13 @@ class Config:
     cache_features: int = 0
     device_preprocess: int = 0
     use_pallas: str = "auto"
+    decode_impl: str = "fused"
+    cp_mode: str = "gspmd"
+    pp_microbatches: int = 4
+    adv_objective: str = "gumbel"
+    rollout_num: int = 0
+    rollout_stride: int = 4
+    rl_baseline: str = "greedy"
     debug_nans: bool = False
     length_buckets: str = ""
 

@@ -61,7 +61,11 @@ def _get_writer() -> ThreadPoolExecutor:
 
 def wait_for_checkpoints():
     """Barrier: block until every async save has committed; re-raise the
-    first writer error."""
+    first writer error.  As the atexit handler it is best-effort: orbax
+    cannot schedule its commit futures once the interpreter is shutting
+    down, so late writes surface a RuntimeError here instead of hanging —
+    entry points that must not lose a save use ``sync=True`` or call this
+    barrier themselves before returning (instructor._run does)."""
     with _writer_lock:
         pending, _pending[:] = list(_pending), []
     for fut in pending:

@@ -47,7 +47,9 @@ def main(argv=None):
         out = generator_from_torch(sd, args.gen_num_layers)
         kind = "generator"
 
-    ckpt_lib.save_params(os.path.abspath(args.output), out)
+    # a one-shot CLI tool: write synchronously (the async writer targets
+    # the training step loop; orbax commits at interpreter exit are fragile)
+    ckpt_lib.save_params(os.path.abspath(args.output), out, sync=True)
     print(f"converted {kind} checkpoint → {args.output}")
 
 

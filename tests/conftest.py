@@ -29,6 +29,47 @@ assert jax.default_backend() == "cpu"
 
 import pytest  # noqa: E402
 
+# ------------------------------------------------------------- slow markers
+# The core pass (`pytest -m "not slow"`) must stay in the low minutes so it
+# gets run routinely; everything below is the long tail (full-CLI e2e runs,
+# config-space fuzzing, multi-step training trajectories, big sharded-step
+# compiles) — still exercised by the unfiltered suite / CI script
+# (scripts/test.sh).  Durations source: full-suite --durations run on the
+# 8-virtual-CPU backend.
+_SLOW_PATTERNS = (
+    "test_fuzz_configs.py",
+    "test_e2e_coco.py",
+    "test_parallel.py::test_sharded_conditional_step",
+    "test_parallel.py::test_sharded_step_equals_single_device",
+    "test_parallel.py::test_sequence_parallel_transformer_mle",
+    "test_instructor.py::test_training_is_deterministic",
+    "test_instructor.py::test_cached_features_run",
+    "test_instructor.py::test_resume_continues_counters",
+    "test_instructor.py::test_eval_quality_hook",
+    "test_instructor.py::test_run_schedule_and_checkpoints",
+    "test_conditioning.py::test_features_vary_with_image_and_steer_logits",
+    "test_conditioning.py::test_encoder_receives_training_gradient",
+    "test_encoder.py::test_conditional_mle_step_runs_and_updates_bn_stats",
+    "test_transformer.py::test_all_arch_pairs_train",
+    "test_torch_training_parity.py",
+    "test_discriminator_bilstm.py::test_bilstm_disc_trains_one_fused_step",
+    "test_torch_import.py::test_convert_checkpoint_cli",
+    "test_decoupled_decode.py::test_adv_gradients_match_across_impls",
+    "test_reinforce.py::test_full_reinforce_adv_step",
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-tail test, excluded from the core "
+        "`-m 'not slow'` pass")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(pat in item.nodeid for pat in _SLOW_PATTERNS):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def devices8():
