@@ -1,0 +1,207 @@
+"""Weights-resident LSTM decode sampling kernel.
+
+The sequential free-running decode (reference ``generator.py:55-81``: LSTM →
+vocab projection → [+Gumbel] → argmax → embedding feedback) is the latency
+core of both training and serving.  As a ``lax.scan`` XLA re-reads the LSTM
+weights, the [H, V] projection and the [V, E] embedding from HBM every step
+and interleaves ~10 small kernels per token — measured 2.8 ms for T=36 at
+flagship geometry vs a ~0.9 ms weight-bandwidth bound.
+
+This kernel runs the WHOLE T-step loop as one ``pallas_call`` with the grid
+over time: TPU grid steps execute sequentially, so VMEM scratch carries the
+LSTM state (h, c, x) across steps while every weight block's index map is
+constant — Mosaic DMAs each weight into VMEM ONCE and keeps it resident for
+all T steps.  Per step, everything happens on-core:
+
+  gates  = x @ Wx_l + h_l @ Wh_l + b_l          (MXU, per layer)
+  logits = h_top @ Wp + bp                      (MXU)
+  g      ~ Gumbel(0,1)                          (on-core PRNG, sample mode)
+  ids    = argmax(logits [+ g])                 (VPU)
+  x'     = one_hot(ids) @ embed                 (MXU — a gather would leave
+                                                 the vector unit idle; the
+                                                 one-hot contraction rides
+                                                 the MXU and stays in VMEM)
+
+Modes (static):
+  greedy    → ids only (serving / eval decode; zero noise)
+  sample    → ids + the per-step Gumbel noise [T, B, V] (adversarial
+              decoupled training: phase 2 re-scores the sampled ids
+              differentiably and needs the SAME noise as a constant —
+              the kernel's PRNG stream is hardware-defined and cannot be
+              replayed host-side, so it is emitted once here)
+  pretrain  → ids + raw logits [T, B, V] (the reference's free-running
+              MLE forward, no noise)
+
+Off-TPU (and under tests) the ``interpret=True`` path runs the same kernel
+body with the PRNG stubbed to zeros — greedy/pretrain modes are exact there
+and are tested against the jnp scan; sample-mode noise is TPU-only and
+covered by distribution tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-10  # reference add_gumbel eps (generator.py:84)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _avalanche(seed):
+    """murmur3-style finalizer: adjacent seeds → uncorrelated streams."""
+    seed = seed.astype(jnp.uint32)
+    seed = seed ^ (seed >> 16)
+    seed = seed * jnp.uint32(0x85EBCA6B)
+    seed = seed ^ (seed >> 13)
+    seed = seed * jnp.uint32(0xC2B2AE35)
+    seed = seed ^ (seed >> 16)
+    return seed
+
+
+def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
+            *layer_and_out_refs, nl, mode, T):
+    layer_refs = layer_and_out_refs[:3 * nl]
+    out_refs = layer_and_out_refs[3 * nl:]
+    ids_ref = out_refs[0]
+    x_ref, h_ref, c_ref = out_refs[-3:]
+
+    t = pl.program_id(0)
+    B = feat_ref.shape[0]
+    H = h_ref.shape[2]
+    V = wp_ref.shape[1]
+
+    @pl.when(t == 0)
+    def _init():
+        x_ref[:] = feat_ref[:]
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    # ---- stacked LSTM cells (torch gate order i, f, g, o) ----
+    x = x_ref[:]
+    for l in range(nl):
+        wx, wh, b = layer_refs[3 * l:3 * l + 3]
+        gates = (jnp.dot(x, wx[:], preferred_element_type=jnp.float32)
+                 + jnp.dot(h_ref[l], wh[:],
+                           preferred_element_type=jnp.float32)
+                 + b[:].astype(jnp.float32))            # [B, 4H] f32
+        i_g = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
+        f_g = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
+        g_g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o_g = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
+        c = f_g * c_ref[l].astype(jnp.float32) + i_g * g_g
+        h = o_g * jnp.tanh(c)
+        c_ref[l] = c.astype(c_ref.dtype)
+        h_ref[l] = h.astype(h_ref.dtype)
+        x = h.astype(x_ref.dtype)
+
+    logits = (jnp.dot(x, wp_ref[:], preferred_element_type=jnp.float32)
+              + bp_ref[:].astype(jnp.float32))          # [B, V] f32
+
+    if mode == "sample":
+        noise_ref = out_refs[1]
+        pltpu.prng_seed(_avalanche(seed_ref[0] + t))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((B, V)), jnp.uint32)
+        top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+        u = top24.astype(jnp.float32) * (1.0 / (1 << 24))
+        g = -jnp.log(-jnp.log(u + _EPS) + _EPS)
+        noise_ref[0] = g.astype(noise_ref.dtype)
+        scores = logits + g
+    else:
+        scores = logits
+        if mode == "pretrain":
+            logits_ref = out_refs[1]
+            logits_ref[0] = logits.astype(logits_ref.dtype)
+
+    ids = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # [B]
+    ids_ref[0] = ids[None, :] if ids_ref.ndim == 2 else ids
+
+    # ---- feedback: x_{t+1} = embed[ids] as a one-hot MXU contraction ----
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    onehot = (lane == ids[:, None]).astype(emb_ref.dtype)
+    x_ref[:] = jnp.dot(onehot, emb_ref[:],
+                       preferred_element_type=jnp.float32
+                       ).astype(x_ref.dtype)
+
+
+def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
+                  embed, seq_len: int, mode: str = "greedy",
+                  seed=0, temperature=1.0):
+    """Run the full T-step sampling decode on-core.
+
+    Args:
+      features: [B, E] t=0 input (image features / <S> embedding).
+      lstm_layers: per-layer dicts with torch-layout ``w_ih [4H, In]``,
+        ``w_hh [4H, H]``, ``b_ih [4H]``, ``b_hh [4H]``.
+      w_proj: [V, H] torch-layout output projection weight.
+      b_proj: [V].
+      embed: [V, E] embedding table.
+      seq_len: static decode length T.
+      mode: 'greedy' | 'sample' | 'pretrain' (see module docstring).
+      seed: int32 scalar for the on-core PRNG (sample mode).
+      temperature: unused by the kernel itself (argmax is scale-invariant);
+        kept for signature parity with the jnp sampler.
+    Returns:
+      greedy:   ids [B, T]
+      sample:   (ids [B, T], noise [T, B, V] f32)
+      pretrain: (ids [B, T], logits [T, B, V] f32)
+    """
+    del temperature
+    B, E = features.shape
+    nl = len(lstm_layers)
+    H = lstm_layers[0]["w_hh"].shape[1]
+    V = embed.shape[0]
+    dt = features.dtype
+
+    # kernel-friendly layouts: inputs-on-rows so every matmul is x @ W
+    wp = w_proj.T                                   # [H, V]
+    bp = b_proj[None, :]                            # [1, V]
+    layer_ins = []
+    for p in lstm_layers:
+        layer_ins += [p["w_ih"].T, p["w_hh"].T,
+                      (p["b_ih"] + p["b_hh"])[None, :]]
+
+    weight_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_extra = {"greedy": 0, "sample": 1, "pretrain": 1}[mode]
+    out_shapes = [jax.ShapeDtypeStruct((seq_len, B), jnp.int32)]
+    out_specs = [pl.BlockSpec((1, B), lambda t: (t, 0),
+                              memory_space=pltpu.VMEM)]
+    if n_extra:
+        out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, V), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, B, V), lambda t: (t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, nl=nl, mode=mode, T=seq_len),
+        grid=(seq_len,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # temp (unused)
+            weight_spec,                             # features
+            weight_spec, weight_spec, weight_spec,   # wp, bp, embed
+        ] + [weight_spec] * (3 * nl),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[
+            pltpu.VMEM((B, E), dt),                  # x carry
+            pltpu.VMEM((nl, B, H), dt),              # h carry
+            pltpu.VMEM((nl, B, H), jnp.float32),     # c carry (f32: the
+                                                     # accumulating state)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(jnp.asarray([seed], jnp.int32), jnp.asarray([0.0], jnp.float32),
+      features, wp, bp, embed, *layer_ins)
+
+    ids = outs[0].T if isinstance(outs, (tuple, list)) else outs.T
+    if n_extra:
+        return ids, outs[1]
+    return ids

@@ -101,6 +101,13 @@ def _highway(params: dict, pred):
     return gate * jax.nn.relu(hw) + (1.0 - gate) * pred
 
 
+def _disc_remat() -> bool:
+    """GIC_DISC_REMAT=1 recomputes the conv trunk in the backward pass."""
+    import os
+
+    return os.environ.get("GIC_DISC_REMAT", "0") == "1"
+
+
 def _use_conv_kernel(config: Config) -> bool:
     """Route the conv/relu/maxpool chain through the fused Pallas kernel
     (kernels/disc_conv.py) — numerics-equivalent (gradient-tested), it only
@@ -146,7 +153,15 @@ def apply_embedded(params: dict, emb, config: Config, rng=None,
     Split out so the adversarial step can run the trunk ONCE over the
     concatenated [real; fake; gen] batch (one conv stack + backward instead
     of the reference's three, ``training.py:162-164``)."""
-    pred = conv_pooled(params, emb, config)
+    if _disc_remat():
+        # Rematerialize the conv/relu/maxpool chain in the backward pass:
+        # the [B, N, L', R] activation maps (~80 MB/bank) are residual
+        # traffic the backward re-reads from HBM, while recomputing them
+        # costs ~1 GFLOP — trade cheap MXU/VPU FLOPs for HBM bytes.
+        pred = jax.checkpoint(
+            lambda p, e: conv_pooled(p, e, config))(params, emb)
+    else:
+        pred = conv_pooled(params, emb, config)
     pred = _highway(params, pred)                      # [(B·R), F]
 
     if train and dropout_rate > 0.0:

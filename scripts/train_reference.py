@@ -90,14 +90,52 @@ def install_stubs():
     transforms.ToTensor, transforms.Lambda = ToTensor, Lambda
     transforms.Normalize = Normalize
 
-    class _StubResNet(torch.nn.Module):
+    # --- torchvision.models.resnet18: a REAL ResNet-18 nn.Module (the
+    # standard conv1/bn1/4-stage BasicBlock architecture), with
+    # torchvision-compatible state_dict keys and children() order so the
+    # reference's ``nn.Sequential(*children[:-1])`` wrap (generator.py:13-14)
+    # and our numeric-key converter (models/torch_import.py) both work.  The
+    # conditional-GAN parity runs execute this for real; unconditional runs
+    # only construct it.
+    class _BasicBlock(torch.nn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(cout)
+            self.relu = torch.nn.ReLU(inplace=True)
+            self.conv2 = torch.nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = torch.nn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = torch.nn.Sequential(
+                    torch.nn.Conv2d(cin, cout, 1, stride, bias=False),
+                    torch.nn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            return self.relu(out + idn)
+
+    class _ResNet18(torch.nn.Module):
         def __init__(self):
             super().__init__()
-            self.stub = torch.nn.Identity()
-            self.fc = torch.nn.Linear(512, 1000)  # resnet18 fc.in_features
+            self.conv1 = torch.nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = torch.nn.BatchNorm2d(64)
+            self.relu = torch.nn.ReLU(inplace=True)
+            self.maxpool = torch.nn.MaxPool2d(3, 2, 1)
+            widths = (64, 128, 256, 512)
+            cin = 64
+            for s, cout in enumerate(widths, start=1):
+                stride = 1 if s == 1 else 2
+                setattr(self, f"layer{s}", torch.nn.Sequential(
+                    _BasicBlock(cin, cout, stride), _BasicBlock(cout, cout)))
+                cin = cout
+            self.avgpool = torch.nn.AdaptiveAvgPool2d((1, 1))
+            self.fc = torch.nn.Linear(512, 1000)
 
     models = types.ModuleType("torchvision.models")
-    models.resnet18 = lambda pretrained=False: _StubResNet()
+    models.resnet18 = lambda pretrained=False: _ResNet18()
 
     tv = types.ModuleType("torchvision")
     tv.transforms, tv.models = transforms, models
@@ -123,16 +161,71 @@ def install_stubs():
         scipy_misc.imresize = lambda *a, **k: None
 
 
+def install_adv_patches():
+    """Make the reference's ADVERSARIAL path runnable on torch 2.x.
+
+    Two latent issues (SURVEY.md §7 quirk catalogue), patched from outside
+    so the reference's own loop code drives everything:
+
+    1. ``optimize(D, retain_graph=True)`` THEN ``optimize(G)``
+       (training.py:167-169 + 194-199) only ran on old torch, whose
+       optimizers wrote ``p.data`` without bumping version counters;
+       torch 2.x rejects the second backward through the just-stepped
+       discriminator.  Patch: defer — the D call stashes its loss; the G
+       call runs G's backward FIRST (through pre-step D weights — the
+       intended semantics; the reference's post-step values were an
+       old-torch in-place artifact), then D's ``zero_grad`` + backward
+       (the zero_grad clears the dL_g/dD pollution G's backward left in
+       D's grads), then clip+step in the reference's D-then-G order.
+    2. ``training.py:227`` formats an undefined global ``epoch`` when the
+       first best-val adv checkpoint is saved (NameError AFTER the ckpt
+       write) — patched by maintaining a module-global ``epoch`` mirroring
+       the current adv epoch.
+    """
+    import training as ref_training  # noqa: E402 (reference module)
+
+    ref_training.epoch = -1  # the :227 log's placeholder (quirk #2)
+    pending = []
+
+    def optimize(self, opt, loss, model=None, retain_graph=False):
+        ref_training.epoch = getattr(self, "adv_epoch", -1)
+        if retain_graph:  # the D call (training.py:167)
+            pending.append((opt, loss, model))
+            return
+        opt.zero_grad()
+        loss.backward()
+        while pending:
+            d_opt, d_loss, d_model = pending.pop()
+            d_opt.zero_grad()
+            d_loss.backward()
+            if d_model is not None:
+                torch.nn.utils.clip_grad_norm_(d_model.parameters(),
+                                               self.args.clip_norm)
+            d_opt.step()
+        if model is not None:
+            torch.nn.utils.clip_grad_norm_(model.parameters(),
+                                           self.args.clip_norm)
+        opt.step()
+
+    ref_training.GANInstructor.optimize = optimize
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/ref_train")
     ap.add_argument("--data-dir", default=os.path.join(REPO, "data", "mini_coco"))
     ap.add_argument("--pretrain-epochs", type=int, default=12)
+    ap.add_argument("--adv-epochs", type=int, default=0)
+    ap.add_argument("--conditional-gan", type=int, default=0)
+    ap.add_argument("--image-size", type=int, default=64)
     ap.add_argument("--gen-embed-dim", type=int, default=32)
     ap.add_argument("--gen-hidden-dim", type=int, default=64)
     ap.add_argument("--gen-num-layers", type=int, default=2)
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--pretrain-lr", type=float, default=1e-2)
+    ap.add_argument("--gen-lr", type=float, default=1e-4)
+    ap.add_argument("--disc-lr", type=float, default=1e-4)
+    ap.add_argument("--temperature", type=int, default=100)
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -145,6 +238,8 @@ def main():
     install_stubs()
     sys.path.insert(0, REF_SRC)
     os.chdir(args.workdir)
+    if args.adv_epochs:
+        install_adv_patches()
 
     save_dir = os.path.join(args.workdir, "save")
     os.makedirs(save_dir, exist_ok=True)
@@ -154,25 +249,36 @@ def main():
         "--data-dir", data_copy,
         "--save-dir", save_dir,
         "--expt-name", "ref",
-        "--conditional-gan", "0",
+        "--conditional-gan", str(args.conditional_gan),
+        "--image-size", str(args.image_size),
         "--gen-embed-dim", str(args.gen_embed_dim),
         "--gen-hidden-dim", str(args.gen_hidden_dim),
         "--gen-num-layers", str(args.gen_num_layers),
         "--pretrain-epochs", str(args.pretrain_epochs),
-        "--adv-epochs", "0",
+        "--adv-epochs", str(args.adv_epochs),
         "--pretrain-lr", str(args.pretrain_lr),
+        "--gen-lr", str(args.gen_lr),
+        "--disc-lr", str(args.disc_lr),
+        "--temperature", str(args.temperature),
         "--pre-train-batch-size", str(args.batch_size),
         "--pre-eval-batch-size", str(args.batch_size),
+        "--adv-train-batch-size", str(args.batch_size),
+        "--adv-eval-batch-size", str(args.batch_size),
         "--captions-per-image", "5",
     ]
     runpy.run_path(os.path.join(REF_SRC, "main.py"), run_name="__main__")
 
-    # newest experiment dir's checkpoint
+    # newest experiment dir's checkpoint(s)
     expts = sorted(os.listdir(save_dir),
                    key=lambda d: os.path.getmtime(os.path.join(save_dir, d)))
-    ckpt = os.path.join(save_dir, expts[-1], "models", "pretrained_model.ckpt")
+    model_dir = os.path.join(save_dir, expts[-1], "models")
+    ckpt = os.path.join(model_dir, "pretrained_model.ckpt")
     assert os.path.isfile(ckpt), f"reference training produced no ckpt at {ckpt}"
     print(ckpt)
+    if args.adv_epochs:
+        adv = os.path.join(model_dir, "adv_model.ckpt")
+        assert os.path.isfile(adv), f"no adversarial ckpt at {adv}"
+        print(adv)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,11 @@ def main(argv=None):
     parser.add_argument("--vocab-size", type=int, required=True)
     parser.add_argument("--gen-num-layers", type=int, default=1)
     parser.add_argument("--num-conv-banks", type=int, default=3)
+    parser.add_argument("--skip-encoder", action="store_true",
+                        help="drop the encoder weights (the reference "
+                        "constructs and checkpoints its Encoder even in "
+                        "unconditional runs, generator.py:102; an "
+                        "unconditional target model has no encoder tree)")
     args = parser.parse_args(argv)
 
     import torch
@@ -37,14 +42,16 @@ def main(argv=None):
 
     if "generator" in sd and "discriminator" in sd:
         out = {
-            "generator": generator_from_torch(sd["generator"],
-                                              args.gen_num_layers),
+            "generator": generator_from_torch(
+                sd["generator"], args.gen_num_layers,
+                with_encoder=not args.skip_encoder),
             "discriminator": discriminator_from_torch(sd["discriminator"],
                                                       args.num_conv_banks),
         }
         kind = "adversarial (generator + discriminator)"
     else:
-        out = generator_from_torch(sd, args.gen_num_layers)
+        out = generator_from_torch(sd, args.gen_num_layers,
+                                   with_encoder=not args.skip_encoder)
         kind = "generator"
 
     # a one-shot CLI tool: write synchronously (the async writer targets
