@@ -67,7 +67,7 @@ def _avalanche(seed):
 
 
 def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
-            *layer_and_out_refs, nl, mode, T):
+            *layer_and_out_refs, nl, mode, T, interpret):
     layer_refs = layer_and_out_refs[:3 * nl]
     out_refs = layer_and_out_refs[3 * nl:]
     ids_ref = out_refs[0]
@@ -107,10 +107,15 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
 
     if mode == "sample":
         noise_ref = out_refs[1]
-        pltpu.prng_seed(_avalanche(seed_ref[0] + t))
-        bits = pltpu.bitcast(pltpu.prng_random_bits((B, V)), jnp.uint32)
-        top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-        u = top24.astype(jnp.float32) * (1.0 / (1 << 24))
+        if interpret:
+            # the interpreter has no on-core PRNG — zero-noise stand-in
+            # (plumbing tests only; the real stream is TPU hardware)
+            u = jnp.zeros((B, V), jnp.float32)
+        else:
+            pltpu.prng_seed(_avalanche(seed_ref[0] + t))
+            bits = pltpu.bitcast(pltpu.prng_random_bits((B, V)), jnp.uint32)
+            top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+            u = top24.astype(jnp.float32) * (1.0 / (1 << 24))
         g = -jnp.log(-jnp.log(u + _EPS) + _EPS)
         noise_ref[0] = g.astype(noise_ref.dtype)
         scores = logits + g
@@ -121,7 +126,9 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
             logits_ref[0] = logits.astype(logits_ref.dtype)
 
     ids = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # [B]
-    ids_ref[0] = ids[None, :] if ids_ref.ndim == 2 else ids
+    # ids is one full [T, B] VMEM block (a (1, B) per-step block violates
+    # Mosaic's sublane tiling); store the row at the dynamic grid index
+    ids_ref[pl.ds(t, 1), :] = ids[None, :]
 
     # ---- feedback: x_{t+1} = embed[ids] as a one-hot MXU contraction ----
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
@@ -171,7 +178,7 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
     weight_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     n_extra = {"greedy": 0, "sample": 1, "pretrain": 1}[mode]
     out_shapes = [jax.ShapeDtypeStruct((seq_len, B), jnp.int32)]
-    out_specs = [pl.BlockSpec((1, B), lambda t: (t, 0),
+    out_specs = [pl.BlockSpec((seq_len, B), lambda t: (0, 0),
                               memory_space=pltpu.VMEM)]
     if n_extra:
         out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, V), jnp.float32))
@@ -179,7 +186,8 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
                                       memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, nl=nl, mode=mode, T=seq_len),
+        functools.partial(_kernel, nl=nl, mode=mode, T=seq_len,
+                          interpret=_interpret()),
         grid=(seq_len,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # seed

@@ -139,11 +139,63 @@ def sample(decoder_params, features, rng, temperature, seq_len: int,
     """
     if impl is None:
         impl = _decode_impl_default()
+    if impl == "kernel":
+        return _sample_kernel(decoder_params, features, rng, temperature,
+                              seq_len, pretrain, init_states)
     if impl == "decoupled":
         return _sample_decoupled(decoder_params, features, rng, temperature,
                                  seq_len, pretrain, init_states)
     return _sample_fused(decoder_params, features, rng, temperature,
                          seq_len, pretrain, init_states)
+
+
+def _sample_kernel(decoder_params, features, rng, temperature, seq_len: int,
+                   pretrain: bool, init_states):
+    """Weights-resident Pallas sampling + batched differentiable rescore.
+
+    Phase 1 of :func:`_sample_decoupled` (the gradient-free sequential
+    sampling scan) replaced by ``kernels/decode_sample.py`` — the whole
+    T-step loop runs as ONE kernel with the LSTM/projection/embedding
+    weights DMA'd into VMEM once, instead of re-read from HBM every step.
+    Phase 2 (the differentiable teacher-forced rescore over the sampled
+    ids) is unchanged, except the Gumbel noise is the kernel's own emitted
+    stream (the on-core PRNG cannot be replayed host-side) rather than
+    ``jax.random``'s — sampling distribution identical, stream different
+    (same deal as the flag-gated ops/gumbel.py Pallas sampler).
+
+    Falls back to ``decoupled`` when the carried state is non-default
+    (incremental serving decode) — the kernel owns its state internally.
+    """
+    if init_states is not None:
+        return _sample_decoupled(decoder_params, features, rng, temperature,
+                                 seq_len, pretrain, init_states)
+    from gan_image_captioning_tpu.kernels.decode_sample import decode_sample
+
+    p_ng, f_ng = jax.lax.stop_gradient((decoder_params, features))
+    seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    mode = "greedy" if pretrain else "sample"
+    out = decode_sample(f_ng, p_ng["lstm"], p_ng["linear"]["w"],
+                        p_ng["linear"]["b"], p_ng["embed"], seq_len=seq_len,
+                        mode=mode, seed=seed)
+    ids_bt, noise_tm = (out, None) if pretrain else out
+    ids_tm = jnp.swapaxes(ids_bt, 0, 1)                      # [T, B]
+
+    # ---- differentiable batched rescore (same as _sample_decoupled) ------
+    batch = features.shape[0]
+    hidden_dim = decoder_params["lstm"][0]["w_hh"].shape[1]
+    states = lstm.zero_state(len(decoder_params["lstm"]), batch,
+                             hidden_dim, features.dtype)
+    emb_tm = decoder_params["embed"][ids_tm[:-1]]            # [T-1, B, E]
+    xs_tm = jnp.concatenate([features[None], emb_tm], axis=0)
+    hs_tm = lstm.lstm_seq_tm(decoder_params["lstm"], xs_tm, states)
+    logits_tm = _project(decoder_params, hs_tm)              # [T, B, V]
+    if pretrain:
+        out_tm = logits_tm
+    else:
+        noise = jax.lax.stop_gradient(noise_tm).astype(logits_tm.dtype)
+        out_tm = jax.nn.softmax((logits_tm + noise) * temperature, axis=-1)
+    return jnp.swapaxes(out_tm, 0, 1), jnp.swapaxes(ids_tm, 0, 1)
 
 
 def _sample_decoupled(decoder_params, features, rng, temperature,
