@@ -197,6 +197,10 @@ def add_tpu_args(parser):
     g.add_argument("--resume", type=str, default="",
                    help="path to a full TrainState checkpoint to resume from "
                         "(the reference has no resume path at all)")
+    g.add_argument("--init-gen-ckpt", type=str, default="",
+                   help="warm-start the generator params from a params "
+                        "checkpoint (optimizers fresh) — e.g. an imported "
+                        "pretrained GPT-2 decoder from src/import_gpt2.py")
     g.add_argument("--checkpoint-every", type=int, default=0,
                    help="also save a full resumable TrainState every N adv "
                         "epochs (0 = only best-val, like the reference)")
@@ -225,6 +229,17 @@ def add_tpu_args(parser):
                         "tensor parallelism divisible). Padded ids are never "
                         "produced by data and decode maps them to <UNK>. "
                         "1 = reference parity (main.py:38 uses the raw size).")
+    g.add_argument("--tokenizer", type=str, default="word",
+                   choices=["word", "bpe"],
+                   help="'word' = the reference's first-appearance word "
+                        "vocab (tasks.py:39-51). 'bpe' = GPT-2 byte-level "
+                        "BPE (data/bpe.py) over --bpe-vocab/--bpe-merges — "
+                        "the data path for pretrained GPT-2 generators "
+                        "(src/import_gpt2.py).")
+    g.add_argument("--bpe-vocab", type=str, default="",
+                   help="path to a GPT-2-format vocab.json (--tokenizer bpe)")
+    g.add_argument("--bpe-merges", type=str, default="",
+                   help="path to a GPT-2-format merges.txt (--tokenizer bpe)")
     g.add_argument("--encoder-init", type=str, default="sweep",
                    choices=["sweep", "natural"],
                    help="'sweep' = reference parity: the init sweep "
@@ -283,11 +298,13 @@ def add_tpu_args(parser):
                         "self-critical (the greedy decode's discriminator "
                         "score), 'batch_mean' = batch average reward")
     g.add_argument("--decode-impl", type=str, default="fused",
-                   choices=["fused", "decoupled"],
+                   choices=["fused", "decoupled", "kernel"],
                    help="LSTM free-running decode implementation. 'fused' "
                         "(default) = one differentiable scan. 'decoupled' "
                         "splits a gradient-free sampling scan from a "
-                        "batched teacher-forced rescore (valid because the "
+                        "batched teacher-forced rescore; 'kernel' replaces "
+                        "the sampling scan with the weights-resident "
+                        "Pallas decode kernel (TPU). (Valid because the "
                         "feedback is detached, reference generator.py:75; "
                         "identical ids/outputs/gradients — tested). "
                         "MEASURED on v5e: decoupled moves MORE HBM bytes "
@@ -395,6 +412,10 @@ class Config:
     profile_dir: str = ""
     no_jit: bool = False
     vocab_multiple: int = 1
+    init_gen_ckpt: str = ""
+    tokenizer: str = "word"
+    bpe_vocab: str = ""
+    bpe_merges: str = ""
     encoder_init: str = "sweep"
     cache_features: int = 0
     device_preprocess: int = 0

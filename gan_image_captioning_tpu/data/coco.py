@@ -30,7 +30,7 @@ class CocoCaptions:
                  vocab_dicts: Optional[Tuple[dict, dict]] = None,
                  dataset_percent: float = 1.0, conditional: bool = True,
                  use_cache: bool = True, use_native: bool = True,
-                 device_preprocess: bool = False):
+                 device_preprocess: bool = False, bpe_tokenizer=None):
         assert split in {"train", "val", "test"}
         self.split = split
         self.image_path = image_path
@@ -51,11 +51,21 @@ class CocoCaptions:
             vocab_lib.build_coco_records(captions_path, image_path, split,
                                          captions_per_image, vocab_dicts,
                                          use_cache))
-        self.vocab_size = len(self.word_to_index)  # tasks.py:102
-        # Pre-tokenize once, non-destructively.
-        self._token_ids = [
-            vocab_lib.tokens_to_ids(rec["tokens"], self.word_to_index)
-            for rec in self.captions]
+        if bpe_tokenizer is not None:
+            # GPT-2 BPE data path (--tokenizer bpe): captions tokenized into
+            # the pretrained model's id space (+4 special offset,
+            # data/bpe.py) instead of the first-appearance word vocab.
+            self.vocab_size = bpe_tokenizer.vocab_size
+            self._token_ids = [
+                np.asarray(bpe_tokenizer.encode(" ".join(rec["tokens"])),
+                           dtype=np.int32)
+                for rec in self.captions]
+        else:
+            self.vocab_size = len(self.word_to_index)  # tasks.py:102
+            # Pre-tokenize once, non-destructively.
+            self._token_ids = [
+                vocab_lib.tokens_to_ids(rec["tokens"], self.word_to_index)
+                for rec in self.captions]
 
     def __len__(self):
         # dataset_percent truncates (tasks.py:106-108)

@@ -125,3 +125,85 @@ def discriminator_from_torch(sd: Dict, num_conv_banks: int) -> dict:
         "out2logits": {"w": _a(sd["out2logits.weight"]),
                        "b": _a(sd["out2logits.bias"])},
     }
+
+
+# ------------------------------------------------------------------- gpt2
+
+def gpt2_decoder_from_torch(sd: Dict, seq_len_plus_1: int,
+                            num_specials: int = 4,
+                            specials_seed: int = 0) -> dict:
+    """HF GPT-2 ``state_dict`` → our transformer decoder params
+    (models/transformer.py layout) — BASELINE.json config 5's pretrained
+    generator.
+
+    Layout notes (transformers ``GPT2LMHeadModel``):
+      * HF ``Conv1D`` stores weights [in, out] — exactly our dense layout,
+        so ``c_attn``/``c_proj``/``c_fc`` convert WITHOUT transposes;
+        ``c_attn`` [d, 3d] splits into q/k/v by column.
+      * ``wte`` [V, d] doubles as the (tied) LM head; our separate
+        ``linear`` {w [V, d]} takes the same matrix.
+      * BPE ids are offset by ``num_specials`` (data/bpe.py), so
+        ``num_specials`` fresh N(0, 0.02²) rows are PREPENDED to wte (and
+        to the head) for <PAD>/<S>/<E>/<UNK>.
+      * ``wpe`` is truncated/used from row 0; the caption's feature token
+        occupies position 0 (our captioning adaptation — one-position
+        shift vs a pure LM).
+      * cross-attention blocks (``cross``/``ln_cross``/``ctx_proj``) have
+        no GPT-2 counterpart and are NOT returned — callers graft them
+        from a freshly initialized tree (src/import_gpt2.py does this).
+
+    Accepts keys with or without the ``transformer.`` prefix.
+    """
+    import numpy as np
+
+    if any(k.startswith("transformer.") for k in sd):
+        sd = {k[len("transformer."):]: v for k, v in sd.items()
+              if k.startswith("transformer.")}
+    wte = np.asarray(_a(sd["wte.weight"]))
+    d = wte.shape[1]
+    rng = np.random.RandomState(specials_seed)
+    specials = (rng.standard_normal((num_specials, d)) * 0.02).astype(
+        wte.dtype)
+    wte_x = np.concatenate([specials, wte], axis=0)
+
+    wpe = np.asarray(_a(sd["wpe.weight"]))
+    L = min(seq_len_plus_1, wpe.shape[0])
+    pos = np.zeros((seq_len_plus_1, d), wpe.dtype)
+    pos[:L] = wpe[:L]
+
+    def ln(name):
+        return {"scale": _a(sd[f"{name}.weight"]),
+                "bias": _a(sd[f"{name}.bias"])}
+
+    blocks = []
+    i = 0
+    while f"h.{i}.ln_1.weight" in sd:
+        base = f"h.{i}"
+        ca_w = _a(sd[f"{base}.attn.c_attn.weight"])   # [d, 3d]
+        ca_b = _a(sd[f"{base}.attn.c_attn.bias"])     # [3d]
+        blocks.append({
+            "ln1": ln(f"{base}.ln_1"),
+            "attn": {
+                "wq": {"w": ca_w[:, 0 * d:1 * d], "b": ca_b[0 * d:1 * d]},
+                "wk": {"w": ca_w[:, 1 * d:2 * d], "b": ca_b[1 * d:2 * d]},
+                "wv": {"w": ca_w[:, 2 * d:3 * d], "b": ca_b[2 * d:3 * d]},
+                "wo": {"w": _a(sd[f"{base}.attn.c_proj.weight"]),
+                       "b": _a(sd[f"{base}.attn.c_proj.bias"])},
+            },
+            "ln2": ln(f"{base}.ln_2"),
+            "mlp": {"fc1": {"w": _a(sd[f"{base}.mlp.c_fc.weight"]),
+                            "b": _a(sd[f"{base}.mlp.c_fc.bias"])},
+                    "fc2": {"w": _a(sd[f"{base}.mlp.c_proj.weight"]),
+                            "b": _a(sd[f"{base}.mlp.c_proj.bias"])}},
+        })
+        i += 1
+
+    return {
+        "embed": jnp.asarray(wte_x),
+        "pos": jnp.asarray(pos),
+        "blocks": blocks,
+        "ln_f": ln("ln_f"),
+        # tied head (lm_head == wte), torch Linear layout [V, d]
+        "linear": {"w": jnp.asarray(wte_x),
+                   "b": jnp.zeros((wte_x.shape[0],), wte_x.dtype)},
+    }

@@ -69,6 +69,15 @@ class GANInstructor:
             self.state = ckpt_lib.load_state(config.resume, template)
             self.log.info("Resumed TrainState from %s (gen_steps=%d)"
                           % (config.resume, int(self.state.gen_steps)))
+        elif config.init_gen_ckpt:
+            # Warm-start the GENERATOR params only (optimizers/counters
+            # fresh) — e.g. an imported pretrained GPT-2 decoder
+            # (src/import_gpt2.py) before MLE/adversarial fine-tuning.
+            gen_params = ckpt_lib.load_params(config.init_gen_ckpt,
+                                              self.state.gen_params)
+            self.state = self.state._replace(gen_params=gen_params)
+            self.log.info("Initialized generator params from %s"
+                          % config.init_gen_ckpt)
 
         # Device mesh (--mesh, e.g. "data:4,model:2"): shard the TrainState
         # per parallel/sharding.py's dp/tp rules and every batch over 'data';

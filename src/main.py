@@ -38,17 +38,24 @@ def build_datasets(args):
     captions_path = os.path.join(args.data_dir, "dataset_coco.json")
     conditional = args.conditional_gan == 1
     device_pre = bool(getattr(args, "device_preprocess", 0))
+    bpe = None
+    if getattr(args, "tokenizer", "word") == "bpe":
+        from gan_image_captioning_tpu.data.bpe import BPETokenizer
+
+        assert args.bpe_vocab and args.bpe_merges, (
+            "--tokenizer bpe needs --bpe-vocab and --bpe-merges")
+        bpe = BPETokenizer(args.bpe_vocab, args.bpe_merges)
     train = CocoCaptions(captions_path, args.data_dir, "train",
                          args.image_size, args.captions_per_image,
                          dataset_percent=args.dataset_percent,
                          conditional=conditional,
-                         device_preprocess=device_pre)
+                         device_preprocess=device_pre, bpe_tokenizer=bpe)
     val = CocoCaptions(captions_path, args.data_dir, "val", args.image_size,
                        args.captions_per_image,
                        vocab_dicts=(train.word_to_index, train.index_to_word),
                        dataset_percent=args.dataset_percent,
                        conditional=conditional,
-                       device_preprocess=device_pre)
+                       device_preprocess=device_pre, bpe_tokenizer=bpe)
     return train, val
 
 
