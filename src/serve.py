@@ -40,6 +40,14 @@ def parse_args(argv=None):
     parser.add_argument("--port", type=int, default=0,
                         help="TCP port (0 = stdin/stdout loop)")
     parser.add_argument("--serve-batch-size", type=int, default=8)
+    parser.add_argument("--serve-continuous", action="store_true",
+                        help="slot-based continuous batching (greedy LSTM "
+                        "decode): new requests join the decode pool at "
+                        "chunk boundaries instead of waiting for whole "
+                        "batches (gan_image_captioning_tpu/serving.py)")
+    parser.add_argument("--serve-chunk-steps", type=int, default=8,
+                        help="decode steps per device program in "
+                        "--serve-continuous mode")
     return parser.parse_args(argv)
 
 
@@ -84,6 +92,23 @@ class CaptionService:
 
         self._decode = jax.jit(decode)
         self._start_features = start_token_features
+
+        # Cross-connection batching engines (serving.py): every request —
+        # from any TCP connection or stdin — flows through ONE dispatcher
+        # that owns the device.
+        from gan_image_captioning_tpu.serving import (CoalescingBatcher,
+                                                      ContinuousBatcher)
+
+        feat_dim = config.gen_embed_dim
+        self.continuous = None
+        if getattr(args, "serve_continuous", False) \
+                and config.gen_arch == "lstm" and beam == 1:
+            self.continuous = ContinuousBatcher(
+                self.gen_params, config, num_slots=self.batch_size,
+                chunk_steps=getattr(args, "serve_chunk_steps", 8))
+        self.batcher = CoalescingBatcher(
+            lambda f: self._decode(self.gen_params, f),
+            self.batch_size, feat_dim)
         # warm through the REAL request path so the first client request
         # hits the compiled program (requests pad to serve_batch_size)
         self.handle_request({"n": 1})
@@ -120,20 +145,19 @@ class CaptionService:
         else:
             n = int(req.get("n", 1))
             feats = self._features_unconditional(n)
-        # pad to a multiple of the warm batch size and decode in chunks of
-        # exactly serve_batch_size — ONE compiled shape for every request
         feats = np.asarray(feats)
-        pad = (-feats.shape[0]) % self.batch_size
-        if pad:
-            feats = np.concatenate([feats, feats[:1].repeat(pad, 0)])
-        if feats.shape[0] > self.batch_size:
-            parts = [self._decode(self.gen_params, feats[i: i + self.batch_size])
-                     for i in range(0, feats.shape[0], self.batch_size)]
-            ids = np.concatenate([np.asarray(p[0]) for p in parts])
-            lps = np.concatenate([np.asarray(p[1]) for p in parts])
+        if self.continuous is not None:
+            # continuous batching: each row takes a decode slot; rows join
+            # the pool at the next chunk boundary
+            futs = [self.continuous.submit(feats[i])
+                    for i in range(feats.shape[0])]
+            results = [f.result(timeout=120) for f in futs]
+            ids = np.stack([r[0] for r in results])
+            lps = np.asarray([r[1] for r in results])
         else:
-            out = self._decode(self.gen_params, feats)
-            ids, lps = np.asarray(out[0]), np.asarray(out[1])
+            # coalescing dispatcher: this request shares fixed-shape decode
+            # programs with whatever else is in flight
+            ids, lps = self.batcher.submit(feats).result(timeout=120)
         ids, lps = ids[:n], lps[:n]
         captions = [" ".join(ids_to_words(strip_caption(row),
                                           self.index_to_word))
