@@ -101,6 +101,13 @@ def _highway(params: dict, pred):
     return gate * jax.nn.relu(hw) + (1.0 - gate) * pred
 
 
+def _conv_layout() -> str:
+    """GIC_DISC_CONV_LAYOUT ∈ {nchw, nhwc} (measurement flag)."""
+    import os
+
+    return os.environ.get("GIC_DISC_CONV_LAYOUT", "nchw")
+
+
 def _disc_remat() -> bool:
     """GIC_DISC_REMAT=1 recomputes the conv trunk in the backward pass."""
     import os
@@ -137,6 +144,21 @@ def conv_pooled(params: dict, emb, config: Config):
 
         pooled = pooled_features(params["convs"], emb, eds)    # [B, R, F]
         return pooled.reshape(-1, config.disc_feature_dim)
+    if _conv_layout() == "nhwc":
+        # channels-last formulation — TPU's native conv layout (the NCHW
+        # form costs layout transposes around every conv in fwd AND bwd):
+        # input [B, L, E, 1], kernel [f, eds, 1, n], output [B, L', R, n]
+        emb4 = emb[:, :, :, None]
+        pools = []
+        for conv_params in params["convs"]:
+            w = jnp.transpose(conv_params["w"], (2, 3, 1, 0))  # [f,eds,1,n]
+            con = jax.lax.conv_general_dilated(
+                emb4, w, window_strides=(1, eds), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            con = jax.nn.relu(con + conv_params["b"][None, None, None, :])
+            pools.append(jnp.max(con, axis=1))                 # [B, R, n]
+        pred = jnp.concatenate(pools, axis=2)                  # [B, R, F]
+        return pred.reshape(-1, config.disc_feature_dim)
     emb4 = emb[:, None, :, :]                          # [N, 1, L, E]
     pools = []
     for conv_params in params["convs"]:

@@ -166,7 +166,15 @@ def _sample_kernel(decoder_params, features, rng, temperature, seq_len: int,
     Falls back to ``decoupled`` when the carried state is non-default
     (incremental serving decode) — the kernel owns its state internally.
     """
-    if init_states is not None:
+    import os
+
+    if init_states is not None or (
+            jax.default_backend() != "tpu"
+            and os.environ.get("GIC_KERNEL_INTERPRET") != "1"):
+        # Off-TPU the kernel runs in interpret mode whose PRNG is stubbed
+        # to zeros — fine for the exactness tests (which force the path
+        # via GIC_KERNEL_INTERPRET=1) but wrong for real CPU training;
+        # fall back to the equivalent decoupled implementation.
         return _sample_decoupled(decoder_params, features, rng, temperature,
                                  seq_len, pretrain, init_states)
     from gan_image_captioning_tpu.kernels.decode_sample import decode_sample

@@ -6,10 +6,14 @@ mode's noise stream is TPU-hardware-defined and covered by on-TPU
 distribution checks (run when a TPU backend is present).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+os.environ["GIC_KERNEL_INTERPRET"] = "1"  # force the kernel path off-TPU
 
 from gan_image_captioning_tpu.config import Config
 from gan_image_captioning_tpu.kernels.decode_sample import decode_sample

@@ -135,3 +135,31 @@ def test_apply_three_matches_separate_passes():
     np.testing.assert_allclose(np.asarray(g_o),
                                np.asarray(disc_lib.apply(params, soft, cfg)),
                                atol=1e-5)
+
+
+def test_conv_layout_nhwc_matches_nchw(monkeypatch):
+    """The channels-last conv formulation (GIC_DISC_CONV_LAYOUT=nhwc) is
+    numerics-identical (values + grads) to the reference-layout NCHW path."""
+    import numpy as np
+
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import discriminator as d
+
+    config = Config(vocab_size=64, disc_embed_dim=8, disc_num_rep=4,
+                    max_seq_len=6, disc_filter_sizes=(2, 3),
+                    disc_num_filters=(4, 5))
+    params = d.init_discriminator_params(jax.random.PRNGKey(0), config)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (3, config.seq_len, 8))
+
+    def run():
+        def loss(p):
+            return jnp.sum(d.conv_pooled(p, emb, config) ** 2)
+        return jax.value_and_grad(loss)(params)
+
+    monkeypatch.setenv("GIC_DISC_CONV_LAYOUT", "nchw")
+    l1, g1 = run()
+    monkeypatch.setenv("GIC_DISC_CONV_LAYOUT", "nhwc")
+    l2, g2 = run()
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), g1, g2)
