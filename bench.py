@@ -85,9 +85,13 @@ def main():
         # sequential decode scan).  GIC_BENCH_DTYPE=float32 for CPU
         # apples-to-apples runs vs the torch reference.
         dtype=_os.environ.get("GIC_BENCH_DTYPE", "bfloat16"),
-        # decode/disc-kernel overrides for A/B measurements
-        # (GIC_DISC_KERNEL=0/1 is read directly by models/discriminator.py)
-        decode_impl=_os.environ.get("GIC_DECODE_IMPL", "fused"),
+        # Weights-resident Pallas decode kernel + decoupled rescore:
+        # measured 87.4 vs 81.1 steps/s over the fused scan (round-2
+        # matrix, docs/benchmarks.md) — bench default on TPU.
+        # GIC_DECODE_IMPL=fused opts back into the reference-parity scan.
+        decode_impl=_os.environ.get(
+            "GIC_DECODE_IMPL",
+            "kernel" if _jax.default_backend() == "tpu" else "fused"),
     )
     batch_size = config.adv_train_batch_size
 

@@ -157,8 +157,8 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
         kept for signature parity with the jnp sampler.
     Returns:
       greedy:   ids [B, T]
-      sample:   (ids [B, T], noise [T, B, V] f32)
-      pretrain: (ids [B, T], logits [T, B, V] f32)
+      sample:   (ids [B, T], noise [T, B, V] in features.dtype)
+      pretrain: (ids [B, T], logits [T, B, V] in features.dtype)
     """
     del temperature
     B, E = features.shape
@@ -181,7 +181,10 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
     out_specs = [pl.BlockSpec((seq_len, B), lambda t: (0, 0),
                               memory_space=pltpu.VMEM)]
     if n_extra:
-        out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, V), jnp.float32))
+        # noise/logits in the COMPUTE dtype (bf16 in mixed precision):
+        # this is the kernel's dominant HBM write (T·B·V) and the
+        # rescore casts to the compute dtype anyway
+        out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, V), dt))
         out_specs.append(pl.BlockSpec((1, B, V), lambda t: (t, 0, 0),
                                       memory_space=pltpu.VMEM))
 
