@@ -34,7 +34,12 @@ def main(batch_size: int = 64, iters: int = 30):
 
     config = Config(
         vocab_size=11008, gen_embed_dim=512, gen_hidden_dim=512,
-        gen_num_layers=2, max_seq_len=34, dtype="bfloat16")
+        gen_num_layers=2, max_seq_len=34, dtype="bfloat16",
+        # greedy decode routes through the weights-resident Pallas kernel
+        # when decode_impl == "kernel" (GIC_DECODE_IMPL=fused opts out)
+        decode_impl=os.environ.get(
+            "GIC_DECODE_IMPL",
+            "kernel" if jax.default_backend() == "tpu" else "fused"))
     gen_params = api.init_generator(jax.random.PRNGKey(0), config)
     gen_params = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
