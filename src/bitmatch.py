@@ -54,12 +54,52 @@ def main(argv=None):
     if "generator" in sd:
         sd = sd["generator"]
     params = generator_from_torch(sd, config.gen_num_layers,
-                                  with_encoder=False)
+                                  with_encoder=bool(config.cgan))
 
-    # --- ours: jitted greedy scan
     batch = min(args.num_samples, 64)
-    feats = gen_lib.start_token_features(params["decoder"], batch)
-    _, ours = gen_lib.sample_jit(params["decoder"], feats,
+    if config.cgan:
+        # conditional: identical val images through BOTH encoders — ours
+        # (functional JAX ResNet-18, eval-mode BN) vs the reference's own
+        # Encoder module (generator.py:8-25, real-ResNet torchvision stub
+        # from scripts/train_reference.py) — then greedy-decode from each
+        # framework's own features.
+        import jax.numpy as jnp
+
+        from gan_image_captioning_tpu.models import encoder as enc_lib
+
+        batch = min(batch, len(val_ds))
+        imgs = np.stack([np.asarray(val_ds.sample(i)[1])
+                         for i in range(batch)])
+        feats_j, _ = enc_lib.encode(params["encoder"], jnp.asarray(imgs),
+                                    config, train=False)
+        feats = np.asarray(feats_j)
+
+        scripts_dir = os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "scripts")
+        sys.path.insert(0, scripts_dir)
+        from train_reference import REF_SRC, install_stubs
+
+        install_stubs()
+        sys.path.insert(0, REF_SRC)
+        from generator import Encoder as RefEncoder  # reference module
+
+        import argparse as _ap
+
+        ref_enc = RefEncoder(_ap.Namespace(gen_embed_dim=config.gen_embed_dim))
+        enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+                  if k.startswith("encoder.")}
+        ref_enc.load_state_dict(enc_sd)
+        ref_enc.eval()
+        with torch.no_grad():
+            feats_torch = ref_enc(torch.tensor(imgs)).numpy()
+        feat_maxdiff = float(np.abs(feats - feats_torch).max())
+    else:
+        feats = gen_lib.start_token_features(params["decoder"], batch)
+        feats_torch = np.asarray(feats)
+        feat_maxdiff = 0.0
+    import jax.numpy as jnp
+
+    _, ours = gen_lib.sample_jit(params["decoder"], jnp.asarray(feats),
                                  jax.random.PRNGKey(0), 1.0, config.seq_len,
                                  True)
     ours = np.asarray(ours)
@@ -79,7 +119,7 @@ def main(argv=None):
         linear.weight.copy_(torch.tensor(np.asarray(params["decoder"]["linear"]["w"])))
         linear.bias.copy_(torch.tensor(np.asarray(params["decoder"]["linear"]["b"])))
 
-    inputs = torch.tensor(np.asarray(feats)).unsqueeze(1)
+    inputs = torch.tensor(np.asarray(feats_torch)).unsqueeze(1)
     states, theirs = None, []
     with torch.no_grad():
         for _ in range(config.seq_len):
@@ -94,7 +134,9 @@ def main(argv=None):
     seq_match = float((ours == theirs).all(axis=1).mean())
     print(json.dumps({"sequences": int(ours.shape[0]),
                       "token_match": round(token_match, 6),
-                      "seq_match": round(seq_match, 6)}))
+                      "seq_match": round(seq_match, 6),
+                      "feature_maxdiff": round(feat_maxdiff, 8),
+                      "conditional": int(config.cgan)}))
     return token_match
 
 
