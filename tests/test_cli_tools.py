@@ -83,3 +83,54 @@ def test_build_vocab_cli(tmp_path, capsys):
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert out[0]["split"] == "train" and out[0]["vocab_size"] > 4
     assert os.path.exists(os.path.join(str(tmp_path), "train_2.pkl"))
+
+
+@pytest.mark.slow
+def test_bitmatch_cli_conditional(tmp_path, capsys):
+    """Conditional bit-match: fabricated reference checkpoint with a REAL
+    ResNet-18 encoder (scripts/train_reference stubs) — our functional
+    encoder + jitted decode must reproduce the reference Encoder+decode
+    loop token-for-token on mini-COCO val images."""
+    import sys as _sys
+
+    import torch.nn as nn
+
+    from src.bitmatch import main
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(repo, "scripts"))
+    from train_reference import install_stubs
+
+    install_stubs()
+    import torchvision.models as tvm  # the real-ResNet stub
+
+    torch.manual_seed(0)
+    V, E, H = 31, 16, 24
+    resnet = tvm.resnet18()
+    resnet_seq = nn.Sequential(*list(resnet.children())[:-1])
+    proj = nn.Linear(512, E)
+    bn = nn.BatchNorm1d(E, momentum=0.01)
+    embed, lstm, lin = (nn.Embedding(V, E),
+                        nn.LSTM(E, H, 1, batch_first=True), nn.Linear(H, V))
+    sd = {"decoder.embed.weight": embed.weight.detach(),
+          "decoder.linear.weight": lin.weight.detach(),
+          "decoder.linear.bias": lin.bias.detach(),
+          "encoder.linear.weight": proj.weight.detach(),
+          "encoder.linear.bias": proj.bias.detach()}
+    for n in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+        sd[f"decoder.lstm.{n}_l0"] = getattr(lstm, f"{n}_l0").detach()
+    for k, v in resnet_seq.state_dict().items():
+        sd[f"encoder.resnet.{k}"] = v
+    for k, v in bn.state_dict().items():
+        if "num_batches" not in k:
+            sd[f"encoder.bn.{k}"] = v
+    ckpt = os.path.join(str(tmp_path), "ref_cond.ckpt")
+    torch.save(sd, ckpt)
+
+    match = main(["--torch-ckpt", ckpt, "--dataset", "coco",
+                  "--data-dir", os.path.join(repo, "data", "mini_coco"),
+                  "--conditional-gan", "1", "--image-size", "64",
+                  "--gen-embed-dim", str(E), "--gen-hidden-dim", str(H),
+                  "--gen-num-layers", "1", "--max-seq-len", "7",
+                  "--captions-per-image", "5", "--num-samples", "8"])
+    assert match == 1.0
