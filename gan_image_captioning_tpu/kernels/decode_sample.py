@@ -101,12 +101,18 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
         c_ref[l] = c.astype(c_ref.dtype)
         h_ref[l] = h.astype(h_ref.dtype)
         x = h.astype(x_ref.dtype)
+        if mode == "sample_resid":
+            # BPTT residuals for the manual backward (generator.py
+            # _sample_kernel_vjp): pre-activation gates + post-step (h, c)
+            hs_ref, cs_ref, gates_ref = out_refs[2], out_refs[3], out_refs[4]
+            hs_ref[0, l] = h.astype(hs_ref.dtype)
+            cs_ref[0, l] = c.astype(cs_ref.dtype)
+            gates_ref[0, l] = gates.astype(gates_ref.dtype)
 
     logits = (jnp.dot(x, wp_ref[:], preferred_element_type=jnp.float32)
               + bp_ref[:].astype(jnp.float32))          # [B, V] f32
 
-    if mode == "sample":
-        noise_ref = out_refs[1]
+    if mode in ("sample", "sample_resid"):
         if interpret:
             # the interpreter has no on-core PRNG — zero-noise stand-in
             # (plumbing tests only; the real stream is TPU hardware)
@@ -117,8 +123,16 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
             top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
             u = top24.astype(jnp.float32) * (1.0 / (1 << 24))
         g = -jnp.log(-jnp.log(u + _EPS) + _EPS)
-        noise_ref[0] = g.astype(noise_ref.dtype)
         scores = logits + g
+        if mode == "sample":
+            out_refs[1][0] = g.astype(out_refs[1].dtype)
+        else:
+            # soft sample (the discriminator's input) computed on-core:
+            # softmax(temperature · scores) — reference generator.py:68-69
+            sc = scores * temp_ref[0]
+            e = jnp.exp(sc - jnp.max(sc, axis=-1, keepdims=True))
+            soft = e / jnp.sum(e, axis=-1, keepdims=True)
+            out_refs[1][0] = soft.astype(out_refs[1].dtype)
     else:
         scores = logits
         if mode == "pretrain":
@@ -160,7 +174,8 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
       sample:   (ids [B, T], noise [T, B, V] in features.dtype)
       pretrain: (ids [B, T], logits [T, B, V] in features.dtype)
     """
-    del temperature
+    # temperature only affects the SOFT output (argmax is scale-invariant);
+    # greedy/sample/pretrain modes ignore it, sample_resid softmaxes with it
     B, E = features.shape
     nl = len(lstm_layers)
     H = lstm_layers[0]["w_hh"].shape[1]
@@ -176,17 +191,24 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
                       (p["b_ih"] + p["b_hh"])[None, :]]
 
     weight_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_extra = {"greedy": 0, "sample": 1, "pretrain": 1}[mode]
+    n_extra = {"greedy": 0, "sample": 1, "pretrain": 1, "sample_resid": 4}[mode]
     out_shapes = [jax.ShapeDtypeStruct((seq_len, B), jnp.int32)]
     out_specs = [pl.BlockSpec((seq_len, B), lambda t: (0, 0),
                               memory_space=pltpu.VMEM)]
     if n_extra:
-        # noise/logits in the COMPUTE dtype (bf16 in mixed precision):
-        # this is the kernel's dominant HBM write (T·B·V) and the
-        # rescore casts to the compute dtype anyway
+        # noise/logits/soft in the COMPUTE dtype (bf16 in mixed
+        # precision): this is the kernel's dominant HBM write (T·B·V) and
+        # the consumers cast to the compute dtype anyway
         out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, V), dt))
         out_specs.append(pl.BlockSpec((1, B, V), lambda t: (t, 0, 0),
                                       memory_space=pltpu.VMEM))
+    if mode == "sample_resid":
+        for width in (H, H, 4 * H):                      # hs, cs, gates
+            out_shapes.append(
+                jax.ShapeDtypeStruct((seq_len, nl, B, width), dt))
+            out_specs.append(pl.BlockSpec(
+                (1, nl, B, width), lambda t: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
         functools.partial(_kernel, nl=nl, mode=mode, T=seq_len,
@@ -209,10 +231,15 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=_interpret(),
-    )(jnp.asarray([seed], jnp.int32), jnp.asarray([0.0], jnp.float32),
+    )(jnp.asarray([seed], jnp.int32),
+      jnp.asarray(temperature, jnp.float32).reshape(1),
       features, wp, bp, embed, *layer_ins)
 
-    ids = outs[0].T if isinstance(outs, (tuple, list)) else outs.T
+    if not isinstance(outs, (tuple, list)):
+        return outs.T
+    ids = outs[0].T
+    if mode == "sample_resid":
+        return (ids,) + tuple(outs[1:])   # soft, hs, cs, gates (time-major)
     if n_extra:
         return ids, outs[1]
     return ids

