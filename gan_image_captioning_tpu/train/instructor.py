@@ -83,6 +83,15 @@ class GANInstructor:
         # per parallel/sharding.py's dp/tp rules and every batch over 'data';
         # the SAME jitted steps then run SPMD with XLA collectives.
         self.mesh = None
+        if config.mesh and config.decode_impl == "kernel":
+            # The Pallas decode kernel is a single-device program — GSPMD
+            # cannot partition a custom call over dp/tp.  Fall back to the
+            # mathematically identical decoupled implementation (same
+            # structure the kernel's VJP mirrors), which shards.
+            config = config.replace(decode_impl="decoupled")
+            self.config = config
+            self.log.info("--mesh active: decode-impl kernel → decoupled "
+                          "(Pallas custom calls do not partition)")
         if config.mesh:
             from gan_image_captioning_tpu.parallel.mesh import make_mesh
             from gan_image_captioning_tpu.parallel.sharding import (

@@ -183,3 +183,27 @@ def test_sequence_parallel_transformer_mle(devices8):
     w_ref = np.asarray(state_ref.gen_params["decoder"]["linear"]["w"])
     w_sh = np.asarray(jax.device_get(state_sh.gen_params["decoder"]["linear"]["w"]))
     np.testing.assert_allclose(w_ref, w_sh, atol=2e-5)
+
+
+def test_mesh_kernel_decode_falls_back(tmp_path):
+    """--mesh + --decode-impl kernel: the instructor must swap to the
+    equivalent decoupled implementation (Pallas custom calls do not
+    partition under GSPMD) and train normally."""
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.data.synthetic import SyntheticCaptions
+    from gan_image_captioning_tpu.train.instructor import GANInstructor
+
+    config = Config(vocab_size=0, gen_embed_dim=16, gen_hidden_dim=32,
+                    gen_num_layers=1, max_seq_len=8, disc_embed_dim=8,
+                    disc_num_rep=4, disc_filter_sizes=(2, 3),
+                    disc_num_filters=(4, 4), pre_train_batch_size=8,
+                    adv_train_batch_size=8, pretrain_epochs=1, adv_epochs=1,
+                    conditional_gan=0, mesh="data:8", decode_impl="kernel",
+                    save_dir=str(tmp_path), model_dir=str(tmp_path),
+                    dataset="synthetic")
+    train = SyntheticCaptions("train", num_items=32, conditional=False)
+    val = SyntheticCaptions("val", num_items=16, conditional=False)
+    config = config.replace(vocab_size=train.vocab_size)
+    inst = GANInstructor(config, train, val)
+    assert inst.config.decode_impl == "decoupled"
+    inst._run()
