@@ -299,12 +299,70 @@ def fuse_bank_params(convs, eds: int):
     return w_all, b_all, banks
 
 
-def pooled_features(convs, emb, eds: int):
+def pooled_features(convs, emb, eds: int, impl: str = "pallas"):
     """``[B, R, F]`` pooled conv features from embedded tokens [B, L, E] —
     the fused twin of the jnp conv/relu/maxpool path in
-    ``models/discriminator.py:apply_embedded``."""
+    ``models/discriminator.py:apply_embedded``.
+
+    ``impl``: 'pallas' = Pallas forward + backward; 'hybrid' = XLA conv
+    forward + Pallas backward (fastest measured combination).
+    """
     w_all, b_all, banks = fuse_bank_params(convs, eds)
     maxf = max(f for _, f in banks)
     r = emb.shape[-1] // eds
     emb_pad = jnp.pad(emb, ((0, 0), (0, maxf - 1), (0, 0)))
-    return conv_relu_maxpool(emb_pad, w_all, b_all, banks, r, eds)
+    fn = conv_relu_maxpool_hybrid if impl == "hybrid" else conv_relu_maxpool
+    return fn(emb_pad, w_all, b_all, banks, r, eds)
+
+
+# ------------------------------------------------------------------- hybrid
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv_relu_maxpool_hybrid(emb_pad, w_all, b_all, banks, R: int, eds: int):
+    """Best-of-both engines: XLA conv forward + Pallas backward.
+
+    Measured (docs/benchmarks.md): the Pallas FORWARD is ~0.8 ms slower
+    than XLA's conv+relu+max (the tap loop is VPU-bound where XLA's conv
+    fuses better), but the Pallas BACKWARD is ~2.5 ms faster (no [B, N,
+    L', R] cotangent maps in HBM).  The backward kernel's only residuals
+    are the pooled values and their argmax indices — which the XLA forward
+    produces directly (channels-last conv → max+argmax over time), so the
+    two engines compose exactly: ``_vjp_bwd`` is shared verbatim.
+
+    Same contract as :func:`conv_relu_maxpool`.
+    """
+    pooled, _ = _hybrid_forward(emb_pad, w_all, b_all, banks, R, eds)
+    return jnp.concatenate(pooled, axis=-1)
+
+
+def _hybrid_forward(emb_pad, w_all, b_all, banks, R, eds):
+    maxf = max(f for _, f in banks)
+    b_sz, lp, _ = emb_pad.shape
+    L = lp - maxf + 1
+    pooled, idxs = [], []
+    n_off = 0
+    for n, f in banks:
+        w = w_all[n_off:n_off + n, :f * eds]               # [n, f*eds]
+        kern = jnp.transpose(w.reshape(n, f, eds), (1, 2, 0))  # [f, eds, n]
+        # channels-last conv over the REAL rows only (a tap into the zero
+        # time-padding could win the relu'd max): spatial dims (time, E)
+        # with stride eds over E → one output column per rep; VALID over
+        # L rows gives exactly the kernel's lv = L - f + 1 positions
+        src = emb_pad[:, :L, :, None]                      # [B, L, E, 1]
+        con = jax.lax.conv_general_dilated(
+            src, kern[:, :, None, :],                      # [f, eds, 1, n]
+            window_strides=(1, eds), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))    # [B, lv, R, n]
+        con = jax.nn.relu(con + b_all[n_off:n_off + n][None, None, None, :])
+        pooled.append(jnp.max(con, axis=1))                # [B, R, n]
+        idxs.append(jnp.argmax(con, axis=1).astype(jnp.int32))
+        n_off += n
+    return pooled, idxs
+
+
+def _hybrid_vjp_fwd(emb_pad, w_all, b_all, banks, R, eds):
+    pooled, idxs = _hybrid_forward(emb_pad, w_all, b_all, banks, R, eds)
+    return jnp.concatenate(pooled, axis=-1), (emb_pad, w_all, pooled, idxs)
+
+
+conv_relu_maxpool_hybrid.defvjp(_hybrid_vjp_fwd, _vjp_bwd)

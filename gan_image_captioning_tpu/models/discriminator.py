@@ -130,19 +130,23 @@ def _use_conv_kernel(config: Config) -> bool:
     from gan_image_captioning_tpu.kernels.disc_conv import kernel_supported
 
     env = os.environ.get("GIC_DISC_KERNEL")
-    if env is not None:
-        return env == "1" and kernel_supported(config.emb_dim_single)
-    return False
+    if env == "1" and kernel_supported(config.emb_dim_single):
+        return "pallas"
+    if env == "2" and kernel_supported(config.emb_dim_single):
+        return "hybrid"   # XLA conv forward + Pallas backward
+    return ""
 
 
 def conv_pooled(params: dict, emb, config: Config):
     """Pooled conv features ``[(N·R), F]`` from embedded input [N, L, E] —
     conv banks → bias → relu → max over time (discriminator.py:42-45)."""
     eds = config.emb_dim_single
-    if _use_conv_kernel(config):
+    kernel_impl = _use_conv_kernel(config)
+    if kernel_impl:
         from gan_image_captioning_tpu.kernels.disc_conv import pooled_features
 
-        pooled = pooled_features(params["convs"], emb, eds)    # [B, R, F]
+        pooled = pooled_features(params["convs"], emb, eds,
+                                 impl=kernel_impl)             # [B, R, F]
         return pooled.reshape(-1, config.disc_feature_dim)
     if _conv_layout() == "nhwc":
         # channels-last formulation — TPU's native conv layout (the NCHW

@@ -125,3 +125,30 @@ def test_adv_gradients_with_kernel(monkeypatch):
     for a, b in zip(flat_k, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_hybrid_matches_xla(monkeypatch):
+    """GIC_DISC_KERNEL=2 (XLA conv forward + Pallas backward): values and
+    all parameter gradients equal the pure-XLA path."""
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import discriminator as d
+
+    config = Config(vocab_size=64, disc_embed_dim=12, disc_num_rep=4,
+                    max_seq_len=7, disc_filter_sizes=(2, 3, 4),
+                    disc_num_filters=(4, 5, 6))
+    params = d.init_discriminator_params(jax.random.PRNGKey(2), config)
+    emb = jax.random.normal(jax.random.PRNGKey(3), (3, config.seq_len, 12))
+
+    def run(env):
+        monkeypatch.setenv("GIC_DISC_KERNEL", env)
+
+        def loss(p):
+            return jnp.sum(d.conv_pooled(p, emb, config) ** 2)
+
+        return jax.value_and_grad(loss)(params)
+
+    l0, g0 = run("")
+    l2, g2 = run("2")
+    np.testing.assert_allclose(float(l0), float(l2), rtol=1e-5)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), g0, g2)
