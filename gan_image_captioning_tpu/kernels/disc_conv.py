@@ -33,11 +33,15 @@ time, sublane ``R``, lane ``n``:
 
 Mosaic constraints encoded here (learned from lowering failures): no
 lane concat at non-tile offsets (banks processed separately, per-bank
-outputs); no scatter-add / dynamic_update_slice on values (tap shifts in
-the backward are ``pltpu.roll`` over a full-length buffer whose wrapped
-rows are structurally zero); comparisons in f32/int32 only; argmax =
-min-index-of-max via iota compare; 16 M default scoped-VMEM raised via
-CompilerParams.
+outputs); comparisons in f32/int32 only; 16 M default scoped-VMEM raised
+via CompilerParams.
+
+Two engines (selected by models/discriminator.py via GIC_DISC_KERNEL):
+``1`` = Pallas forward + backward (:func:`conv_relu_maxpool`); ``2`` =
+HYBRID (:func:`conv_relu_maxpool_hybrid`): XLA's fused conv/relu/max
+forward (faster than the VPU tap loop) + this module's Pallas backward
+(faster than XLA's cotangent-map backward) — they compose exactly because
+the backward's only residuals are the pooled values and argmax indices.
 """
 
 from __future__ import annotations
