@@ -65,11 +65,12 @@ def main():
     gumbel_ops.set_use_pallas(
         _os.environ.get("GIC_BENCH_PALLAS", "1") == "1"
         and _jax.default_backend() == "tpu")
-    # Fused disc conv/relu/maxpool kernel: 92.7 vs 90.0 steps/s mean
-    # (3 reps each) under the kernel decode path — bench default ON for
+    # Disc conv engine: the HYBRID (XLA conv forward + Pallas backward,
+    # GIC_DISC_KERNEL=2) measured 102.9 steps/s vs 92.7 (full Pallas) vs
+    # 90.0 (pure XLA) under the kernel decode path — bench default for
     # TPU (GIC_DISC_KERNEL=0 opts out; docs/benchmarks.md round-2 matrix).
     if _jax.default_backend() == "tpu":
-        _os.environ.setdefault("GIC_DISC_KERNEL", "1")
+        _os.environ.setdefault("GIC_DISC_KERNEL", "2")
     from gan_image_captioning_tpu.config import Config
     from gan_image_captioning_tpu.data.loader import make_batch
     from gan_image_captioning_tpu.train.state import create_train_state
