@@ -115,15 +115,16 @@ def _disc_remat() -> bool:
     return os.environ.get("GIC_DISC_REMAT", "0") == "1"
 
 
-def _use_conv_kernel(config: Config) -> bool:
-    """Route the conv/relu/maxpool chain through the fused Pallas kernel
-    (kernels/disc_conv.py) — numerics-equivalent (gradient-tested), it only
-    changes WHERE the activation maps live (VMEM instead of ~6 GB/step of
-    HBM traffic, the measured byte sink of the adversarial step: the fused
-    step drops 10.9 → 3.3 GB).  Default OFF pending kernel-compute
-    optimization: the first VPU formulation's tap loops run slower than the
-    HBM time they save (59.7 vs 77 steps/s measured) — the step flips from
-    memory- to compute-bound.  GIC_DISC_KERNEL=1 opts in.
+def _use_conv_kernel(config: Config) -> str:
+    """Select the disc conv engine (kernels/disc_conv.py) — all
+    numerics-equivalent (gradient-tested):
+
+      GIC_DISC_KERNEL=1 → 'pallas' (Pallas forward + backward)
+      GIC_DISC_KERNEL=2 → 'hybrid' (XLA conv forward + Pallas backward —
+                          fastest measured: 102.9 vs 90.0 steps/s on the
+                          kernel-decode adversarial step; bench default)
+      unset/0           → '' (pure XLA path; reference-parity default for
+                          training runs)
     """
     import os
 
