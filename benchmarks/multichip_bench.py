@@ -64,7 +64,8 @@ def measure(mesh_spec, per_device_batch, config_base):
     float(metrics["gen_adv_loss"])
     dt = time.perf_counter() - t0
     sps = ITERS / dt
-    return {"mesh": mesh_spec or "single", "devices": len(jax.devices()),
+    return {"mesh": mesh_spec or "single",
+            "devices": mesh.size if mesh is not None else 1,
             "global_batch": batch_size,
             "steps_per_sec": round(sps, 3),
             "samples_per_sec": round(sps * batch_size, 1)}
@@ -92,18 +93,27 @@ def main():
     per_dev = int(os.environ.get("GIC_BENCH_BATCH", "8" if small else "64"))
 
     explicit = os.environ.get("GIC_MESH")
-    specs = [explicit] if explicit else (
-        [None] + ([f"data:{n}"] if n > 1 else []))
+    if explicit:
+        # single-device baseline first so the explicit mesh's weak-scaling
+        # efficiency is vs the true 1-device rate (divided by the mesh's
+        # OWN device count, not the host's total)
+        specs = [None, explicit]
+    else:
+        # dp-scaling ladder: 1 → 2 → 4 → … → n devices
+        ladder, k = [], 2
+        while k <= n:
+            ladder.append(f"data:{k}")
+            k *= 2
+        specs = [None] + ladder
     base = None
     for spec in specs:
         r = measure(spec, per_dev, config)
         if base is None:
-            base = r["samples_per_sec"]
+            base = r["samples_per_sec"]          # the 1-device rate
+        # weak scaling (per-device batch fixed): perfect = base × devices
         r["scaling_efficiency"] = round(
-            r["samples_per_sec"] / (base * max(1, r["devices"]
-                                               if spec else 1)), 3) \
-            if spec else 1.0
-        print(json.dumps(r))
+            r["samples_per_sec"] / (base * r["devices"]), 3)
+        print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

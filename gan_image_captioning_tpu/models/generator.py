@@ -130,12 +130,16 @@ def _decode_impl_default() -> str:
 def sample(decoder_params, features, rng, temperature, seq_len: int,
            pretrain: bool = False, init_states=None, impl: Optional[str] = None):
     """Free-running decode — reference ``Decoder.sample``
-    (``generator.py:55-81``).  Dispatches between two mathematically
-    equivalent implementations (same ids, same outputs, same gradients):
+    (``generator.py:55-81``).  Dispatches between mathematically equivalent
+    implementations (same ids, same outputs, same gradients):
 
-    * ``decoupled`` (default): sampling scan + batched rescore —
-      :func:`_sample_decoupled`, the TPU HBM-roofline restructure.
-    * ``fused``: the single differentiable scan — :func:`_sample_fused`.
+    * ``fused`` (default, ``_decode_impl_default``): the single
+      differentiable scan — :func:`_sample_fused`.
+    * ``decoupled``: sampling scan + batched rescore —
+      :func:`_sample_decoupled` (flag-gated restructure; the shape policy-
+      gradient rescoring and weaker-scan-transpose backends want).
+    * ``kernel``: weights-resident Pallas decode (TPU production path,
+      ``--decode-impl kernel`` — the bench default on TPU).
     """
     if impl is None:
         impl = _decode_impl_default()

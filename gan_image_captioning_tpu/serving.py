@@ -99,21 +99,30 @@ class CoalescingBatcher:
                     continue
                 pending.append(nxt)
                 rows += nxt[0].shape[0]
-            feats = np.concatenate([f for f, _ in pending], axis=0)
-            n = feats.shape[0]
-            pad = (-n) % self.batch_size
-            if pad:
-                feats = np.concatenate(
-                    [feats, np.repeat(feats[:1], pad, axis=0)])
-            ids_parts, lp_parts = [], []
-            for i in range(0, feats.shape[0], self.batch_size):
-                ids, lps = self._decode(
-                    jnp.asarray(feats[i:i + self.batch_size]))
-                ids_parts.append(np.asarray(ids))
-                lp_parts.append(np.asarray(lps))
-                self.device_calls += 1
-            ids = np.concatenate(ids_parts)[:n]
-            lps = np.concatenate(lp_parts)[:n]
+            # One bad request (mis-shaped feature rows, a poisoned decode)
+            # must fail ITS futures, not kill the dispatcher thread — a dead
+            # dispatcher would hang every later request until timeout.
+            try:
+                feats = np.concatenate([f for f, _ in pending], axis=0)
+                n = feats.shape[0]
+                pad = (-n) % self.batch_size
+                if pad:
+                    feats = np.concatenate(
+                        [feats, np.repeat(feats[:1], pad, axis=0)])
+                ids_parts, lp_parts = [], []
+                for i in range(0, feats.shape[0], self.batch_size):
+                    ids, lps = self._decode(
+                        jnp.asarray(feats[i:i + self.batch_size]))
+                    ids_parts.append(np.asarray(ids))
+                    lp_parts.append(np.asarray(lps))
+                    self.device_calls += 1
+                ids = np.concatenate(ids_parts)[:n]
+                lps = np.concatenate(lp_parts)[:n]
+            except Exception as exc:
+                for _, fut in pending:
+                    if not fut.done():
+                        fut.set_exception(exc)
+                continue
             off = 0
             for f, fut in pending:
                 k = f.shape[0]
@@ -210,10 +219,27 @@ class ContinuousBatcher:
                 feats, fut = self._q.get_nowait()
             except queue.Empty:
                 return
-            self._state, self._x = self._reset(
-                self._state, self._x, i, jnp.asarray(feats))
+            try:
+                self._state, self._x = self._reset(
+                    self._state, self._x, i, jnp.asarray(feats))
+            except Exception as exc:
+                # a mis-shaped feature row fails ITS request only; the slot
+                # stays free and the dispatcher keeps serving
+                if not fut.done():
+                    fut.set_exception(exc)
+                continue
             self._slot_t[i] = 0
             self._slot_fut[i] = fut
+
+    def _fail_active_slots(self, exc: Exception):
+        """Resolve every active slot's future with ``exc`` and free the
+        slots, keeping the dispatcher thread alive for later requests."""
+        for i in range(self.B):
+            if self._slot_t[i] >= 0 and self._slot_fut[i] is not None:
+                if not self._slot_fut[i].done():
+                    self._slot_fut[i].set_exception(exc)
+                self._slot_t[i] = -1
+                self._slot_fut[i] = None
 
     def _loop(self):
         while not self._stop:
@@ -224,8 +250,12 @@ class ContinuousBatcher:
             self._fill_free_slots()
             if not (self._slot_t >= 0).any():
                 continue
-            self._state, self._x, ids_k, lps_k = self._advance(
-                self._state, self._x)
+            try:
+                self._state, self._x, ids_k, lps_k = self._advance(
+                    self._state, self._x)
+            except Exception as exc:
+                self._fail_active_slots(exc)
+                continue
             self.device_calls += 1
             ids_k = np.asarray(ids_k)
             lps_k = np.asarray(lps_k)

@@ -211,7 +211,7 @@ def reinforce_losses(config: Config, gen_params, disc_params, batch, rng,
     categorical, no relaxation to anneal.
     """
     del temperature
-    rng_sample, rng_roll, rng_base = jax.random.split(rng, 3)
+    rng_sample, rng_roll, rng_d1, rng_d2, rng_base = jax.random.split(rng, 5)
     gen_params_c, disc_params, batch_c = _compute_cast(
         config, gen_params, disc_params, batch)
     cond, new_stats = api.generator_condition(config, gen_params_c, batch_c,
@@ -226,10 +226,12 @@ def reinforce_losses(config: Config, gen_params, disc_params, batch, rng,
     gen_ids = jax.lax.stop_gradient(gen_ids)
 
     # --- discriminator loss: real ids vs sampled ids (both int gathers) ---
+    # independent dropout keys per pass (matches steps.adv_losses — a shared
+    # key would give real and fake batches identical dropout masks)
     d_real = api.discriminator_apply(disc_params, captions, config,
-                                     rng_base, train).astype(jnp.float32)
+                                     rng_d1, train).astype(jnp.float32)
     d_fake = api.discriminator_apply(disc_params, gen_ids, config,
-                                     rng_base, train).astype(jnp.float32)
+                                     rng_d2, train).astype(jnp.float32)
     w = batch.get("weights")
     w_rep = (None if w is None
              else jnp.repeat(w, api.disc_logits_per_sample(config)))

@@ -69,8 +69,10 @@ def train_reference(workdir, cfg, pretrain_epochs, adv_epochs):
            "--conditional-gan", "1" if cfg == 2 else "0",
            "--image-size", "64"] + DIMS
     lines = run(cmd)
-    # train_reference prints ckpt path(s) last: pretrained[, adv]
-    return lines[-1] if (cfg == 3 and adv_epochs) else lines[-1 if cfg != 3 else -2]
+    # train_reference prints the checkpoint path(s) last: the adv ckpt only
+    # when adversarial epochs actually ran, else just the pretrained ckpt —
+    # so lines[-1] is always the checkpoint this config should evaluate.
+    return lines[-1]
 
 
 def convert(torch_ckpt, out, vocab_size, cfg):
