@@ -69,7 +69,13 @@ def _avalanche(seed):
 def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
             *layer_and_out_refs, nl, mode, T, interpret):
     layer_refs = layer_and_out_refs[:3 * nl]
-    out_refs = layer_and_out_refs[3 * nl:]
+    rest = layer_and_out_refs[3 * nl:]
+    if mode == "sample_embed":
+        # disc-embedding weight (transposed [V, Ed]) rides along so the
+        # soft sample can be contracted on-core — the [T, B, V] tensor
+        # never leaves VMEM (docs/benchmarks.md round-3 fusion)
+        wd_ref, rest = rest[0], rest[1:]
+    out_refs = rest
     ids_ref = out_refs[0]
     x_ref, h_ref, c_ref = out_refs[-3:]
 
@@ -101,7 +107,7 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
         c_ref[l] = c.astype(c_ref.dtype)
         h_ref[l] = h.astype(h_ref.dtype)
         x = h.astype(x_ref.dtype)
-        if mode == "sample_resid":
+        if mode in ("sample_resid", "sample_embed"):
             # BPTT residuals for the manual backward (generator.py
             # _sample_kernel_vjp): pre-activation gates + post-step (h, c)
             hs_ref, cs_ref, gates_ref = out_refs[2], out_refs[3], out_refs[4]
@@ -112,7 +118,7 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
     logits = (jnp.dot(x, wp_ref[:], preferred_element_type=jnp.float32)
               + bp_ref[:].astype(jnp.float32))          # [B, V] f32
 
-    if mode in ("sample", "sample_resid"):
+    if mode in ("sample", "sample_resid", "sample_embed"):
         if interpret:
             # the interpreter has no on-core PRNG — zero-noise stand-in
             # (plumbing tests only; the real stream is TPU hardware)
@@ -132,7 +138,16 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
             sc = scores * temp_ref[0]
             e = jnp.exp(sc - jnp.max(sc, axis=-1, keepdims=True))
             soft = e / jnp.sum(e, axis=-1, keepdims=True)
-            out_refs[1][0] = soft.astype(out_refs[1].dtype)
+            if mode == "sample_embed":
+                # fuse the discriminator's embedding contraction
+                # (soft @ Wd.T, reference discriminator.py:20,40) on-core:
+                # the step writes [B, Ed] instead of [B, V] — the kernel's
+                # dominant HBM write shrinks by V/Ed (~170× at flagship)
+                de = jnp.dot(soft.astype(out_refs[1].dtype), wd_ref[:],
+                             preferred_element_type=jnp.float32)
+                out_refs[1][0] = de.astype(out_refs[1].dtype)
+            else:
+                out_refs[1][0] = soft.astype(out_refs[1].dtype)
     else:
         scores = logits
         if mode == "pretrain":
@@ -154,7 +169,7 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
 
 def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
                   embed, seq_len: int, mode: str = "greedy",
-                  seed=0, temperature=1.0):
+                  seed=0, temperature=1.0, disc_embed=None):
     """Run the full T-step sampling decode on-core.
 
     Args:
@@ -165,14 +180,20 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
       b_proj: [V].
       embed: [V, E] embedding table.
       seq_len: static decode length T.
-      mode: 'greedy' | 'sample' | 'pretrain' (see module docstring).
+      mode: 'greedy' | 'sample' | 'pretrain' | 'sample_resid' |
+        'sample_embed' (see module docstring).
       seed: int32 scalar for the on-core PRNG (sample mode).
       temperature: unused by the kernel itself (argmax is scale-invariant);
         kept for signature parity with the jnp sampler.
+      disc_embed: [Ed, V] discriminator embedding (torch bias-free Linear
+        layout) — required by mode 'sample_embed' only.
     Returns:
-      greedy:   ids [B, T]
-      sample:   (ids [B, T], noise [T, B, V] in features.dtype)
-      pretrain: (ids [B, T], logits [T, B, V] in features.dtype)
+      greedy:       ids [B, T]
+      sample:       (ids [B, T], noise [T, B, V] in features.dtype)
+      pretrain:     (ids [B, T], logits [T, B, V] in features.dtype)
+      sample_resid: (ids, soft [T,B,V], hs, cs, gates)
+      sample_embed: (ids, emb [T,B,Ed], hs, cs, gates) — the soft sample
+        contracted into the disc embedding on-core (never hits HBM)
     """
     # temperature only affects the SOFT output (argmax is scale-invariant);
     # greedy/sample/pretrain modes ignore it, sample_resid softmaxes with it
@@ -191,24 +212,37 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
                       (p["b_ih"] + p["b_hh"])[None, :]]
 
     weight_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    n_extra = {"greedy": 0, "sample": 1, "pretrain": 1, "sample_resid": 4}[mode]
+    n_extra = {"greedy": 0, "sample": 1, "pretrain": 1, "sample_resid": 4,
+               "sample_embed": 4}[mode]
     out_shapes = [jax.ShapeDtypeStruct((seq_len, B), jnp.int32)]
     out_specs = [pl.BlockSpec((seq_len, B), lambda t: (0, 0),
                               memory_space=pltpu.VMEM)]
     if n_extra:
-        # noise/logits/soft in the COMPUTE dtype (bf16 in mixed
-        # precision): this is the kernel's dominant HBM write (T·B·V) and
-        # the consumers cast to the compute dtype anyway
-        out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, V), dt))
-        out_specs.append(pl.BlockSpec((1, B, V), lambda t: (t, 0, 0),
-                                      memory_space=pltpu.VMEM))
-    if mode == "sample_resid":
+        if mode == "sample_embed":
+            ed = disc_embed.shape[0]
+            out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, ed), dt))
+            out_specs.append(pl.BlockSpec((1, B, ed), lambda t: (t, 0, 0),
+                                          memory_space=pltpu.VMEM))
+        else:
+            # noise/logits/soft in the COMPUTE dtype (bf16 in mixed
+            # precision): this is the kernel's dominant HBM write (T·B·V)
+            # and the consumers cast to the compute dtype anyway
+            out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, V), dt))
+            out_specs.append(pl.BlockSpec((1, B, V), lambda t: (t, 0, 0),
+                                          memory_space=pltpu.VMEM))
+    if mode in ("sample_resid", "sample_embed"):
         for width in (H, H, 4 * H):                      # hs, cs, gates
             out_shapes.append(
                 jax.ShapeDtypeStruct((seq_len, nl, B, width), dt))
             out_specs.append(pl.BlockSpec(
                 (1, nl, B, width), lambda t: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM))
+
+    extra_ins = []
+    extra_specs = []
+    if mode == "sample_embed":
+        extra_ins.append(disc_embed.T.astype(dt))        # wdT [V, Ed]
+        extra_specs.append(weight_spec)
 
     outs = pl.pallas_call(
         functools.partial(_kernel, nl=nl, mode=mode, T=seq_len,
@@ -219,7 +253,7 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # temp (unused)
             weight_spec,                             # features
             weight_spec, weight_spec, weight_spec,   # wp, bp, embed
-        ] + [weight_spec] * (3 * nl),
+        ] + [weight_spec] * (3 * nl) + extra_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         scratch_shapes=[
@@ -233,13 +267,167 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
         interpret=_interpret(),
     )(jnp.asarray([seed], jnp.int32),
       jnp.asarray(temperature, jnp.float32).reshape(1),
-      features, wp, bp, embed, *layer_ins)
+      features, wp, bp, embed, *layer_ins, *extra_ins)
 
     if not isinstance(outs, (tuple, list)):
         return outs.T
     ids = outs[0].T
-    if mode == "sample_resid":
-        return (ids,) + tuple(outs[1:])   # soft, hs, cs, gates (time-major)
+    if mode in ("sample_resid", "sample_embed"):
+        return (ids,) + tuple(outs[1:])   # soft|emb, hs, cs, gates (t-major)
     if n_extra:
         return ids, outs[1]
     return ids
+
+
+# ---------------------------------------------------------------------------
+# Fused backward for mode 'sample_embed' (generator._kernel_sample_embed VJP)
+# ---------------------------------------------------------------------------
+
+def _embed_bwd_kernel(seed_ref, temp_ref, htop_ref, demb_ref, wp_ref, bp_ref,
+                      wd_ref, *out_refs, interpret, need_gen):
+    """Backward of softmax(temp·(h@Wp+bp+g)) @ WdT with NO [T, B, V] HBM
+    traffic: per grid step the [B, V] soft sample is REGENERATED on-core
+    (logits recomputed from the saved h_top row; the Gumbel noise replayed
+    from the same hardware PRNG stream as the forward — same seed, same
+    step, same shape → identical bits), then contracted directly into the
+    weight-gradient accumulators.
+
+    Outputs (constant index maps → VMEM-resident accumulators across the
+    sequential grid):
+      need_gen:  dwp [H, V] f32, dbp [1, V] f32, dwd [V, Ed] f32,
+                 d_htop [T, B, H] (per-step block)
+      else:      dwd [V, Ed] f32 only (the d-side VJP needs only the disc
+                 embedding gradient; the generator cotangents are dead)
+    """
+    t = pl.program_id(0)
+    B = htop_ref.shape[1]
+    V = wp_ref.shape[1]
+    f32 = jnp.float32
+    if need_gen:
+        dwp_ref, dbp_ref, dwd_ref, dhtop_ref = out_refs
+    else:
+        (dwd_ref,) = out_refs
+
+    @pl.when(t == 0)
+    def _init():
+        dwd_ref[:] = jnp.zeros_like(dwd_ref)
+        if need_gen:
+            dwp_ref[:] = jnp.zeros_like(dwp_ref)
+            dbp_ref[:] = jnp.zeros_like(dbp_ref)
+
+    h = htop_ref[0]                                       # [B, H] compute dt
+    logits = (jnp.dot(h, wp_ref[:], preferred_element_type=f32)
+              + bp_ref[:].astype(f32))                    # [B, V] f32
+
+    if interpret:
+        u = jnp.zeros((B, V), f32)                        # matches fwd stub
+    else:
+        pltpu.prng_seed(_avalanche(seed_ref[0] + t))
+        bits = pltpu.bitcast(pltpu.prng_random_bits((B, V)), jnp.uint32)
+        top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
+        u = top24.astype(f32) * (1.0 / (1 << 24))
+    g = -jnp.log(-jnp.log(u + _EPS) + _EPS)
+    temp = temp_ref[0]
+    sc = (logits + g) * temp
+    e = jnp.exp(sc - jnp.max(sc, axis=-1, keepdims=True))
+    soft = e / jnp.sum(e, axis=-1, keepdims=True)         # [B, V] f32
+
+    de = demb_ref[0]                                      # [B, Ed]
+    # d_soft = de @ WdT.T   (wd_ref holds WdT [V, Ed])
+    d_soft = jax.lax.dot_general(
+        de, wd_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32)                       # [B, V]
+    inner = jnp.sum(d_soft * soft, axis=-1, keepdims=True)
+    d_logits = temp * soft * (d_soft - inner)             # [B, V] f32
+
+    dt = htop_ref.dtype
+    soft_c = soft.astype(dt)
+    # dWd += soft^T @ de  — contract the batch dim
+    dwd_ref[:] += jax.lax.dot_general(
+        soft_c, de, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(dwd_ref.dtype)
+    if need_gen:
+        dl_c = d_logits.astype(dt)
+        dwp_ref[:] += jax.lax.dot_general(
+            h, dl_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32).astype(dwp_ref.dtype)   # [H, V]
+        dbp_ref[:] += jnp.sum(d_logits, axis=0).astype(
+            dbp_ref.dtype)[None, :]
+        # d_h_top = d_logits @ Wp^T  (contract the vocab dim of wp [H, V])
+        dhtop_ref[0] = jax.lax.dot_general(
+            dl_c, wp_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=f32).astype(dhtop_ref.dtype)
+
+
+def decode_sample_embed_bwd(h_top_tm, d_emb_tm, w_proj, b_proj, disc_embed,
+                            seed, temperature, need_gen: bool):
+    """Run the fused sample_embed backward kernel.
+
+    Args:
+      h_top_tm: [T, B, H] top-layer LSTM outputs (forward residual).
+      d_emb_tm: [T, B, Ed] cotangent of the fused disc embedding.
+      w_proj:   [V, H] torch-layout projection weight.
+      b_proj:   [V].
+      disc_embed: [Ed, V] disc embedding (torch layout).
+      seed, temperature: the forward kernel's sampling parameters.
+      need_gen: also produce the generator-side cotangents.
+    Returns:
+      need_gen: (dwp [H,V] f32, dbp [V] f32, dwd [Ed,V] in disc dtype,
+                 d_htop [T,B,H])
+      else:     dwd [Ed, V]
+    """
+    T, B, H = h_top_tm.shape
+    ed = disc_embed.shape[0]
+    V = w_proj.shape[0]
+    dt = h_top_tm.dtype
+
+    wp = w_proj.T.astype(dt)                               # [H, V]
+    bp = b_proj[None, :].astype(dt)                        # [1, V]
+    wdT = disc_embed.T.astype(dt)                          # [V, Ed]
+
+    out_shapes = []
+    out_specs = []
+    if need_gen:
+        out_shapes += [jax.ShapeDtypeStruct((H, V), jnp.float32),
+                       jax.ShapeDtypeStruct((1, V), jnp.float32)]
+        out_specs += [pl.BlockSpec((H, V), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, V), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM)]
+    out_shapes.append(jax.ShapeDtypeStruct((V, ed), jnp.float32))
+    out_specs.append(pl.BlockSpec((V, ed), lambda t: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    if need_gen:
+        out_shapes.append(jax.ShapeDtypeStruct((T, B, H), dt))
+        out_specs.append(pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_embed_bwd_kernel, interpret=_interpret(),
+                          need_gen=need_gen),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # temp
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),        # h_top
+            pl.BlockSpec((1, B, ed), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),        # d_emb
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # wp
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # bp
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # wdT
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(jnp.asarray(seed, jnp.int32).reshape(1),
+      jnp.asarray(temperature, jnp.float32).reshape(1),
+      h_top_tm, d_emb_tm, wp, bp, wdT)
+
+    if need_gen:
+        dwp, dbp, dwd, d_htop = outs
+        return dwp, dbp[0], dwd.T, d_htop
+    (dwd,) = outs if isinstance(outs, (tuple, list)) else (outs,)
+    return dwd.T

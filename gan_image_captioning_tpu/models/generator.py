@@ -190,30 +190,14 @@ def _kernel_sample_soft_fwd(decoder_params, features, temperature, seed,
     return (soft_tm, ids_bt), res
 
 
-def _kernel_sample_soft_bwd(seq_len, res, grads):
-    dec, features, temperature, ids_bt, soft_tm, hs, cs, gates = res
-    d_soft_tm, _ = grads                                  # ids carry no grad
-    T, B, V = soft_tm.shape
-    nl = len(dec["lstm"])
+def _lstm_bptt_from_dhs(dec, features, ids_bt, hs, cs, gates, d_hs):
+    """Deferred-gradient stacked-LSTM BPTT from the top-layer hidden
+    cotangent ``d_hs`` [T, B, H] (shared by the soft- and embed-fused
+    kernel VJPs).  Returns ``(d_lstm, d_embed_f32, d_features)``."""
     f32 = jnp.float32
-
-    # --- softmax VJP: soft = softmax(temp · (logits + g)) ---------------
-    soft = soft_tm.astype(f32)
-    d_soft = d_soft_tm.astype(f32)
-    inner = jnp.sum(d_soft * soft, axis=-1, keepdims=True)
-    d_logits = (temperature.astype(f32) if hasattr(temperature, "astype")
-                else f32(temperature)) * soft * (d_soft - inner)  # [T,B,V]
-
-    # --- projection: logits = h_top @ W.T + b ---------------------------
-    h_top = hs[:, nl - 1].astype(f32)                     # [T, B, H]
-    d2 = d_logits.reshape(T * B, V)
-    dW_lin = d2.T @ h_top.reshape(T * B, -1)              # [V, H]
-    db_lin = d2.sum(axis=0)                               # [V]
-    d_hs = (d2 @ dec["linear"]["w"].astype(f32)).reshape(T, B, -1)
-
-    # --- stacked LSTM BPTT, top layer down ------------------------------
-    h0 = jnp.zeros_like(h_top[0])
-    c0 = jnp.zeros_like(h_top[0])
+    nl = len(dec["lstm"])
+    h0 = jnp.zeros(hs.shape[2:], f32)                     # [B, H]
+    c0 = jnp.zeros(hs.shape[2:], f32)
     # layer-0 input sequence: [features, embed(ids_{0..T-2})]
     emb_tm = dec["embed"][jnp.swapaxes(ids_bt, 0, 1)[:-1]]
     xs0 = jnp.concatenate([features[None].astype(emb_tm.dtype), emb_tm],
@@ -235,11 +219,35 @@ def _kernel_sample_soft_bwd(seq_len, res, grads):
                           "b_hh": db_f.astype(lp["b_hh"].dtype)})
         d_x_lower = d_xs
     d_xs0 = d_x_lower                                     # [T, B, E]
-
-    # --- embedding + features -------------------------------------------
     d_embed = jnp.zeros(dec["embed"].shape, f32).at[
         jnp.swapaxes(ids_bt, 0, 1)[:-1]].add(d_xs0[1:])
     d_features = d_xs0[0].astype(features.dtype)
+    return d_lstm, d_embed, d_features
+
+
+def _kernel_sample_soft_bwd(seq_len, res, grads):
+    dec, features, temperature, ids_bt, soft_tm, hs, cs, gates = res
+    d_soft_tm, _ = grads                                  # ids carry no grad
+    T, B, V = soft_tm.shape
+    nl = len(dec["lstm"])
+    f32 = jnp.float32
+
+    # --- softmax VJP: soft = softmax(temp · (logits + g)) ---------------
+    soft = soft_tm.astype(f32)
+    d_soft = d_soft_tm.astype(f32)
+    inner = jnp.sum(d_soft * soft, axis=-1, keepdims=True)
+    d_logits = (temperature.astype(f32) if hasattr(temperature, "astype")
+                else f32(temperature)) * soft * (d_soft - inner)  # [T,B,V]
+
+    # --- projection: logits = h_top @ W.T + b ---------------------------
+    h_top = hs[:, nl - 1].astype(f32)                     # [T, B, H]
+    d2 = d_logits.reshape(T * B, V)
+    dW_lin = d2.T @ h_top.reshape(T * B, -1)              # [V, H]
+    db_lin = d2.sum(axis=0)                               # [V]
+    d_hs = (d2 @ dec["linear"]["w"].astype(f32)).reshape(T, B, -1)
+
+    d_lstm, d_embed, d_features = _lstm_bptt_from_dhs(
+        dec, features, ids_bt, hs, cs, gates, d_hs)
 
     d_dec = {"embed": d_embed.astype(dec["embed"].dtype),
              "lstm": d_lstm,
@@ -250,6 +258,116 @@ def _kernel_sample_soft_bwd(seq_len, res, grads):
 
 
 _kernel_sample_soft.defvjp(_kernel_sample_soft_fwd, _kernel_sample_soft_bwd)
+
+
+# ------------------------------------------------ fused sample→disc-embed
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _kernel_sample_embed(decoder_params, features, temperature, seed,
+                         disc_embed, seq_len: int, wrt: str):
+    """Adversarial sample fused THROUGH the discriminator's embedding:
+    returns ``(emb [T, B, Ed], ids [B, T])`` where
+    ``emb = softmax(temp·(logits+g)) @ disc_embed.T`` — the ``[T, B, V]``
+    soft sample never exists in HBM in either direction.
+
+    Forward: ONE pallas_call (kernels/decode_sample.py mode
+    ``sample_embed``) contracts each step's soft sample into the disc
+    embedding on-core and writes only [B, Ed] per step (Ed≈64 vs V≈11k).
+    Backward (kernels.decode_sample_embed_bwd): the soft sample is
+    REGENERATED per step from the saved h_top residual + the replayed
+    hardware PRNG stream, and contracted directly into the gradient
+    accumulators (dWp, dbp, dWd, d_htop) in VMEM; the LSTM BPTT then runs
+    from d_htop exactly as :func:`_kernel_sample_soft`'s.
+
+    ``wrt`` (static): which cotangents the backward actually computes —
+      * ``"gen"``: full generator-side grads + dWd;
+      * ``"disc"``: ONLY dWd (generator cotangents returned as zeros —
+        callers must not differentiate the generator through a
+        ``wrt="disc"`` call; train/steps.py's d-loss closure is the only
+        intended user, where the generator params are constants).
+    The forward is identical for both values, so the two calls CSE into
+    one kernel execution inside the fused adversarial step.
+    """
+    out, _ = _kernel_sample_embed_fwd(decoder_params, features, temperature,
+                                      seed, disc_embed, seq_len, wrt)
+    return out
+
+
+def _kernel_sample_embed_fwd(decoder_params, features, temperature, seed,
+                             disc_embed, seq_len: int, wrt: str):
+    from gan_image_captioning_tpu.kernels.decode_sample import decode_sample
+
+    dec = decoder_params
+    ids_bt, emb_tm, hs, cs, gates = decode_sample(
+        features, dec["lstm"], dec["linear"]["w"], dec["linear"]["b"],
+        dec["embed"], seq_len=seq_len, mode="sample_embed", seed=seed,
+        temperature=temperature, disc_embed=disc_embed)
+    res = (dec, features, temperature, seed, disc_embed, ids_bt, hs, cs,
+           gates)
+    return (emb_tm, ids_bt), res
+
+
+def _kernel_sample_embed_bwd(seq_len, wrt, res, grads):
+    from gan_image_captioning_tpu.kernels.decode_sample import (
+        decode_sample_embed_bwd)
+
+    dec, features, temperature, seed, wd, ids_bt, hs, cs, gates = res
+    d_emb_tm, _ = grads                                   # ids carry no grad
+    nl = len(dec["lstm"])
+    h_top = hs[:, nl - 1]                                 # [T, B, H]
+    zero_temp = jnp.zeros_like(jnp.asarray(temperature))
+    zero_seed = jnp.zeros((), jnp.int32)
+
+    if wrt == "disc":
+        dwd = decode_sample_embed_bwd(
+            h_top, d_emb_tm, dec["linear"]["w"], dec["linear"]["b"], wd,
+            seed, temperature, need_gen=False)            # [Ed, V] f32
+        zero_dec = jax.tree_util.tree_map(jnp.zeros_like, dec)
+        return (zero_dec, jnp.zeros_like(features), zero_temp, zero_seed,
+                dwd.astype(wd.dtype))
+
+    dwp, dbp, dwd, d_htop = decode_sample_embed_bwd(
+        h_top, d_emb_tm, dec["linear"]["w"], dec["linear"]["b"], wd,
+        seed, temperature, need_gen=True)
+    d_lstm, d_embed, d_features = _lstm_bptt_from_dhs(
+        dec, features, ids_bt, hs, cs, gates, d_htop.astype(jnp.float32))
+    d_dec = {"embed": d_embed.astype(dec["embed"].dtype),
+             "lstm": d_lstm,
+             "linear": {"w": dwp.T.astype(dec["linear"]["w"].dtype),
+                        "b": dbp.astype(dec["linear"]["b"].dtype)}}
+    return (d_dec, d_features, zero_temp, zero_seed, dwd.astype(wd.dtype))
+
+
+_kernel_sample_embed.defvjp(_kernel_sample_embed_fwd, _kernel_sample_embed_bwd)
+
+
+def fuse_embed_available() -> bool:
+    """The fused sample→disc-embed path runs where the decode kernel runs:
+    on TPU, or anywhere under GIC_KERNEL_INTERPRET=1 (equivalence tests).
+    GIC_FUSE_EMBED=0 opts out (A/B measurement)."""
+    import os
+
+    if os.environ.get("GIC_FUSE_EMBED", "1") != "1":
+        return False
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("GIC_KERNEL_INTERPRET") == "1")
+
+
+def sample_embed(decoder_params, features, rng, temperature, seq_len: int,
+                 disc_embed, wrt: str = "gen"):
+    """Fused adversarial sample returning the generator output ALREADY
+    embedded by the discriminator: ``(emb [B, T, Ed], ids [B, T])``.
+
+    Semantically ``emb = sample(...)[0] @ disc_embed.T`` (reference
+    ``generator.py:55-81`` + ``discriminator.py:20,40``) with the argmax
+    feedback detached (``generator.py:75``); see
+    :func:`_kernel_sample_embed` for the wrt contract."""
+    seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    emb_tm, ids_bt = _kernel_sample_embed(decoder_params, features,
+                                          temperature, seed, disc_embed,
+                                          seq_len, wrt)
+    return jnp.swapaxes(emb_tm, 0, 1), ids_bt
 
 
 def _sample_kernel(decoder_params, features, rng, temperature, seq_len: int,

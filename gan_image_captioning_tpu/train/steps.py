@@ -188,10 +188,30 @@ def make_mle_eval_step(config: Config):
 
 # ---------------------------------------------------------------- adversarial
 
+def _fuse_embed_active(config: Config) -> bool:
+    """The round-3 fused sample→disc-embed path: the decode kernel
+    contracts each step's soft sample into the discriminator embedding
+    ON-CORE, so the [T, B, V] soft tensor never exists in HBM in either
+    direction (models/generator.py:sample_embed).  LSTM generator + CNN
+    discriminator + kernel decode only."""
+    if (config.gen_arch != "lstm" or config.disc_arch != "cnn"
+            or config.decode_impl != "kernel"):
+        return False
+    from gan_image_captioning_tpu.models.generator import fuse_embed_available
+
+    return fuse_embed_available()
+
+
 def adv_losses(config: Config, gen_params, disc_params, batch, rng,
-               temperature, train: bool):
+               temperature, train: bool, grad_side: str = "gen"):
     """One adversarial forward: Gumbel sample + the reference's three
     discriminator passes (``training.py:150-165``).
+
+    ``grad_side`` (static) names which parameter set the CALLER is about to
+    differentiate — "gen" or "disc".  It changes nothing about the values
+    computed; the fused sample→disc-embed kernel path uses it to pick which
+    cotangents its manual backward materializes (the forward programs are
+    identical and CSE into one kernel execution).
 
     Returns ``(g_loss, d_loss, aux)``.
 
@@ -228,21 +248,49 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
     captions = batch["captions"]
     seq_len = captions.shape[1]
 
-    soft, gen_ids = api.generator_sample(gen_params_c, cond, rng_sample,
-                                         temperature, seq_len, False, config)
-    fake = jax.lax.stop_gradient(soft)
+    if _fuse_embed_active(config):
+        from gan_image_captioning_tpu.models import discriminator as disc_cnn
+        from gan_image_captioning_tpu.models.generator import sample_embed
 
-    # Three separate discriminator passes (training.py:162-164).  A manually
-    # concatenated [real; fake; gen] single-trunk variant exists
-    # (api.discriminator_apply_three) but measured ~40% SLOWER on v5e than
-    # letting XLA schedule the three passes — the big [3B, L, V] @ [V, E]
-    # embedding matmul and conv pads lay out worse than three smaller ones.
-    d_real = api.discriminator_apply(disc_params_c, captions, config, rng_d1,
-                                     train).astype(jnp.float32)
-    d_fake = api.discriminator_apply(disc_params_c, fake, config, rng_d2,
-                                     train).astype(jnp.float32)
-    g_out = api.discriminator_apply(disc_params_c, soft, config, rng_d3,
-                                    train).astype(jnp.float32)
+        # Fused path: the decode kernel emits the generator output ALREADY
+        # contracted into the disc embedding ([B, T, Ed]); the detach
+        # semantics of training.py:151 are reproduced at the embedding
+        # level — in the g-grad closure the fake pass input is
+        # stop_gradient'ed (gen grads flow only through g_out), in the
+        # d-grad closure gradients flow to the disc embedding through the
+        # fused kernel's dWd (the generator side is constant there).
+        wd = disc_params_c["embeddings"]["w"]             # [Ed, V]
+        emb, gen_ids = sample_embed(
+            gen_params_c["decoder"], cond["features"], rng_sample,
+            temperature, seq_len, wd, wrt=grad_side)
+        if grad_side == "gen":
+            emb_gen, emb_fake = emb, jax.lax.stop_gradient(emb)
+        else:
+            emb_gen = emb_fake = emb
+        d_real = api.discriminator_apply(disc_params_c, captions, config,
+                                         rng_d1, train).astype(jnp.float32)
+        d_fake = disc_cnn.apply_embedded(disc_params_c, emb_fake, config,
+                                         rng_d2, train).astype(jnp.float32)
+        g_out = disc_cnn.apply_embedded(disc_params_c, emb_gen, config,
+                                        rng_d3, train).astype(jnp.float32)
+    else:
+        soft, gen_ids = api.generator_sample(gen_params_c, cond, rng_sample,
+                                             temperature, seq_len, False,
+                                             config)
+        fake = jax.lax.stop_gradient(soft)
+
+        # Three separate discriminator passes (training.py:162-164).  A
+        # manually concatenated [real; fake; gen] single-trunk variant
+        # exists (api.discriminator_apply_three) but measured ~40% SLOWER
+        # on v5e than letting XLA schedule the three passes — the big
+        # [3B, L, V] @ [V, E] embedding matmul and conv pads lay out worse
+        # than three smaller ones.
+        d_real = api.discriminator_apply(disc_params_c, captions, config,
+                                         rng_d1, train).astype(jnp.float32)
+        d_fake = api.discriminator_apply(disc_params_c, fake, config, rng_d2,
+                                         train).astype(jnp.float32)
+        g_out = api.discriminator_apply(disc_params_c, soft, config, rng_d3,
+                                        train).astype(jnp.float32)
 
     if config.noisy_labels > 0.0 and train:
         d_real_in, d_fake_in = noisy_label_flip(
@@ -282,7 +330,8 @@ def make_adv_step(config: Config):
         # Generator gradient: g_loss as a function of gen params only.
         def g_loss_fn(gp):
             g_loss, _, aux = adv_losses(config, gp, state.disc_params, batch,
-                                        rng_step, temperature, train=True)
+                                        rng_step, temperature, train=True,
+                                        grad_side="gen")
             return g_loss, aux
 
         # Discriminator gradient: d_loss as a function of disc params only
@@ -290,7 +339,8 @@ def make_adv_step(config: Config):
         # g-grad's identical forward, same rng).
         def d_loss_fn(dp):
             _, d_loss, _ = adv_losses(config, state.gen_params, dp, batch,
-                                      rng_step, temperature, train=True)
+                                      rng_step, temperature, train=True,
+                                      grad_side="disc")
             return d_loss
 
         (g_loss, aux), g_grads = _grad_boundary(
