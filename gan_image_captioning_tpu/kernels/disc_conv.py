@@ -58,6 +58,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _data_mesh():
+    """Shared mesh registry (kernels/decode_sample.py:set_mesh)."""
+    from gan_image_captioning_tpu.kernels.decode_sample import (
+        _data_mesh as dm)
+
+    return dm()
+
+
 def kernel_supported(eds: int) -> bool:
     """All shapes supported: the [B, Lp, R, eds] input layout removed the
     eds == 1 restriction of the first formulation."""
@@ -163,24 +171,59 @@ def conv_relu_maxpool(emb_pad, w_all, b_all, banks, R: int, eds: int):
 
 def _bank_call(kern_fn, emb4, w_t, extra_inputs, out_shapes, out_specs,
                R, eds, lv, f):
-    """pallas_call plumbing for one bank (grid over batch)."""
-    b_sz, lp = emb4.shape[0], emb4.shape[1]
-    return pl.pallas_call(
-        functools.partial(kern_fn, lv=lv, R=R, eds=eds, f=f),
-        grid=(b_sz,),
-        in_specs=[
-            pl.BlockSpec((1, lp, R, eds), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ] + [spec for _, spec in extra_inputs],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        # the f32 [L', R, n] working set slightly exceeds the default 16M
-        # scoped-vmem budget in the backward — v5e has 128M VMEM per core
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=_interpret(),
-    )(emb4, w_t, *[arr for arr, _ in extra_inputs])
+    """pallas_call plumbing for one bank (grid over batch).
+
+    Under an installed data mesh (``--mesh data:N``, see
+    ``decode_sample.set_mesh``) the call is wrapped in ``shard_map`` over
+    the batch grid — every input/output is batch-leading or replicated, so
+    each shard runs the identical kernel on its local rows with no
+    collectives (the callers' cross-batch reductions, e.g. the dW sums in
+    ``_vjp_bwd``, happen OUTSIDE in GSPMD land, which inserts the psum)."""
+    b_sz = emb4.shape[0]
+    extra_specs = [spec for _, spec in extra_inputs]
+
+    def _invoke(emb4_, w_t_, *extras):
+        b_l, lp = emb4_.shape[0], emb4_.shape[1]
+        shapes_l = tuple(
+            jax.ShapeDtypeStruct((b_l,) + tuple(s.shape[1:]), s.dtype)
+            for s in out_shapes)
+        return pl.pallas_call(
+            functools.partial(kern_fn, lv=lv, R=R, eds=eds, f=f),
+            grid=(b_l,),
+            in_specs=[
+                pl.BlockSpec((1, lp, R, eds), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ] + extra_specs,
+            out_specs=out_specs,
+            out_shape=shapes_l,
+            # the f32 [L', R, n] working set slightly exceeds the default
+            # 16M scoped-vmem budget in the backward — v5e has 128M VMEM
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=_interpret(),
+        )(emb4_, w_t_, *extras)
+
+    arrs = [arr for arr, _ in extra_inputs]
+    mesh = _data_mesh()
+    if mesh is None or b_sz % mesh.shape["data"]:
+        return _invoke(emb4, w_t, *arrs)
+
+    from jax.sharding import PartitionSpec as P
+
+    def _in_spec(a):
+        # batch-leading arrays shard; per-bank constants replicate
+        if a.ndim and a.shape[0] == b_sz and b_sz > 1:
+            return P("data", *([None] * (a.ndim - 1)))
+        return P(*([None] * a.ndim))
+
+    in_specs = ((P("data", None, None, None), P(None, None))
+                + tuple(_in_spec(a) for a in arrs))
+    out_sm = tuple(P("data", *([None] * (len(s.shape) - 1)))
+                   for s in out_shapes)
+    return jax.shard_map(_invoke, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_sm if len(out_sm) > 1 else out_sm[0],
+                         check_vma=False)(emb4, w_t, *arrs)
 
 
 def _as_nat(emb_pad, R, eds):

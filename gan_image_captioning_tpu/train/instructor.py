@@ -83,15 +83,29 @@ class GANInstructor:
         # per parallel/sharding.py's dp/tp rules and every batch over 'data';
         # the SAME jitted steps then run SPMD with XLA collectives.
         self.mesh = None
+        from gan_image_captioning_tpu.kernels import decode_sample as dsk
+
+        dsk.set_mesh(None)
         if config.mesh and config.decode_impl == "kernel":
-            # The Pallas decode kernel is a single-device program — GSPMD
-            # cannot partition a custom call over dp/tp.  Fall back to the
-            # mathematically identical decoupled implementation (same
-            # structure the kernel's VJP mirrors), which shards.
-            config = config.replace(decode_impl="decoupled")
-            self.config = config
-            self.log.info("--mesh active: decode-impl kernel → decoupled "
-                          "(Pallas custom calls do not partition)")
+            from gan_image_captioning_tpu.parallel.mesh import (
+                make_mesh as _mk)
+
+            probe = _mk(config.mesh)
+            if any(n != "data" and s > 1 for n, s in probe.shape.items()):
+                # TP/PP/SP axes shard the vocab/stack dims the kernel holds
+                # whole — fall back to the mathematically identical
+                # decoupled implementation, which GSPMD shards.
+                config = config.replace(decode_impl="decoupled")
+                self.config = config
+                self.log.info("--mesh with model/pp/sp axes: decode-impl "
+                              "kernel → decoupled (the Pallas kernel "
+                              "shards over data only)")
+            else:
+                # data-only mesh: the decode + disc-conv kernels run
+                # per-shard via shard_map (kernels/decode_sample.set_mesh)
+                dsk.set_mesh(probe)
+                self.log.info("--mesh data-only: decode kernel runs "
+                              "per-shard via shard_map")
         if config.mesh:
             from gan_image_captioning_tpu.parallel.mesh import make_mesh
             from gan_image_captioning_tpu.parallel.sharding import (
