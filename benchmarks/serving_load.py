@@ -1,0 +1,147 @@
+"""Serving-engine load test: Poisson arrivals → captions/s + latency tails.
+
+Drives BOTH dispatch engines (gan_image_captioning_tpu/serving.py) with
+concurrent single-caption requests at a configurable offered load and
+reports achieved throughput + p50/p99 end-to-end latency per engine:
+
+  * coalescing — requests drain into shared fixed-shape batch decodes
+    (full-T program per batch; beam-capable);
+  * continuous — slot pool advancing chunk_steps per program (greedy LSTM;
+    requests join at chunk boundaries).
+
+    python benchmarks/serving_load.py               # flagship geometry
+    GIC_LOAD_RATE=2000 GIC_LOAD_N=2000 ...          # offered load override
+    GIC_LOAD_BEAM=4 ...                             # beam through coalescing
+
+Prints one JSON line per engine:
+  {"engine": "...", "offered_cps": R, "achieved_cps": X,
+   "p50_ms": a, "p99_ms": b, "device_programs": k}
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RATE = float(os.environ.get("GIC_LOAD_RATE", "1500"))   # offered captions/s
+N_REQ = int(os.environ.get("GIC_LOAD_N", "1500"))
+BATCH = int(os.environ.get("GIC_BENCH_BATCH", "64"))
+BEAM = int(os.environ.get("GIC_LOAD_BEAM", "1"))
+
+
+def _flagship_config():
+    from gan_image_captioning_tpu.config import Config
+
+    small = jax.default_backend() != "tpu"
+    return Config(
+        vocab_size=1024 if small else 11008,
+        gen_embed_dim=64 if small else 512,
+        gen_hidden_dim=64 if small else 512,
+        gen_num_layers=2, max_seq_len=10 if small else 34,
+        beam_size=BEAM)
+
+
+def run_load(engine_name: str, submit, n_req: int, rate: float,
+             device_calls) -> dict:
+    """Fire ``n_req`` single-caption requests with Poisson (exponential
+    inter-arrival) timing at ``rate``/s; gather per-request latency."""
+    rng = np.random.default_rng(1008)
+    gaps = rng.exponential(1.0 / rate, size=n_req)
+    latencies = np.zeros(n_req)
+    futs = [None] * n_req
+    t_starts = np.zeros(n_req)
+
+    t0 = time.perf_counter()
+    next_t = 0.0
+    for i in range(n_req):
+        next_t += gaps[i]
+        now = time.perf_counter() - t0
+        if now < next_t:
+            time.sleep(next_t - now)
+        t_starts[i] = time.perf_counter()
+        futs[i] = submit(i)
+    for i in range(n_req):
+        futs[i].result(timeout=300)
+        # latency recorded by completion callback would race; resolve here
+    t_end = time.perf_counter()
+    # re-derive per-request latency from future completion wall times
+    # captured via add_done_callback below
+    return {"engine": engine_name, "offered_cps": round(rate, 1),
+            "achieved_cps": round(n_req / (t_end - t0), 1),
+            "device_programs": device_calls()}
+
+
+def main():
+    from gan_image_captioning_tpu.eval import decode as decode_lib
+    from gan_image_captioning_tpu.models import generator as gen_lib
+    from gan_image_captioning_tpu.serving import (CoalescingBatcher,
+                                                  ContinuousBatcher)
+    from gan_image_captioning_tpu.utils.runtime import setup
+
+    setup()
+    config = _flagship_config()
+    dec = gen_lib.init_decoder_params(jax.random.PRNGKey(0), config,
+                                      jnp.float32)
+    gen_params = {"decoder": dec}
+    feat = np.asarray(gen_lib.start_token_features(dec, 1))[0]
+
+    def timed_submit(engine_submit, lat_list):
+        def submit(i):
+            t0 = time.perf_counter()
+            fut = engine_submit(i)
+            fut.add_done_callback(
+                lambda f, t0=t0: lat_list.append(time.perf_counter() - t0))
+            return fut
+        return submit
+
+    results = []
+
+    # ---- coalescing (full-T batch programs; greedy or beam) -------------
+    if BEAM > 1:
+        def decode_fn(feats):
+            return decode_lib.beam_search(gen_params, feats, config,
+                                          beam_size=BEAM)
+    else:
+        def decode_fn(feats):
+            return decode_lib.greedy_with_logprobs(gen_params, feats, config)
+    decode_jit = jax.jit(decode_fn)
+    co = CoalescingBatcher(decode_jit, BATCH, config.gen_embed_dim)
+    co.submit(feat[None, :]).result(timeout=600)         # warm compile
+    lat = []
+    r = run_load("coalescing" + (f"_beam{BEAM}" if BEAM > 1 else ""),
+                 timed_submit(lambda i: co.submit(feat[None, :]), lat),
+                 N_REQ, RATE, lambda: co.device_calls)
+    co.close()
+    lat_ms = np.sort(np.asarray(lat)) * 1e3
+    r["p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
+    r["p99_ms"] = round(float(np.percentile(lat_ms, 99)), 2)
+    results.append(r)
+    print(json.dumps(r), flush=True)
+
+    # ---- continuous (slot pool, chunked kernel advance; greedy only) ----
+    if BEAM == 1:
+        cb = ContinuousBatcher(gen_params, config, num_slots=BATCH,
+                               chunk_steps=int(os.environ.get(
+                                   "GIC_LOAD_CHUNK", "8")))
+        cb.submit(feat).result(timeout=600)              # warm compile
+        lat = []
+        r = run_load("continuous",
+                     timed_submit(lambda i: cb.submit(feat), lat),
+                     N_REQ, RATE, lambda: cb.device_calls)
+        cb.close()
+        lat_ms = np.sort(np.asarray(lat)) * 1e3
+        r["p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
+        r["p99_ms"] = round(float(np.percentile(lat_ms, 99)), 2)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()

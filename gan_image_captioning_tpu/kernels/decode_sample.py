@@ -97,7 +97,7 @@ def _avalanche(seed):
 
 
 def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
-            *layer_and_out_refs, nl, mode, T, interpret):
+            *layer_and_out_refs, nl, mode, T, interpret, carry=False):
     layer_refs = layer_and_out_refs[:3 * nl]
     rest = layer_and_out_refs[3 * nl:]
     if mode == "sample_embed":
@@ -105,6 +105,11 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
         # soft sample can be contracted on-core — the [T, B, V] tensor
         # never leaves VMEM (docs/benchmarks.md round-3 fusion)
         wd_ref, rest = rest[0], rest[1:]
+    if carry:
+        # chunked serving decode: resume from carried (h, c, x) and emit
+        # the post-chunk state (serving.ContinuousBatcher advance chunks)
+        h0_ref, c0_ref, x0_ref, rest = rest[0], rest[1], rest[2], rest[3:]
+        hT_ref, cT_ref, xT_ref = rest[-6], rest[-5], rest[-4]
     out_refs = rest
     ids_ref = out_refs[0]
     x_ref, h_ref, c_ref = out_refs[-3:]
@@ -116,9 +121,14 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
 
     @pl.when(t == 0)
     def _init():
-        x_ref[:] = feat_ref[:]
-        h_ref[:] = jnp.zeros_like(h_ref)
-        c_ref[:] = jnp.zeros_like(c_ref)
+        if carry:
+            x_ref[:] = x0_ref[:]
+            h_ref[:] = h0_ref[:]
+            c_ref[:] = c0_ref[:].astype(c_ref.dtype)
+        else:
+            x_ref[:] = feat_ref[:]
+            h_ref[:] = jnp.zeros_like(h_ref)
+            c_ref[:] = jnp.zeros_like(c_ref)
 
     # ---- stacked LSTM cells (torch gate order i, f, g, o) ----
     x = x_ref[:]
@@ -183,6 +193,13 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
         if mode == "pretrain":
             logits_ref = out_refs[1]
             logits_ref[0] = logits.astype(logits_ref.dtype)
+        elif mode == "serve":
+            # per-token greedy log-probability: the chosen logit IS the max,
+            # so logp = max − logsumexp = −log Σ exp(l − max)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            lp = -jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1))   # [B]
+            out_refs[1][pl.ds(t, 1), :] = lp[None, :].astype(
+                out_refs[1].dtype)
 
     ids = jnp.argmax(scores, axis=-1).astype(jnp.int32)  # [B]
     # ids is one full [T, B] VMEM block (a (1, B) per-step block violates
@@ -196,10 +213,18 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
                        preferred_element_type=jnp.float32
                        ).astype(x_ref.dtype)
 
+    if carry:
+        @pl.when(t == T - 1)
+        def _emit_state():
+            hT_ref[:] = h_ref[:]
+            cT_ref[:] = c_ref[:].astype(cT_ref.dtype)
+            xT_ref[:] = x_ref[:]       # = embed(last ids): the next input
+
 
 def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
                   embed, seq_len: int, mode: str = "greedy",
-                  seed=0, temperature=1.0, disc_embed=None):
+                  seed=0, temperature=1.0, disc_embed=None,
+                  init_state=None):
     """Run the full T-step sampling decode on-core.
 
     Args:
@@ -217,6 +242,9 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
         kept for signature parity with the jnp sampler.
       disc_embed: [Ed, V] discriminator embedding (torch bias-free Linear
         layout) — required by mode 'sample_embed' only.
+      init_state: optional ``(h0 [nl,B,H], c0 [nl,B,H], x0 [B,E])`` carried
+        decode state (serve mode: chunked continuous-batching decode
+        resumes from it and the post-chunk state is returned).
     Returns:
       greedy:       ids [B, T]
       sample:       (ids [B, T], noise [T, B, V] in features.dtype)
@@ -224,6 +252,9 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
       sample_resid: (ids, soft [T,B,V], hs, cs, gates)
       sample_embed: (ids, emb [T,B,Ed], hs, cs, gates) — the soft sample
         contracted into the disc embedding on-core (never hits HBM)
+      serve:        (ids [B, T], logprobs [B, T] f32) — greedy decode with
+        per-token greedy log-probability in the same program; with
+        ``init_state`` also ``(hT, cT, xT)``
     """
     # temperature only affects the SOFT output (argmax is scale-invariant);
     # greedy/sample/pretrain modes ignore it, sample_resid softmaxes with it
@@ -241,11 +272,15 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
                       (p["b_ih"] + p["b_hh"])[None, :]]
 
     n_extra = {"greedy": 0, "sample": 1, "pretrain": 1, "sample_resid": 4,
-               "sample_embed": 4}[mode]
+               "sample_embed": 4, "serve": 1}[mode]
+    carry = init_state is not None
 
     extra_ins = []
     if mode == "sample_embed":
         extra_ins.append(disc_embed.T.astype(dt))        # wdT [V, Ed]
+    if carry:
+        h0, c0, x0 = init_state
+        extra_ins += [h0.astype(dt), c0.astype(jnp.float32), x0.astype(dt)]
 
     def _invoke(seed_arr, temp_arr, feats, *weights):
         """The pallas_call, shaped by the (possibly per-shard) batch."""
@@ -260,6 +295,13 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
                 out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, ed), dt))
                 out_specs.append(pl.BlockSpec((1, B, ed),
                                               lambda t: (t, 0, 0),
+                                              memory_space=pltpu.VMEM))
+            elif mode == "serve":
+                # per-token greedy logprobs: same full-block layout as ids
+                out_shapes.append(
+                    jax.ShapeDtypeStruct((seq_len, B), jnp.float32))
+                out_specs.append(pl.BlockSpec((seq_len, B),
+                                              lambda t: (0, 0),
                                               memory_space=pltpu.VMEM))
             else:
                 # noise/logits/soft in the COMPUTE dtype (bf16 in mixed
@@ -276,9 +318,17 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
                 out_specs.append(pl.BlockSpec(
                     (1, nl, B, width), lambda t: (t, 0, 0, 0),
                     memory_space=pltpu.VMEM))
+        if carry:
+            for shape, odt in (((nl, B, H), dt), ((nl, B, H), jnp.float32),
+                               ((B, E), dt)):           # hT, cT, xT
+                out_shapes.append(jax.ShapeDtypeStruct(shape, odt))
+                out_specs.append(pl.BlockSpec(
+                    shape, (lambda t: (0, 0, 0)) if len(shape) == 3
+                    else (lambda t: (0, 0)),
+                    memory_space=pltpu.VMEM))
         return pl.pallas_call(
             functools.partial(_kernel, nl=nl, mode=mode, T=seq_len,
-                              interpret=_interpret()),
+                              interpret=_interpret(), carry=carry),
             grid=(seq_len,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # seed
@@ -303,7 +353,7 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
             jnp.asarray(temperature, jnp.float32).reshape(1),
             features, wp, bp, embed, *layer_ins, *extra_ins)
     mesh = _data_mesh()
-    if mesh is None:
+    if mesh is None or mode == "serve":     # serving runs single-chip
         outs = _invoke(*args)
     else:
         # --mesh data:N with the kernel path: every kernel tensor is
@@ -332,6 +382,11 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
     if not isinstance(outs, (tuple, list)):
         return outs.T
     ids = outs[0].T
+    if mode == "serve":
+        lps = outs[1].T                   # [B, T] f32
+        if carry:
+            return ids, lps, tuple(outs[2:5])   # (hT, cT, xT)
+        return ids, lps
     if mode in ("sample_resid", "sample_embed"):
         return (ids,) + tuple(outs[1:])   # soft|emb, hs, cs, gates (t-major)
     if n_extra:

@@ -86,9 +86,9 @@ class CaptionService:
             if beam > 1:
                 return decode_lib.beam_search(params, feats, config,
                                               beam_size=beam)
-            ids = decode_lib.greedy(params, feats, config)
-            lp = decode_lib.sequence_logprob(params, feats, ids, config)
-            return ids, lp
+            # ONE device program: serve-mode decode kernel on TPU (greedy
+            # ids + per-token logprobs), two-scan fallback elsewhere
+            return decode_lib.greedy_with_logprobs(params, feats, config)
 
         self._decode = jax.jit(decode)
         self._start_features = start_token_features
