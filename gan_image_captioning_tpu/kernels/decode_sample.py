@@ -150,7 +150,9 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
         if mode in ("sample_resid", "sample_embed"):
             # BPTT residuals for the manual backward (generator.py
             # _sample_kernel_vjp): pre-activation gates + post-step (h, c)
-            hs_ref, cs_ref, gates_ref = out_refs[2], out_refs[3], out_refs[4]
+            off = 3 if mode == "sample_embed" else 2
+            hs_ref, cs_ref, gates_ref = (out_refs[off], out_refs[off + 1],
+                                         out_refs[off + 2])
             hs_ref[0, l] = h.astype(hs_ref.dtype)
             cs_ref[0, l] = c.astype(cs_ref.dtype)
             gates_ref[0, l] = gates.astype(gates_ref.dtype)
@@ -180,12 +182,15 @@ def _kernel(seed_ref, temp_ref, feat_ref, wp_ref, bp_ref, emb_ref,
             soft = e / jnp.sum(e, axis=-1, keepdims=True)
             if mode == "sample_embed":
                 # fuse the discriminator's embedding contraction
-                # (soft @ Wd.T, reference discriminator.py:20,40) on-core:
-                # the step writes [B, Ed] instead of [B, V] — the kernel's
-                # dominant HBM write shrinks by V/Ed (~170× at flagship)
+                # (soft @ Wd.T, reference discriminator.py:20,40) on-core,
+                # AND save the soft sample as the backward's residual — a
+                # bf16 write is ~10× cheaper than regenerating the
+                # softmax+Gumbel per backward step (measured: the
+                # regeneration variant lost 8%, docs/benchmarks.md r3)
                 de = jnp.dot(soft.astype(out_refs[1].dtype), wd_ref[:],
                              preferred_element_type=jnp.float32)
                 out_refs[1][0] = de.astype(out_refs[1].dtype)
+                out_refs[2][0] = soft.astype(out_refs[2].dtype)
             else:
                 out_refs[1][0] = soft.astype(out_refs[1].dtype)
     else:
@@ -250,8 +255,9 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
       sample:       (ids [B, T], noise [T, B, V] in features.dtype)
       pretrain:     (ids [B, T], logits [T, B, V] in features.dtype)
       sample_resid: (ids, soft [T,B,V], hs, cs, gates)
-      sample_embed: (ids, emb [T,B,Ed], hs, cs, gates) — the soft sample
-        contracted into the disc embedding on-core (never hits HBM)
+      sample_embed: (ids, emb [T,B,Ed], soft [T,B,V], hs, cs, gates) —
+        the soft sample contracted into the disc embedding on-core; soft
+        saved (bf16) as the matmul-only backward's residual
       serve:        (ids [B, T], logprobs [B, T] f32) — greedy decode with
         per-token greedy log-probability in the same program; with
         ``init_state`` also ``(hT, cT, xT)``
@@ -294,6 +300,11 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
                 ed = disc_embed.shape[0]
                 out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, ed), dt))
                 out_specs.append(pl.BlockSpec((1, B, ed),
+                                              lambda t: (t, 0, 0),
+                                              memory_space=pltpu.VMEM))
+                # soft residual for the matmul-only backward
+                out_shapes.append(jax.ShapeDtypeStruct((seq_len, B, V), dt))
+                out_specs.append(pl.BlockSpec((1, B, V),
                                               lambda t: (t, 0, 0),
                                               memory_space=pltpu.VMEM))
             elif mode == "serve":
@@ -368,6 +379,8 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
         out_specs = [P(None, "data")]
         if n_extra:
             out_specs.append(P(None, "data", None))
+        if mode == "sample_embed":
+            out_specs.append(P(None, "data", None))      # soft residual
         if mode in ("sample_resid", "sample_embed"):
             out_specs += [P(None, None, "data", None)] * 3
         out_specs = (tuple(out_specs) if len(out_specs) > 1
@@ -398,98 +411,66 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
 # Fused backward for mode 'sample_embed' (generator._kernel_sample_embed VJP)
 # ---------------------------------------------------------------------------
 
-def _embed_bwd_kernel(seed_ref, temp_ref, htop_ref, demb_ref, wp_ref, bp_ref,
-                      wd_ref, *out_refs, interpret, need_gen):
-    """Backward of softmax(temp·(h@Wp+bp+g)) @ WdT with NO [T, B, V] HBM
-    traffic: per grid step the [B, V] soft sample is REGENERATED on-core
-    (logits recomputed from the saved h_top row; the Gumbel noise replayed
-    from the same hardware PRNG stream as the forward — same seed, same
-    step, same shape → identical bits), then contracted directly into the
-    weight-gradient accumulators.
+def _embed_bwd_kernel(temp_ref, htop_ref, soft_ref, demb_ref, wp_ref,
+                      wd_ref, dwp_ref, dbp_ref, dhtop_ref, *, interpret):
+    """Matmul-only backward of softmax(temp·(logits+g)) @ WdT from the
+    forward's saved bf16 soft residual — no PRNG replay, no exp/log: the
+    regeneration variant measured 8% SLOWER end-to-end (docs/benchmarks.md
+    round-3 matrix); a bf16 [B, V] read per step is ~10× cheaper than
+    recomputing the softmax+Gumbel on the VPU.
 
-    Outputs (constant index maps → VMEM-resident accumulators across the
-    sequential grid):
-      need_gen:  dwp [H, V] f32, dbp [1, V] f32, dwd [V, Ed] f32,
-                 d_htop [T, B, H] (per-step block)
-      else:      dwd [V, Ed] f32 only (the d-side VJP needs only the disc
-                 embedding gradient; the generator cotangents are dead)
+    Per grid step (all in VMEM):
+      d_soft   = d_emb @ WdT^T                      (MXU)
+      d_logits = temp · soft · (d_soft − Σ d_soft·soft)   (VPU, cheap)
+      dWp     += h_top^T @ d_logits                 (MXU accumulator)
+      dbp     += Σ_B d_logits
+      d_htop   = d_logits @ Wp^T                    (MXU)
+    The [T, B, V] float32 intermediates XLA materializes for the same math
+    (d_soft, d_logits — written and re-read from HBM around each consumer)
+    never exist here.
     """
     t = pl.program_id(0)
-    B = htop_ref.shape[1]
-    V = wp_ref.shape[1]
     f32 = jnp.float32
-    if need_gen:
-        dwp_ref, dbp_ref, dwd_ref, dhtop_ref = out_refs
-    else:
-        (dwd_ref,) = out_refs
 
     @pl.when(t == 0)
     def _init():
-        dwd_ref[:] = jnp.zeros_like(dwd_ref)
-        if need_gen:
-            dwp_ref[:] = jnp.zeros_like(dwp_ref)
-            dbp_ref[:] = jnp.zeros_like(dbp_ref)
+        dwp_ref[:] = jnp.zeros_like(dwp_ref)
+        dbp_ref[:] = jnp.zeros_like(dbp_ref)
 
     h = htop_ref[0]                                       # [B, H] compute dt
-    logits = (jnp.dot(h, wp_ref[:], preferred_element_type=f32)
-              + bp_ref[:].astype(f32))                    # [B, V] f32
-
-    if interpret:
-        u = jnp.zeros((B, V), f32)                        # matches fwd stub
-    else:
-        pltpu.prng_seed(_avalanche(seed_ref[0] + t))
-        bits = pltpu.bitcast(pltpu.prng_random_bits((B, V)), jnp.uint32)
-        top24 = pltpu.bitcast(bits >> jnp.uint32(8), jnp.int32)
-        u = top24.astype(f32) * (1.0 / (1 << 24))
-    g = -jnp.log(-jnp.log(u + _EPS) + _EPS)
-    temp = temp_ref[0]
-    sc = (logits + g) * temp
-    e = jnp.exp(sc - jnp.max(sc, axis=-1, keepdims=True))
-    soft = e / jnp.sum(e, axis=-1, keepdims=True)         # [B, V] f32
-
+    soft = soft_ref[0].astype(f32)                        # [B, V]
     de = demb_ref[0]                                      # [B, Ed]
-    # d_soft = de @ WdT.T   (wd_ref holds WdT [V, Ed])
     d_soft = jax.lax.dot_general(
         de, wd_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=f32)                       # [B, V]
     inner = jnp.sum(d_soft * soft, axis=-1, keepdims=True)
-    d_logits = temp * soft * (d_soft - inner)             # [B, V] f32
+    d_logits = temp_ref[0] * soft * (d_soft - inner)      # [B, V] f32
 
     dt = htop_ref.dtype
-    soft_c = soft.astype(dt)
-    # dWd += soft^T @ de  — contract the batch dim
-    dwd_ref[:] += jax.lax.dot_general(
-        soft_c, de, (((0,), (0,)), ((), ())),
-        preferred_element_type=f32).astype(dwd_ref.dtype)
-    if need_gen:
-        dl_c = d_logits.astype(dt)
-        dwp_ref[:] += jax.lax.dot_general(
-            h, dl_c, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32).astype(dwp_ref.dtype)   # [H, V]
-        dbp_ref[:] += jnp.sum(d_logits, axis=0).astype(
-            dbp_ref.dtype)[None, :]
-        # d_h_top = d_logits @ Wp^T  (contract the vocab dim of wp [H, V])
-        dhtop_ref[0] = jax.lax.dot_general(
-            dl_c, wp_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=f32).astype(dhtop_ref.dtype)
+    dl_c = d_logits.astype(dt)
+    dwp_ref[:] += jax.lax.dot_general(
+        h, dl_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=f32).astype(dwp_ref.dtype)       # [H, V]
+    dbp_ref[:] += jnp.sum(d_logits, axis=0).astype(
+        dbp_ref.dtype)[None, :]
+    dhtop_ref[0] = jax.lax.dot_general(
+        dl_c, wp_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32).astype(dhtop_ref.dtype)     # [B, H]
 
 
-def decode_sample_embed_bwd(h_top_tm, d_emb_tm, w_proj, b_proj, disc_embed,
-                            seed, temperature, need_gen: bool):
-    """Run the fused sample_embed backward kernel.
+def decode_sample_embed_bwd(h_top_tm, soft_tm, d_emb_tm, w_proj,
+                            disc_embed, temperature):
+    """Run the fused sample_embed backward kernel (generator-side grads).
 
     Args:
       h_top_tm: [T, B, H] top-layer LSTM outputs (forward residual).
+      soft_tm:  [T, B, V] saved soft samples (forward residual, bf16).
       d_emb_tm: [T, B, Ed] cotangent of the fused disc embedding.
       w_proj:   [V, H] torch-layout projection weight.
-      b_proj:   [V].
       disc_embed: [Ed, V] disc embedding (torch layout).
-      seed, temperature: the forward kernel's sampling parameters.
-      need_gen: also produce the generator-side cotangents.
+      temperature: the forward's Gumbel temperature.
     Returns:
-      need_gen: (dwp [H,V] f32, dbp [V] f32, dwd [Ed,V] in disc dtype,
-                 d_htop [T,B,H])
-      else:     dwd [Ed, V]
+      (dwp [H, V] f32, dbp [V] f32, d_htop [T, B, H])
     """
     T, _, H = h_top_tm.shape
     ed = disc_embed.shape[0]
@@ -497,85 +478,61 @@ def decode_sample_embed_bwd(h_top_tm, d_emb_tm, w_proj, b_proj, disc_embed,
     dt = h_top_tm.dtype
 
     wp = w_proj.T.astype(dt)                               # [H, V]
-    bp = b_proj[None, :].astype(dt)                        # [1, V]
     wdT = disc_embed.T.astype(dt)                          # [V, Ed]
 
-    def _invoke(seed_arr, temp_arr, htop, demb, wp_, bp_, wd_):
+    def _invoke(temp_arr, htop, soft, demb, wp_, wd_):
         B = htop.shape[1]
-        out_shapes = []
-        out_specs = []
-        if need_gen:
-            out_shapes += [jax.ShapeDtypeStruct((H, V), jnp.float32),
-                           jax.ShapeDtypeStruct((1, V), jnp.float32)]
-            out_specs += [pl.BlockSpec((H, V), lambda t: (0, 0),
-                                       memory_space=pltpu.VMEM),
-                          pl.BlockSpec((1, V), lambda t: (0, 0),
-                                       memory_space=pltpu.VMEM)]
-        out_shapes.append(jax.ShapeDtypeStruct((V, ed), jnp.float32))
-        out_specs.append(pl.BlockSpec((V, ed), lambda t: (0, 0),
-                                      memory_space=pltpu.VMEM))
-        if need_gen:
-            out_shapes.append(jax.ShapeDtypeStruct((T, B, H), dt))
-            out_specs.append(pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
-                                          memory_space=pltpu.VMEM))
         return pl.pallas_call(
-            functools.partial(_embed_bwd_kernel, interpret=_interpret(),
-                              need_gen=need_gen),
+            functools.partial(_embed_bwd_kernel, interpret=_interpret()),
             grid=(T,),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),        # seed
                 pl.BlockSpec(memory_space=pltpu.SMEM),        # temp
                 pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM),        # h_top
+                pl.BlockSpec((1, B, V), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),        # soft
                 pl.BlockSpec((1, B, ed), lambda t: (t, 0, 0),
                              memory_space=pltpu.VMEM),        # d_emb
                 pl.BlockSpec(memory_space=pltpu.VMEM),        # wp
-                pl.BlockSpec(memory_space=pltpu.VMEM),        # bp
                 pl.BlockSpec(memory_space=pltpu.VMEM),        # wdT
             ],
-            out_specs=tuple(out_specs),
-            out_shape=tuple(out_shapes),
+            out_specs=(
+                pl.BlockSpec((H, V), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, V), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((H, V), jnp.float32),
+                jax.ShapeDtypeStruct((1, V), jnp.float32),
+                jax.ShapeDtypeStruct((T, B, H), dt),
+            ),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=_interpret(),
-        )(seed_arr, temp_arr, htop, demb, wp_, bp_, wd_)
+        )(temp_arr, htop, soft, demb, wp_, wd_)
 
-    args = (jnp.asarray(seed, jnp.int32).reshape(1),
-            jnp.asarray(temperature, jnp.float32).reshape(1),
-            h_top_tm, d_emb_tm, wp, bp, wdT)
+    args = (jnp.asarray(temperature, jnp.float32).reshape(1),
+            h_top_tm, soft_tm, d_emb_tm.astype(dt), wp, wdT)
     mesh = _data_mesh()
     if mesh is None:
-        outs = _invoke(*args)
+        dwp, dbp, d_htop = _invoke(*args)
     else:
         from jax.sharding import PartitionSpec as P
 
-        in_specs = (P(None), P(None), P(None, "data", None),
-                    P(None, "data", None), P(None, None), P(None, None),
-                    P(None, None))
-        if need_gen:
-            out_specs = (P(None, None), P(None, None), P(None, None),
-                         P(None, "data", None))
-        else:
-            out_specs = P(None, None)
+        in_specs = (P(None), P(None, "data", None), P(None, "data", None),
+                    P(None, "data", None), P(None, None), P(None, None))
+        out_specs = (P(None, None), P(None, None), P(None, "data", None))
 
-        def body(seed_arr, temp_arr, htop, demb, wp_, bp_, wd_):
-            # same per-shard seed derivation as the forward: each shard
-            # replays exactly the noise it sampled
-            outs = _invoke(_shard_seed(seed_arr), temp_arr, htop, demb,
-                           wp_, bp_, wd_)
-            # weight-gradient accumulators are partial sums over the local
-            # batch — reduce across data shards
-            if need_gen:
-                dwp, dbp, dwd, d_htop = outs
-                return (jax.lax.psum(dwp, "data"), jax.lax.psum(dbp, "data"),
-                        jax.lax.psum(dwd, "data"), d_htop)
-            return jax.lax.psum(outs, "data")
+        def body(temp_arr, htop, soft, demb, wp_, wd_):
+            dwp, dbp, d_htop = _invoke(temp_arr, htop, soft, demb, wp_, wd_)
+            # weight grads are partial sums over the local batch
+            return (jax.lax.psum(dwp, "data"), jax.lax.psum(dbp, "data"),
+                    d_htop)
 
-        outs = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=False)(*args)
-
-    if need_gen:
-        dwp, dbp, dwd, d_htop = outs
-        return dwp, dbp[0], dwd.T, d_htop
-    dwd = outs[0] if isinstance(outs, (tuple, list)) else outs
-    return dwd.T
+        dwp, dbp, d_htop = jax.shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False)(*args)
+    return dwp, dbp[0], d_htop

@@ -272,12 +272,15 @@ def _kernel_sample_embed(decoder_params, features, temperature, seed,
 
     Forward: ONE pallas_call (kernels/decode_sample.py mode
     ``sample_embed``) contracts each step's soft sample into the disc
-    embedding on-core and writes only [B, Ed] per step (Ed≈64 vs V≈11k).
-    Backward (kernels.decode_sample_embed_bwd): the soft sample is
-    REGENERATED per step from the saved h_top residual + the replayed
-    hardware PRNG stream, and contracted directly into the gradient
-    accumulators (dWp, dbp, dWd, d_htop) in VMEM; the LSTM BPTT then runs
-    from d_htop exactly as :func:`_kernel_sample_soft`'s.
+    embedding on-core, writing [B, Ed] per step plus the bf16 soft sample
+    as the backward's residual.  Backward
+    (kernels.decode_sample_embed_bwd): a matmul-only kernel reads the
+    saved soft row per step and contracts the softmax-VJP directly into
+    VMEM-resident accumulators (dWp, dbp, d_htop) — the [T, B, V] float32
+    d_soft/d_logits intermediates XLA would bounce through HBM never
+    exist; the LSTM BPTT then runs from d_htop exactly as
+    :func:`_kernel_sample_soft`'s.  dWd is one XLA contraction over the
+    saved soft (dead-code-eliminated when the caller doesn't need it).
 
     ``wrt`` (static): which cotangents the backward actually computes —
       * ``"gen"``: full generator-side grads + dWd;
@@ -298,11 +301,11 @@ def _kernel_sample_embed_fwd(decoder_params, features, temperature, seed,
     from gan_image_captioning_tpu.kernels.decode_sample import decode_sample
 
     dec = decoder_params
-    ids_bt, emb_tm, hs, cs, gates = decode_sample(
+    ids_bt, emb_tm, soft_tm, hs, cs, gates = decode_sample(
         features, dec["lstm"], dec["linear"]["w"], dec["linear"]["b"],
         dec["embed"], seq_len=seq_len, mode="sample_embed", seed=seed,
         temperature=temperature, disc_embed=disc_embed)
-    res = (dec, features, temperature, seed, disc_embed, ids_bt, hs, cs,
+    res = (dec, features, temperature, disc_embed, ids_bt, soft_tm, hs, cs,
            gates)
     return (emb_tm, ids_bt), res
 
@@ -311,24 +314,29 @@ def _kernel_sample_embed_bwd(seq_len, wrt, res, grads):
     from gan_image_captioning_tpu.kernels.decode_sample import (
         decode_sample_embed_bwd)
 
-    dec, features, temperature, seed, wd, ids_bt, hs, cs, gates = res
+    dec, features, temperature, wd, ids_bt, soft_tm, hs, cs, gates = res
     d_emb_tm, _ = grads                                   # ids carry no grad
-    nl = len(dec["lstm"])
-    h_top = hs[:, nl - 1]                                 # [T, B, H]
+    T, B, V = soft_tm.shape
     zero_temp = jnp.zeros_like(jnp.asarray(temperature))
     zero_seed = jnp.zeros((), jnp.int32)
 
+    # dWd = Σ_t soft_t^T @ d_emb_t — one XLA contraction over the saved
+    # soft residual ([Ed, V] torch layout); DCE'd when the caller only
+    # wants generator grads
+    soft2 = soft_tm.reshape(T * B, V)
+    de2 = d_emb_tm.reshape(T * B, -1).astype(soft2.dtype)
+    dwd = jax.lax.dot_general(de2, soft2, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
     if wrt == "disc":
-        dwd = decode_sample_embed_bwd(
-            h_top, d_emb_tm, dec["linear"]["w"], dec["linear"]["b"], wd,
-            seed, temperature, need_gen=False)            # [Ed, V] f32
         zero_dec = jax.tree_util.tree_map(jnp.zeros_like, dec)
         return (zero_dec, jnp.zeros_like(features), zero_temp, zero_seed,
                 dwd.astype(wd.dtype))
 
-    dwp, dbp, dwd, d_htop = decode_sample_embed_bwd(
-        h_top, d_emb_tm, dec["linear"]["w"], dec["linear"]["b"], wd,
-        seed, temperature, need_gen=True)
+    nl = len(dec["lstm"])
+    h_top = hs[:, nl - 1]                                 # [T, B, H]
+    dwp, dbp, d_htop = decode_sample_embed_bwd(
+        h_top, soft_tm, d_emb_tm, dec["linear"]["w"], wd, temperature)
     d_lstm, d_embed, d_features = _lstm_bptt_from_dhs(
         dec, features, ids_bt, hs, cs, gates, d_htop.astype(jnp.float32))
     d_dec = {"embed": d_embed.astype(dec["embed"].dtype),
