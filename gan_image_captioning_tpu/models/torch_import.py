@@ -207,3 +207,91 @@ def gpt2_decoder_from_torch(sd: Dict, seq_len_plus_1: int,
         "linear": {"w": jnp.asarray(wte_x),
                    "b": jnp.zeros((wte_x.shape[0],), wte_x.dtype)},
     }
+
+
+def vit_from_torch(sd: Dict, image_size: int = 224) -> Tuple[dict, dict]:
+    """HF ``ViTModel`` state_dict → ``(weights, stats)`` for
+    ``models/vit.py`` — BASELINE.json config 5's pretrained image encoder
+    (mirrors :func:`gpt2_decoder_from_torch` for the generator side).
+
+    Layout notes (transformers ``ViTModel``, e.g. google/vit-base-patch16):
+      * HF uses ``nn.Linear`` ([out, in]) everywhere — every dense weight
+        transposes into our [in, out] layout (unlike GPT-2's Conv1D);
+      * the patch projection is a stride-16 Conv2d [d, 3, 16, 16]; our
+        patchify flattens patches in (ph, pw, c) order, so the kernel
+        permutes to (kh, kw, in_c, out) before flattening;
+      * q/k/v are separate Linears (no fused c_attn split);
+      * position embeddings [1, P+1, d]: row 0 is CLS; when the target
+        ``image_size`` implies a different patch grid, the patch rows are
+        bilinearly resized on the 2-D grid (standard ViT fine-tuning
+        practice) and CLS kept as-is;
+      * ViT has no BatchNorm — ``stats`` is the empty dict vit.py threads.
+
+    Activation caveat: HF ViT uses exact (erf) GELU while our shared block
+    stack uses the tanh approximation (GPT-2's gelu_new) — features differ
+    by O(1e-3), irrelevant for transfer; the oracle test fabricates its
+    checkpoint with ``hidden_act='gelu_new'`` for an exact comparison.
+
+    Accepts keys with or without the ``vit.`` prefix.
+    """
+    import numpy as np
+
+    if any(k.startswith("vit.") for k in sd):
+        sd = {k[len("vit."):]: v for k, v in sd.items()
+              if k.startswith("vit.")}
+
+    cls = np.asarray(_a(sd["embeddings.cls_token"]))            # [1, 1, d]
+    d = cls.shape[-1]
+    pw = np.asarray(_a(sd["embeddings.patch_embeddings.projection.weight"]))
+    patch = pw.shape[-1]
+    # [d, 3, kh, kw] → [(kh, kw, c), d] matching vit._patchify's order
+    patch_w = np.transpose(pw, (2, 3, 1, 0)).reshape(-1, d)
+    patch_b = np.asarray(
+        _a(sd["embeddings.patch_embeddings.projection.bias"]))
+
+    pos = np.asarray(_a(sd["embeddings.position_embeddings"]))[0]  # [P+1, d]
+    src_grid = int(round((pos.shape[0] - 1) ** 0.5))
+    dst_grid = image_size // patch
+    if dst_grid != src_grid:
+        import jax
+
+        grid = pos[1:].reshape(src_grid, src_grid, d)
+        grid = np.asarray(jax.image.resize(
+            jnp.asarray(grid), (dst_grid, dst_grid, d), method="linear"))
+        pos = np.concatenate([pos[:1], grid.reshape(dst_grid * dst_grid, d)],
+                             axis=0)
+
+    def lin(name):  # HF nn.Linear [out, in] → ours [in, out]
+        return {"w": jnp.asarray(np.asarray(_a(sd[f"{name}.weight"])).T),
+                "b": _a(sd[f"{name}.bias"])}
+
+    def ln(name):
+        return {"scale": _a(sd[f"{name}.weight"]),
+                "bias": _a(sd[f"{name}.bias"])}
+
+    blocks = []
+    i = 0
+    while f"encoder.layer.{i}.layernorm_before.weight" in sd:
+        base = f"encoder.layer.{i}"
+        blocks.append({
+            "ln1": ln(f"{base}.layernorm_before"),
+            "attn": {
+                "wq": lin(f"{base}.attention.attention.query"),
+                "wk": lin(f"{base}.attention.attention.key"),
+                "wv": lin(f"{base}.attention.attention.value"),
+                "wo": lin(f"{base}.attention.output.dense"),
+            },
+            "ln2": ln(f"{base}.layernorm_after"),
+            "mlp": {"fc1": lin(f"{base}.intermediate.dense"),
+                    "fc2": lin(f"{base}.output.dense")},
+        })
+        i += 1
+
+    weights = {
+        "patch_embed": {"w": jnp.asarray(patch_w), "b": patch_b},
+        "cls": jnp.asarray(cls),
+        "pos": jnp.asarray(pos),
+        "blocks": blocks,
+        "ln_f": ln("layernorm"),
+    }
+    return weights, {}
