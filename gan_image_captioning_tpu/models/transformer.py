@@ -405,6 +405,57 @@ def decode_step(dec: dict, config: Config, x_tok, k_cache, v_cache, t,
     return logits, jnp.stack(new_k), jnp.stack(new_v)
 
 
+def decode_step_slots(dec: dict, config: Config, x_tok, k_cache, v_cache,
+                      t_vec, context=None):
+    """One incremental decode step with PER-ROW positions — the
+    continuous-batching slot variant of :func:`decode_step` (serving.py
+    ContinuousBatcher: each slot sits at its own decode position, so the
+    position embedding, cache write index and attention mask are all
+    per-row).
+
+    Args:
+      x_tok: [N, d] input embeddings (row n at position ``t_vec[n]``).
+      k_cache/v_cache: [n_layers, N, L, heads, head_dim].
+      t_vec: [N] int32 per-row positions.
+      context: optional [N, HW, d] cross-attention context.
+    Returns ``(logits [N, V], new_k, new_v)``.
+
+    Stale cache rows from a slot's previous occupant need no zeroing: the
+    mask only attends positions ≤ t_vec[n], and every such position is
+    (re)written before it is first attended after a slot reset to t=0.
+    """
+    n_heads = config.gen_num_heads
+    batch = x_tok.shape[0]
+    rows = jnp.arange(batch)
+    x = (x_tok + dec["pos"][t_vec])[:, None, :]             # [N, 1, d]
+    pos_ok = (jnp.arange(k_cache.shape[2])[None, None, None, :]
+              <= t_vec[:, None, None, None])                # [N, 1, 1, L]
+    new_k, new_v = [], []
+    for li, blk in enumerate(dec["blocks"]):
+        h_in = layer_norm(blk["ln1"], x)
+        q = _split_heads(dense(blk["attn"]["wq"], h_in), n_heads)
+        k_new = _split_heads(dense(blk["attn"]["wk"], h_in), n_heads)
+        v_new = _split_heads(dense(blk["attn"]["wv"], h_in), n_heads)
+        k_l = k_cache[li].at[rows, t_vec].set(k_new[:, 0])
+        v_l = v_cache[li].at[rows, t_vec].set(v_new[:, 0])
+        new_k.append(k_l)
+        new_v.append(v_l)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_l) / jnp.sqrt(
+            q.shape[-1] * 1.0)
+        scores = jnp.where(pos_ok, scores, jnp.finfo(scores.dtype).min)
+        probs = jax.nn.softmax(scores, axis=-1)
+        att = jnp.einsum("bhqk,bkhd->bqhd", probs, v_l).reshape(batch, 1, -1)
+        x = x + dense(blk["attn"]["wo"], att)
+        if context is not None and "cross" in blk:
+            x = x + attention(blk["cross"], layer_norm(blk["ln_cross"], x),
+                              context, n_heads)
+        h = layer_norm(blk["ln2"], x)
+        x = x + dense(blk["mlp"]["fc2"],
+                      jax.nn.gelu(dense(blk["mlp"]["fc1"], h)))
+    logits = _project(dec, layer_norm(dec["ln_f"], x))[:, 0, :]
+    return logits, jnp.stack(new_k), jnp.stack(new_v)
+
+
 def sample(dec: dict, features, rng, temperature, seq_len: int,
            pretrain: bool = False, config: Config = None, context=None):
     """Free-running autoregressive decode with a KV cache in ``lax.scan``.

@@ -101,8 +101,7 @@ class CaptionService:
 
         feat_dim = config.gen_embed_dim
         self.continuous = None
-        if getattr(args, "serve_continuous", False) \
-                and config.gen_arch == "lstm" and beam == 1:
+        if getattr(args, "serve_continuous", False) and beam == 1:
             self.continuous = ContinuousBatcher(
                 self.gen_params, config, num_slots=self.batch_size,
                 chunk_steps=getattr(args, "serve_chunk_steps", 8))

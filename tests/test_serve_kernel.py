@@ -99,3 +99,28 @@ def test_continuous_batcher_kernel_slots_match_batch_greedy():
         cb.close()
     want = np.asarray(decode_lib.greedy(gen_params, features, config))
     np.testing.assert_array_equal(got, want)
+
+
+def test_transformer_continuous_batcher_matches_batch_greedy():
+    """Transformer slots (per-slot KV positions) must match the one-shot
+    batch greedy decode — slots join mid-flight at chunk boundaries."""
+    from gan_image_captioning_tpu.serving import ContinuousBatcher
+
+    config = Config(vocab_size=V, gen_embed_dim=32, gen_hidden_dim=64,
+                    gen_num_layers=2, gen_num_heads=4, max_seq_len=T - 2,
+                    gen_arch="transformer")
+    rng = jax.random.PRNGKey(9)
+    k1, k2 = jax.random.split(rng)
+    from gan_image_captioning_tpu.models import transformer as tf_lib
+
+    gen_params = tf_lib.init_transformer_generator_params(k1, config)
+    features = jax.random.normal(k2, (5, 32), jnp.float32)
+
+    cb = ContinuousBatcher(gen_params, config, num_slots=3, chunk_steps=3)
+    try:
+        futs = [cb.submit(np.asarray(features[i])) for i in range(5)]
+        got = np.stack([f.result(timeout=120)[0] for f in futs])
+    finally:
+        cb.close()
+    want = np.asarray(decode_lib.greedy(gen_params, features, config))
+    np.testing.assert_array_equal(got, want)
