@@ -352,10 +352,16 @@ _kernel_sample_embed.defvjp(_kernel_sample_embed_fwd, _kernel_sample_embed_bwd)
 def fuse_embed_available() -> bool:
     """The fused sample→disc-embed path runs where the decode kernel runs:
     on TPU, or anywhere under GIC_KERNEL_INTERPRET=1 (equivalence tests).
-    GIC_FUSE_EMBED=0 opts out (A/B measurement)."""
+
+    DEFAULT OFF (GIC_FUSE_EMBED=1 opts in): measured a consistent net
+    LOSS on v5e — PRNG-replay backward −8%, soft-residual matmul-only
+    backward −3.4% (benchmarks/ab_fuse.py, docs/benchmarks.md round-3
+    matrix).  XLA's batched [T·B]-deep backward matmuls beat a
+    sequential grid-over-time kernel for this shape; the path is kept
+    tested + documented as the negative result that it is."""
     import os
 
-    if os.environ.get("GIC_FUSE_EMBED", "1") != "1":
+    if os.environ.get("GIC_FUSE_EMBED", "0") != "1":
         return False
     return (jax.default_backend() == "tpu"
             or os.environ.get("GIC_KERNEL_INTERPRET") == "1")

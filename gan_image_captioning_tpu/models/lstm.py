@@ -171,6 +171,22 @@ def _layer_seq_bwd(res, d_hs):
     h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
     c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
 
+    from gan_image_captioning_tpu.kernels import lstm_bptt
+
+    if lstm_bptt.available():
+        # weights-resident Pallas reverse loop: w_hh DMA'd into VMEM once
+        # instead of re-read per step, one kernel instead of T small-op
+        # dispatches; d_pre stacks for the same deferred dW matmuls below
+        d_pre, dh0, dc0 = lstm_bptt.lstm_bptt_reverse(
+            w_hh, d_hs, gates, c_prev, cs)
+        t, b = d_pre.shape[0], d_pre.shape[1]
+        d2 = d_pre.reshape(t * b, -1)
+        xh = jnp.concatenate([xs, h_prev], axis=-1).reshape(t * b, -1)
+        dw = xh.T @ d2
+        db = d2.sum(axis=0)
+        dxs = (d2 @ w_fused[:in_dim].T).reshape(xs.shape)
+        return dw, db, dxs, dh0, dc0
+
     def rstep(carry, inp):
         dh, dc = carry
         d_h_t, gates_t, c_prev_t, c_t = inp
