@@ -215,6 +215,10 @@ def add_tpu_args(parser):
                    choices=["coco", "synthetic"],
                    help="'synthetic' runs on a deterministic tiny fixture "
                         "(useful for tests/benchmarks without COCO on disk)")
+    g.add_argument("--synthetic-items", type=int, default=512,
+                   help="train items for --dataset synthetic (val gets 1/4;"
+                        " larger values scale the procedural grammar up for"
+                        " flagship-geometry quality runs)")
     g.add_argument("--num-workers", type=int, default=4,
                    help="host-side data-loading worker threads")
     g.add_argument("--profile-dir", type=str, default="",

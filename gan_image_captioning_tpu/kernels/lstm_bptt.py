@@ -32,8 +32,12 @@ def _interpret() -> bool:
 
 
 def available() -> bool:
-    """GIC_BPTT_KERNEL gates the kernel (default ON where kernels run)."""
-    if os.environ.get("GIC_BPTT_KERNEL", "1") != "1":
+    """GIC_BPTT_KERNEL=1 opts in.  Default OFF: measured NEUTRAL on v5e
+    (102.6 vs 103.0 steps/s interleaved A/B, benchmarks/ab_bptt.py) — the
+    reverse scan's per-step weight re-reads overlap well enough under
+    XLA's scheduling that weight residency buys nothing here; kept as a
+    tested alternative for backends with weaker scan codegen."""
+    if os.environ.get("GIC_BPTT_KERNEL", "0") != "1":
         return False
     return (jax.default_backend() == "tpu"
             or os.environ.get("GIC_KERNEL_INTERPRET") == "1")

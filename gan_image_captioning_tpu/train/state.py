@@ -43,10 +43,21 @@ def make_optimizer(lr: float, clip_norm: float) -> optax.GradientTransformation:
     Matches the reference update order — ``clip_grad_norm_(params, 5.0)``
     then ``Adam.step()`` (``training.py:194-199``) — and torch Adam defaults
     (betas 0.9/0.999, eps 1e-8), which optax.adam shares.
+
+    GIC_BF16_MU=1 stores Adam's FIRST moment in bfloat16 (optax
+    ``mu_dtype``): the fused step is HBM-bound and the optimizer phase is
+    pure moment/param traffic, so halving the mu stream saves real step
+    time; the variance accumulator stays float32 (its dynamic range —
+    grad² — does not survive bf16).  Off by default: the reference-parity
+    numerics keep full-precision state.
     """
+    import os
+
+    mu_dtype = (jnp.bfloat16 if os.environ.get("GIC_BF16_MU", "0") == "1"
+                else None)
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        optax.adam(lr),
+        optax.adam(lr, mu_dtype=mu_dtype),
     )
 
 

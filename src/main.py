@@ -25,10 +25,11 @@ def build_datasets(args):
         from gan_image_captioning_tpu.data.synthetic import SyntheticCaptions
 
         conditional = args.conditional_gan == 1
-        train = SyntheticCaptions("train", num_items=512,
+        n = getattr(args, "synthetic_items", 512)
+        train = SyntheticCaptions("train", num_items=n,
                                   image_size=args.image_size,
                                   conditional=conditional, seed=args.seed)
-        val = SyntheticCaptions("val", num_items=128,
+        val = SyntheticCaptions("val", num_items=max(n // 4, 16),
                                 image_size=args.image_size,
                                 conditional=conditional, seed=args.seed)
         return train, val

@@ -186,9 +186,10 @@ def test_sequence_parallel_transformer_mle(devices8):
 
 
 def test_mesh_kernel_decode_falls_back(tmp_path):
-    """--mesh + --decode-impl kernel: the instructor must swap to the
-    equivalent decoupled implementation (Pallas custom calls do not
-    partition under GSPMD) and train normally."""
+    """--mesh data-only + --decode-impl kernel now KEEPS the kernel
+    (shard_map over the data axis, round 3); the decoupled fallback
+    remains for model/pp/sp meshes (tests/test_kernel_mesh.py covers
+    both directions)."""
     from gan_image_captioning_tpu.config import Config
     from gan_image_captioning_tpu.data.synthetic import SyntheticCaptions
     from gan_image_captioning_tpu.train.instructor import GANInstructor
@@ -205,5 +206,5 @@ def test_mesh_kernel_decode_falls_back(tmp_path):
     val = SyntheticCaptions("val", num_items=16, conditional=False)
     config = config.replace(vocab_size=train.vocab_size)
     inst = GANInstructor(config, train, val)
-    assert inst.config.decode_impl == "decoupled"
+    assert inst.config.decode_impl == "kernel"
     inst._run()
