@@ -71,6 +71,9 @@ def main():
     # TPU (GIC_DISC_KERNEL=0 opts out; docs/benchmarks.md round-2 matrix).
     if _jax.default_backend() == "tpu":
         _os.environ.setdefault("GIC_DISC_KERNEL", "2")
+        # bf16 Adam first moment: +0.6% (3/3 interleaved reps,
+        # benchmarks/ab_bf16mu.py); variance accumulator stays f32
+        _os.environ.setdefault("GIC_BF16_MU", "1")
     from gan_image_captioning_tpu.config import Config
     from gan_image_captioning_tpu.data.loader import make_batch
     from gan_image_captioning_tpu.train.state import create_train_state
