@@ -241,9 +241,15 @@ class GANInstructor:
         return loader
 
     def genpretrain_loop(self, what: str):
-        """One sweep — reference ``genpretrain_loop`` (training.py:48-97)."""
+        """One sweep — reference ``genpretrain_loop`` (training.py:48-97).
+
+        Metric fetches are DEFERRED to the sweep end: ``float(device_val)``
+        per step is a host sync that serializes dispatch (on a tunneled
+        chip it costs a full RTT per step — measured 9.5 vs ~100 steps/s);
+        holding the device scalars and converting once lets async dispatch
+        pipeline the whole epoch."""
         loader = self.pre_train_loader if what == "train" else self.pre_eval_loader
-        losses = []
+        pending = []                         # (device loss, tag, step)
         for batch in self._progress(loader, f"pretrain/{what}"):
             batch = self._device_batch(batch)
             if what == "train":
@@ -253,9 +259,13 @@ class GANInstructor:
             else:
                 self.state, metrics = self.mle_eval_step(self.state, batch)
                 tag = "GenPreTraining_val_loss"
-            loss = float(metrics["gen_pretrain_loss"])
+            pending.append((metrics["gen_pretrain_loss"], tag,
+                            self.pretrain_steps))
+        losses = []
+        for dev_loss, tag, step in pending:
+            loss = float(dev_loss)           # first call waits on the chain
             losses.append(loss)
-            self.writer.add_scalar(tag, loss, self.pretrain_steps)
+            self.writer.add_scalar(tag, loss, step)
         return losses
 
     def pretrain_generator(self, epochs: int):
@@ -295,8 +305,11 @@ class GANInstructor:
         """One sweep — reference ``adv_loop`` (training.py:128-188)."""
         loader = self.adv_train_loader if what == "train" else self.adv_eval_loader
         num_batches = max(len(loader), 1)
-        g_losses, d_losses = [], []
         temp = float(self.state.temperature) or 1.0
+        # host-mirrored step counter: int(state.gen_steps) per batch would
+        # be a per-step device sync (see genpretrain_loop docstring)
+        step_counter = int(self.state.gen_steps)
+        pending = []                          # (g_dev, d_dev, tags, step)
         t_sweep = time.time()
         for batch_idx, batch in enumerate(
                 self._progress(loader, f"adv/{what}")):
@@ -305,21 +318,24 @@ class GANInstructor:
                 temp = self._temperature(adv_epoch, (batch_idx + 1) / num_batches)
                 self.state, metrics = self.adv_step(self.state, batch, temp)
                 self.adv_batch_steps += 1
+                step_counter += 1
                 d_tag, g_tag = "Discriminator_train_loss", "Generator_train_loss"
             else:
                 self.state, metrics = self.adv_eval_step(self.state, batch, temp)
                 d_tag, g_tag = "Discriminator_val_loss", "Generator_val_loss"
-            g_loss = float(metrics["gen_adv_loss"])
-            d_loss = float(metrics["disc_adv_loss"])
+            pending.append((metrics["gen_adv_loss"],
+                            metrics["disc_adv_loss"],
+                            (g_tag, d_tag), step_counter))
+        g_losses, d_losses = [], []
+        for g_dev, d_dev, (g_tag, d_tag), step in pending:
+            g_loss, d_loss = float(g_dev), float(d_dev)
             g_losses.append(g_loss)
             d_losses.append(d_loss)
-            step = int(self.state.gen_steps)
             self.writer.add_scalar(d_tag, d_loss, step)
             self.writer.add_scalar(g_tag, g_loss, step)
         if what == "train" and g_losses:
             rate = len(g_losses) / max(time.time() - t_sweep, 1e-9)
-            self.writer.add_scalar("adv_steps_per_sec", rate,
-                                   int(self.state.gen_steps))
+            self.writer.add_scalar("adv_steps_per_sec", rate, step_counter)
         return float(np.mean(g_losses or [0])), float(np.mean(d_losses or [0]))
 
     def evaluate_quality(self, max_batches: Optional[int] = None):
