@@ -39,7 +39,19 @@ def measure(mesh_spec, per_device_batch, config_base):
     from gan_image_captioning_tpu.train.state import create_train_state
     from gan_image_captioning_tpu.train.steps import make_adv_step
 
-    mesh = make_mesh(mesh_spec) if mesh_spec else None
+    if mesh_spec:
+        # a "data:k" spec with k < all devices rides the first k devices
+        from gan_image_captioning_tpu.parallel.mesh import parse_mesh_spec
+        try:
+            _, sizes = parse_mesh_spec(mesh_spec, len(jax.devices()))
+            devs = None
+        except ValueError:
+            import numpy as _np
+            sizes = [int(p.partition(":")[2]) for p in mesh_spec.split(",")]
+            devs = jax.devices()[:int(_np.prod(sizes))]
+        mesh = make_mesh(mesh_spec, devs)
+    else:
+        mesh = None
     dp = mesh.shape.get("data", 1) if mesh is not None else 1
     batch_size = per_device_batch * max(dp, 1)
     config = config_base.replace(adv_train_batch_size=batch_size)
