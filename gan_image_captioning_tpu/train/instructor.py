@@ -365,17 +365,21 @@ class GANInstructor:
             self._greedy_decode = (jax.jit(_decode) if not config.no_jit
                                    else _decode)
 
-        nll, gen_batches, real_batches, weight_batches = [], [], [], []
+        nll_dev, gen_dev, real_batches, weight_batches = [], [], [], []
         for i, batch in enumerate(self.pre_eval_loader):
             if max_batches is not None and i >= max_batches:
                 break
             batch_dev = self._device_batch(batch)
             self.state, metrics = self.mle_eval_step(self.state, batch_dev)
-            nll.append(float(metrics["gen_pretrain_loss"]))
-            ids = self._greedy_decode(self.state.gen_params, batch_dev)
-            gen_batches.append(np.asarray(ids))
+            nll_dev.append(metrics["gen_pretrain_loss"])
+            gen_dev.append(self._greedy_decode(self.state.gen_params,
+                                               batch_dev))
             real_batches.append(batch["captions"])
             weight_batches.append(batch.get("weights"))
+        # fetch once at the end — per-batch float()/asarray() host syncs
+        # serialize dispatch (see genpretrain_loop docstring)
+        nll = [float(v) for v in nll_dev]
+        gen_batches = [np.asarray(ids) for ids in gen_dev]
         bleu4 = bleu4_from_batches(gen_batches, real_batches, weight_batches)
 
         # qualitative sample: a couple of decoded captions into the log
