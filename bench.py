@@ -45,8 +45,11 @@ REF_BASELINE_STEPS_PER_SEC = 10.0  # grounded estimate; see module docstring
 
 import os as _os_top
 
-WARMUP = int(_os_top.environ.get("GIC_BENCH_WARMUP", "3"))
-ITERS = int(_os_top.environ.get("GIC_BENCH_ITERS", "20"))
+# 60-step chain: the round-2 driver capture (95.8) ran the default
+# 20-step chain while same-day 40-step matrices measured 103 — short
+# chains under-amortize the dispatch ramp over the remote tunnel.
+WARMUP = int(_os_top.environ.get("GIC_BENCH_WARMUP", "5"))
+ITERS = int(_os_top.environ.get("GIC_BENCH_ITERS", "60"))
 
 
 def main():
