@@ -221,6 +221,12 @@ def add_tpu_args(parser):
                         " flagship-geometry quality runs)")
     g.add_argument("--num-workers", type=int, default=4,
                    help="host-side data-loading worker threads")
+    g.add_argument("--device-prefetch", type=int, default=2,
+                   help="device-resident batch queue depth: a background "
+                        "thread jax.device_put's upcoming batches so "
+                        "host→device uploads overlap the running step "
+                        "(0 = synchronous per-batch transfer, the "
+                        "reference's .to(device) behavior)")
     g.add_argument("--profile-dir", type=str, default="",
                    help="if set, dump a jax.profiler trace for the first adv "
                         "epoch into this directory")
@@ -413,6 +419,7 @@ class Config:
     beam_size: int = 1
     dataset: str = "coco"
     num_workers: int = 4
+    device_prefetch: int = 2
     profile_dir: str = ""
     no_jit: bool = False
     vocab_multiple: int = 1

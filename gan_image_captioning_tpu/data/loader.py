@@ -69,6 +69,69 @@ def make_batch(captions_list, images_list, seq_len: int,
     return batch
 
 
+def device_prefetch(iterable, put, size: int = 2):
+    """Overlap host→device batch uploads with device compute.
+
+    A single daemon thread pulls host batches from ``iterable``, copies
+    each to the device with ``put`` (``jax.device_put`` or a sharded
+    variant) and parks up to ``size`` device-resident batches in a
+    bounded queue; the consumer then dispatches compute on batch N while
+    batch N+1's transfer is in flight.  This is the double-buffered
+    input-pipeline stage every TPU feed needs — the reference has no
+    equivalent (its DataLoader hands host tensors to a blocking
+    ``.to(device)`` per batch, ``training.py:59,139``) and on a
+    remote/tunneled chip the per-batch upload RTT otherwise serializes
+    with the step (NEXT_STEPS r3 item 5).
+
+    ``size <= 0`` degrades to inline (synchronous) puts.
+    """
+    if size <= 0:
+        for host_batch in iterable:
+            yield put(host_batch)
+        return
+
+    out: queue.Queue = queue.Queue(maxsize=size)
+    stop = threading.Event()
+    _END = object()
+    failure = []
+
+    def producer():
+        try:
+            for host_batch in iterable:
+                dev_batch = put(host_batch)
+                while not stop.is_set():
+                    try:
+                        out.put(dev_batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as exc:  # surfaced on the consumer side
+            failure.append(exc)
+        finally:
+            while not stop.is_set():
+                try:
+                    out.put(_END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    thread = threading.Thread(target=producer, daemon=True,
+                              name="device-prefetch")
+    thread.start()
+    try:
+        while True:
+            item = out.get()
+            if item is _END:
+                if failure:
+                    raise failure[0]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 class Batcher:
     """Iterable over fixed-shape batches with threaded prefetch.
 

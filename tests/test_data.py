@@ -182,3 +182,47 @@ def test_host_sharded_loading_partitions_the_epoch():
             if w > 0:
                 full.append(tuple(row.tolist()))
     assert sorted(seen) == sorted(full)
+
+
+def test_device_prefetch_order_and_identity():
+    """device_prefetch yields put(batch) in source order, for both the
+    threaded and the size<=0 (inline) paths."""
+    from gan_image_captioning_tpu.data.loader import device_prefetch
+
+    src = [{"captions": np.full((2, 3), i, np.int32)} for i in range(7)]
+    for size in (0, 1, 3):
+        out = list(device_prefetch(iter(src), lambda b: b, size=size))
+        assert [int(b["captions"][0, 0]) for b in out] == list(range(7))
+
+
+def test_device_prefetch_propagates_errors_and_stops_early():
+    from gan_image_captioning_tpu.data.loader import device_prefetch
+
+    import pytest as _pytest
+
+    def gen():
+        yield {"x": 1}
+        raise RuntimeError("upload boom")
+
+    with _pytest.raises(RuntimeError, match="upload boom"):
+        list(device_prefetch(gen(), lambda b: b, size=2))
+
+    # abandoning the iterator early must not deadlock the producer
+    it = device_prefetch(iter([{"x": i} for i in range(100)]),
+                         lambda b: b, size=2)
+    assert next(it)["x"] == 0
+    it.close()
+
+
+def test_device_prefetch_device_put_matches_host():
+    """jax.device_put through the prefetcher leaves values untouched."""
+    import jax
+
+    from gan_image_captioning_tpu.data.loader import device_prefetch
+
+    src = [{"captions": np.arange(6, dtype=np.int32).reshape(2, 3),
+            "weights": np.ones((2,), np.float32)}]
+    (dev,) = list(device_prefetch(iter(src), jax.device_put, size=2))
+    np.testing.assert_array_equal(np.asarray(dev["captions"]),
+                                  src[0]["captions"])
+    assert isinstance(dev["captions"], jax.Array)
