@@ -109,15 +109,18 @@ class CoalescingBatcher:
                 if pad:
                     feats = np.concatenate(
                         [feats, np.repeat(feats[:1], pad, axis=0)])
-                ids_parts, lp_parts = [], []
+                # dispatch every chunk async, then ONE batched fetch —
+                # per-chunk np.asarray pays a transfer RTT each and
+                # serializes dispatch with fetch (cf. the instructor's
+                # sweep-end jax.device_get, docs/benchmarks.md round 3)
+                dev_parts = []
                 for i in range(0, feats.shape[0], self.batch_size):
-                    ids, lps = self._decode(
-                        jnp.asarray(feats[i:i + self.batch_size]))
-                    ids_parts.append(np.asarray(ids))
-                    lp_parts.append(np.asarray(lps))
+                    dev_parts.append(self._decode(
+                        jnp.asarray(feats[i:i + self.batch_size])))
                     self.device_calls += 1
-                ids = np.concatenate(ids_parts)[:n]
-                lps = np.concatenate(lp_parts)[:n]
+                fetched = jax.device_get(dev_parts)
+                ids = np.concatenate([p[0] for p in fetched])[:n]
+                lps = np.concatenate([p[1] for p in fetched])[:n]
             except Exception as exc:
                 for _, fut in pending:
                     if not fut.done():
@@ -300,8 +303,8 @@ class ContinuousBatcher:
                 self._fail_active_slots(exc)
                 continue
             self.device_calls += 1
-            ids_k = np.asarray(ids_k)
-            lps_k = np.asarray(lps_k)
+            # one batched fetch (two per-array fetches = two RTTs)
+            ids_k, lps_k = jax.device_get((ids_k, lps_k))
             for i in range(self.B):
                 t = self._slot_t[i]
                 if t < 0:

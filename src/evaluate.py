@@ -38,6 +38,15 @@ def parse_args(argv=None):
                         "score on generated vs real captions (the automatic "
                         "counterpart of the report's Table 6 'Discriminator "
                         "score' row; needs an adv_model.ckpt)")
+    parser.add_argument("--diversity", action="store_true",
+                        help="also report self-BLEU (collapse probe: 1.0 = "
+                        "all captions identical) and distinct-1/2 over the "
+                        "generated corpus (eval/diversity.py — the RelGAN "
+                        "literature's diversity metrics)")
+    parser.add_argument("--cider", action="store_true",
+                        help="also report CIDEr-D vs the (single) reference "
+                        "caption per sample (eval/cider.py — the COCO "
+                        "leaderboard metric the report omits)")
     return parser.parse_args(argv)
 
 
