@@ -409,6 +409,20 @@ class GANInstructor:
         gen_batches = [np.asarray(ids) for ids in gen_batches]
         bleu4 = bleu4_from_batches(gen_batches, real_batches, weight_batches)
 
+        # mode-collapse probe: self-BLEU of the generated corpus (1.0 =
+        # every caption identical) — the failure mode adversarial training
+        # actually exhibits (docs/results.md run 1: BLEU→0 with NLL spike)
+        from gan_image_captioning_tpu.eval.diversity import self_bleu
+        from gan_image_captioning_tpu.eval.metrics import strip_caption
+
+        gen_caps = []
+        for ids_b, w_b in zip(gen_batches, weight_batches):
+            for j in range(ids_b.shape[0]):
+                if w_b is not None and w_b[j] == 0:
+                    continue
+                gen_caps.append(strip_caption(ids_b[j]))
+        sbleu = self_bleu(gen_caps)
+
         # qualitative sample: a couple of decoded captions into the log
         i2w = getattr(self.dev_dataset, "index_to_word", None)
         if i2w and gen_batches:
@@ -419,7 +433,8 @@ class GANInstructor:
                 self.log.info("[SAMPLE] gen: %s | ref: %s" % (
                     " ".join(ids_to_words(strip_caption(row), i2w)),
                     " ".join(ids_to_words(strip_caption(ref), i2w))))
-        return {"nll_gen": float(np.mean(nll or [0])), "bleu4": bleu4}
+        return {"nll_gen": float(np.mean(nll or [0])), "bleu4": bleu4,
+                "self_bleu4": sbleu}
 
     def _run(self):
         """The full schedule — reference ``_run`` (training.py:201-235)."""
@@ -471,8 +486,11 @@ class GANInstructor:
                                        int(self.state.gen_steps))
                 self.writer.add_scalar("BLEU4", q["bleu4"],
                                        int(self.state.gen_steps))
-                self.log.info("[EVAL] NLL_gen %.4f | BLEU-4 %.5f"
-                              % (q["nll_gen"], q["bleu4"]))
+                self.writer.add_scalar("SelfBLEU4", q["self_bleu4"],
+                                       int(self.state.gen_steps))
+                self.log.info("[EVAL] NLL_gen %.4f | BLEU-4 %.5f | "
+                              "self-BLEU %.4f"
+                              % (q["nll_gen"], q["bleu4"], q["self_bleu4"]))
 
         # barrier: all async checkpoint writes must be committed before the
         # run is reported complete

@@ -120,25 +120,48 @@ def main(argv=None):
     fn = eval_batch if config.no_jit else jax.jit(eval_batch)
     loader = Batcher(ds, config.pre_eval_batch_size, config.seq_len,
                      shuffle=False, num_workers=config.num_workers)
-    nlls, gen_b, real_b, w_b, n = [], [], [], [], 0
-    d_gen_scores, d_real_scores = [], []
+    pending, real_b, w_b, n = [], [], [], 0
     for i, batch in enumerate(loader):
         if args.max_batches and i >= args.max_batches:
             break
-        nll, ids, d_gen, d_real = fn(gen_params, batch, jax.random.PRNGKey(i))
-        nlls.append(float(nll))
-        gen_b.append(np.asarray(ids))
+        pending.append(fn(gen_params, batch, jax.random.PRNGKey(i)))
         real_b.append(batch["captions"])
         w_b.append(batch.get("weights"))
         n += int(batch["weights"].sum())
-        d_gen_scores.append(float(d_gen))
-        d_real_scores.append(float(d_real))
+    # one batched fetch: per-batch float()/asarray() syncs serialize
+    # dispatch and pay a transfer RTT per array (docs/benchmarks.md r3)
+    fetched = jax.device_get(pending)
+    nlls = [float(nll) for nll, _, _, _ in fetched]
+    gen_b = [np.asarray(ids) for _, ids, _, _ in fetched]
+    d_gen_scores = [float(d) for _, _, d, _ in fetched]
+    d_real_scores = [float(d) for _, _, _, d in fetched]
     bleu = bleu4_from_batches(gen_b, real_b, w_b)
     result = {"nll_gen": round(float(np.mean(nlls)), 4),
               "bleu4": round(bleu, 5), "num_samples": n}
     if disc_params is not None:
         result["disc_score_generated"] = round(float(np.mean(d_gen_scores)), 4)
         result["disc_score_real"] = round(float(np.mean(d_real_scores)), 4)
+    if args.diversity or args.cider:
+        from gan_image_captioning_tpu.eval.metrics import strip_caption
+
+        cands, refs = [], []
+        for gen_ids, real_ids, w in zip(gen_b, real_b, w_b):
+            for j in range(gen_ids.shape[0]):
+                if w is not None and w[j] == 0:
+                    continue
+                cands.append(strip_caption(gen_ids[j]))
+                refs.append([strip_caption(real_ids[j])])
+    if args.diversity:
+        from gan_image_captioning_tpu.eval.diversity import (distinct_n,
+                                                             self_bleu)
+
+        result["self_bleu4"] = round(self_bleu(cands), 5)
+        result["distinct1"] = round(distinct_n(cands, 1), 5)
+        result["distinct2"] = round(distinct_n(cands, 2), 5)
+    if args.cider:
+        from gan_image_captioning_tpu.eval.cider import cider_d
+
+        result["cider_d"] = round(cider_d(cands, refs), 5)
     print(json.dumps(result))
 
 
