@@ -47,6 +47,13 @@ def parse_args(argv=None):
                         help="also report CIDEr-D vs the (single) reference "
                         "caption per sample (eval/cider.py — the COCO "
                         "leaderboard metric the report omits)")
+    parser.add_argument("--rouge", action="store_true",
+                        help="also report ROUGE-L (LCS F-measure, "
+                        "eval/rouge.py — coco-caption variant, beta=1.2)")
+    parser.add_argument("--meteor", action="store_true",
+                        help="also report METEOR (exact-match stage, "
+                        "eval/meteor.py — alignment F-mean with "
+                        "fragmentation penalty)")
     return parser.parse_args(argv)
 
 
@@ -141,7 +148,7 @@ def main(argv=None):
     if disc_params is not None:
         result["disc_score_generated"] = round(float(np.mean(d_gen_scores)), 4)
         result["disc_score_real"] = round(float(np.mean(d_real_scores)), 4)
-    if args.diversity or args.cider:
+    if args.diversity or args.cider or args.rouge or args.meteor:
         from gan_image_captioning_tpu.eval.metrics import strip_caption
 
         cands, refs = [], []
@@ -162,6 +169,14 @@ def main(argv=None):
         from gan_image_captioning_tpu.eval.cider import cider_d
 
         result["cider_d"] = round(cider_d(cands, refs), 5)
+    if args.rouge:
+        from gan_image_captioning_tpu.eval.rouge import rouge_l
+
+        result["rouge_l"] = round(rouge_l(cands, refs), 5)
+    if args.meteor:
+        from gan_image_captioning_tpu.eval.meteor import meteor
+
+        result["meteor"] = round(meteor(cands, refs), 5)
     print(json.dumps(result))
 
 

@@ -105,6 +105,117 @@ def test_cider_empty_corpus():
     assert cider_d([], []) == 0.0
 
 
+# --------------------------------------------------------------- ROUGE-L
+
+def test_rouge_perfect_match_is_one():
+    from gan_image_captioning_tpu.eval.rouge import rouge_l
+
+    assert rouge_l([[1, 2, 3, 4]], [[[1, 2, 3, 4]]]) == pytest.approx(1.0)
+
+
+def test_rouge_disjoint_is_zero():
+    from gan_image_captioning_tpu.eval.rouge import rouge_l
+
+    assert rouge_l([[1, 2, 3]], [[[4, 5, 6]]]) == 0.0
+
+
+def test_rouge_hand_computed():
+    """cand [a b c d] vs ref [a c d]: LCS=3, P=3/4, R=1,
+    F = 2.44 * 0.75 / (1 + 1.44 * 0.75)."""
+    from gan_image_captioning_tpu.eval.rouge import rouge_l
+
+    want = (1 + 1.2 ** 2) * 0.75 * 1.0 / (1.0 + 1.2 ** 2 * 0.75)
+    assert rouge_l([[1, 2, 3, 4]], [[[1, 3, 4]]]) == pytest.approx(want)
+
+
+def test_rouge_lcs_not_substring():
+    """LCS tolerates gaps: [a X b Y c] vs [a b c] still matches 3."""
+    from gan_image_captioning_tpu.eval.rouge import rouge_l
+
+    gapped = rouge_l([[1, 9, 2, 8, 3]], [[[1, 2, 3]]])
+    scrambled = rouge_l([[3, 2, 1, 9, 8]], [[[1, 2, 3]]])
+    assert gapped > scrambled > 0.0
+
+
+def test_rouge_multiple_refs_takes_max():
+    from gan_image_captioning_tpu.eval.rouge import rouge_l
+
+    one = rouge_l([[1, 2, 3]], [[[9, 9, 9]]])
+    best = rouge_l([[1, 2, 3]], [[[9, 9, 9], [1, 2, 3]]])
+    assert one == 0.0 and best == pytest.approx(1.0)
+
+
+def test_rouge_empty_corpus():
+    from gan_image_captioning_tpu.eval.rouge import rouge_l
+
+    assert rouge_l([], []) == 0.0
+    assert rouge_l([[]], [[[1, 2]]]) == 0.0
+
+
+# ---------------------------------------------------------------- METEOR
+
+def test_meteor_perfect_match():
+    """Identical 5-token captions: P=R=Fmean=1, one chunk,
+    penalty = 0.5 * (1/5)^3."""
+    from gan_image_captioning_tpu.eval.meteor import meteor
+
+    want = 1.0 - 0.5 * (1.0 / 5.0) ** 3
+    assert meteor([[1, 2, 3, 4, 5]], [[[1, 2, 3, 4, 5]]]) == \
+        pytest.approx(want)
+
+
+def test_meteor_disjoint_is_zero():
+    from gan_image_captioning_tpu.eval.meteor import meteor
+
+    assert meteor([[1, 2, 3]], [[[4, 5, 6]]]) == 0.0
+
+
+def test_meteor_fragmentation_penalty():
+    """Same matched unigrams, scrambled order → more chunks → lower."""
+    from gan_image_captioning_tpu.eval.meteor import meteor
+
+    ref = [[[1, 2, 3, 4, 5, 6]]]
+    ordered = meteor([[1, 2, 3, 4, 5, 6]], ref)
+    scrambled = meteor([[4, 5, 6, 1, 2, 3]], ref)   # 2 chunks
+    shuffled = meteor([[6, 4, 2, 5, 3, 1]], ref)    # 6 chunks
+    assert ordered > scrambled > shuffled > 0.0
+
+
+def test_meteor_hand_computed_partial():
+    """cand [a b x] vs ref [a b y]: m=2 (one chunk), P=2/3, R=2/3,
+    Fmean=2/3, penalty=0.5*(1/2)^3."""
+    from gan_image_captioning_tpu.eval.meteor import meteor
+
+    want = (2.0 / 3.0) * (1.0 - 0.5 * 0.125)
+    assert meteor([[1, 2, 8]], [[[1, 2, 9]]]) == pytest.approx(want)
+
+
+def test_meteor_recall_weighted():
+    """alpha=0.9 weights recall: missing ref tokens hurts more than
+    adding extra candidate tokens."""
+    from gan_image_captioning_tpu.eval.meteor import meteor
+
+    ref = [[[1, 2, 3, 4]]]
+    extra = meteor([[1, 2, 3, 4, 9, 9]], ref)    # P=4/6, R=1
+    missing = meteor([[1, 2]], ref)              # P=1, R=2/4
+    assert extra > missing
+
+
+def test_meteor_multiple_refs_takes_best():
+    from gan_image_captioning_tpu.eval.meteor import meteor
+
+    solo = meteor([[1, 2, 3]], [[[9, 8, 7]]])
+    best = meteor([[1, 2, 3]], [[[9, 8, 7], [1, 2, 3]]])
+    assert solo == 0.0 and best > 0.9
+
+
+def test_meteor_empty_corpus():
+    from gan_image_captioning_tpu.eval.meteor import meteor
+
+    assert meteor([], []) == 0.0
+    assert meteor([[]], [[[1]]]) == 0.0
+
+
 # ------------------------------------------------------------ CLI wiring
 
 def test_evaluate_cli_reports_new_metrics(tmp_path):
@@ -134,7 +245,7 @@ def test_evaluate_cli_reports_new_metrics(tmp_path):
          "--max-seq-len", "8", "--gen-embed-dim", "8",
          "--gen-hidden-dim", "16", "--conditional-gan", "0",
          "--pre-eval-batch-size", "8", "--max-batches", "2",
-         "--diversity", "--cider",
+         "--diversity", "--cider", "--rouge", "--meteor",
          "--save-dir", str(tmp_path / "save")],
         capture_output=True, text=True, cwd="/root/repo",
         env={**__import__("os").environ, "JAX_PLATFORM_NAME": "cpu"})
@@ -142,8 +253,10 @@ def test_evaluate_cli_reports_new_metrics(tmp_path):
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     res = json.loads(line)
     for key in ("nll_gen", "bleu4", "self_bleu4", "distinct1", "distinct2",
-                "cider_d"):
+                "cider_d", "rouge_l", "meteor"):
         assert key in res
     assert 0.0 <= res["self_bleu4"] <= 1.0
     assert 0.0 <= res["distinct2"] <= 1.0
     assert res["cider_d"] >= 0.0
+    assert 0.0 <= res["rouge_l"] <= 1.0
+    assert 0.0 <= res["meteor"] <= 1.0
