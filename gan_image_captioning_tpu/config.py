@@ -186,6 +186,31 @@ def add_tpu_args(parser):
     g.add_argument("--noisy-labels", type=float, default=0.0,
                    help="probability of flipping real/fake labels for the "
                         "discriminator (report §4.3 stabilization trick)")
+    g.add_argument("--lr-schedule", type=str, default="constant",
+                   choices=["constant", "cosine", "linear", "exponential"],
+                   help="learning-rate decay shape applied to all three "
+                        "optimizers' base LRs (the reference runs fixed LRs "
+                        "only, training.py:24-26); pairs with "
+                        "--lr-warmup-steps/--lr-decay-steps/--lr-min-ratio")
+    g.add_argument("--lr-warmup-steps", type=int, default=0,
+                   help="linear warmup 0 → base LR over this many optimizer "
+                        "steps before the decay shape starts")
+    g.add_argument("--lr-decay-steps", type=int, default=0,
+                   help="decay horizon in optimizer steps (required > 0 for "
+                        "non-constant --lr-schedule)")
+    g.add_argument("--lr-min-ratio", type=float, default=0.0,
+                   help="final LR as a fraction of the base LR (cosine alpha "
+                        "/ linear end / exponential per-horizon decay rate)")
+    g.add_argument("--grad-accum", type=int, default=1,
+                   help="split each batch into this many microbatches inside "
+                        "the fused step (lax.scan) and apply ONE optimizer "
+                        "update on the averaged grads — large effective "
+                        "batches beyond device memory")
+    g.add_argument("--ema-decay", type=float, default=0.0,
+                   help="maintain an exponential moving average of generator "
+                        "params with this decay (0 = off); best-val "
+                        "checkpoints gain a *_ema.ckpt twin usable with "
+                        "src/evaluate.py --checkpoint")
     g.add_argument("--mesh", type=str, default="",
                    help="device mesh spec, e.g. 'data:4,model:2'. Empty = all "
                         "devices on the 'data' axis.")
@@ -440,6 +465,12 @@ class Config:
     rl_baseline: str = "greedy"
     debug_nans: bool = False
     length_buckets: str = ""
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: int = 0
+    lr_min_ratio: float = 0.0
+    grad_accum: int = 1
+    ema_decay: float = 0.0
 
     def resolve_use_pallas(self) -> bool:
         """'auto' → True on TPU backends only."""

@@ -307,6 +307,11 @@ class GANInstructor:
                 ckpt_lib.save_params(
                     os.path.join(self.model_dir, "pretrained_model.ckpt"),
                     self.state.gen_params)
+                if self.state.ema_gen_params is not None:
+                    ckpt_lib.save_params(
+                        os.path.join(self.model_dir,
+                                     "pretrained_model_ema.ckpt"),
+                        self.state.ema_gen_params)
                 self.log.info("Saving Best model [Gen Loss = {}] at Epoch {}"
                               .format(best_loss, epoch))
             if epoch % self.config.pre_log_step == 0:
@@ -461,6 +466,10 @@ class GANInstructor:
                     os.path.join(self.model_dir, "adv_model.ckpt"),
                     {"generator": self.state.gen_params,
                      "discriminator": self.state.disc_params})
+                if self.state.ema_gen_params is not None:
+                    ckpt_lib.save_params(
+                        os.path.join(self.model_dir, "adv_model_ema.ckpt"),
+                        self.state.ema_gen_params)
                 self.log.info("Saving Best model [Gen Loss = {}] at Epoch {}"
                               .format(best_loss, adv_epoch))
 

@@ -10,7 +10,7 @@ optimizer states, step counters, the Gumbel temperature, and the PRNG key.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,9 +35,52 @@ class TrainState(NamedTuple):
     disc_steps: jnp.ndarray      # int32 scalar — training.py:42
     temperature: jnp.ndarray     # float32 scalar — generator.py:35 / training.py:190
     rng: jax.Array               # PRNG key threaded through sampling/dropout
+    # EMA shadow of gen_params (``--ema-decay`` > 0), else None.  A new
+    # trailing field with a default keeps positional construction of the
+    # original 10-field state working.
+    ema_gen_params: Any = None
 
 
-def make_optimizer(lr: float, clip_norm: float) -> optax.GradientTransformation:
+def lr_schedule_fn(base_lr: float, config: Optional[Config]):
+    """Resolve ``--lr-schedule`` into an optax schedule (or the plain float
+    for the constant/no-warmup default, keeping the optimizer state pytree
+    identical to the original stateless form).
+
+    All three optimizer chains share the shape, each scaled by its own base
+    LR: linear warmup over ``lr_warmup_steps``, then over ``lr_decay_steps``
+    a cosine / linear / exponential descent to ``base_lr * lr_min_ratio``.
+    """
+    if config is None or (config.lr_schedule == "constant"
+                          and config.lr_warmup_steps <= 0):
+        return base_lr
+    warmup = max(int(config.lr_warmup_steps), 0)
+    decay = int(config.lr_decay_steps)
+    if config.lr_schedule != "constant" and decay <= 0:
+        raise ValueError("--lr-schedule %r needs --lr-decay-steps > 0"
+                         % config.lr_schedule)
+    end = base_lr * config.lr_min_ratio
+    if config.lr_schedule == "cosine":
+        main = optax.cosine_decay_schedule(base_lr, decay,
+                                           alpha=config.lr_min_ratio)
+    elif config.lr_schedule == "linear":
+        main = optax.linear_schedule(base_lr, end, decay)
+    elif config.lr_schedule == "exponential":
+        rate = config.lr_min_ratio
+        if not 0.0 < rate < 1.0:
+            raise ValueError("--lr-schedule exponential needs "
+                             "0 < --lr-min-ratio < 1 (the per-horizon rate)")
+        main = optax.exponential_decay(base_lr, decay, rate)
+    else:
+        main = optax.constant_schedule(base_lr)
+    if warmup == 0:
+        return main
+    ramp = optax.linear_schedule(0.0, base_lr, warmup)
+    return optax.join_schedules([ramp, main], [warmup])
+
+
+def make_optimizer(lr: float, clip_norm: float,
+                   config: Optional[Config] = None
+                   ) -> optax.GradientTransformation:
     """Adam preceded by global-norm clipping.
 
     Matches the reference update order — ``clip_grad_norm_(params, 5.0)``
@@ -57,7 +100,7 @@ def make_optimizer(lr: float, clip_norm: float) -> optax.GradientTransformation:
                 else None)
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
-        optax.adam(lr, mu_dtype=mu_dtype),
+        optax.adam(lr_schedule_fn(lr, config), mu_dtype=mu_dtype),
     )
 
 
@@ -72,9 +115,9 @@ def create_train_state(config: Config, rng, gen_params=None, disc_params=None,
     if disc_params is None:
         disc_params = api.init_discriminator(k_disc, config, dtype)
 
-    pretrain_tx = make_optimizer(config.pretrain_lr, config.clip_norm)
-    gen_tx = make_optimizer(config.gen_lr, config.clip_norm)
-    disc_tx = make_optimizer(config.disc_lr, config.clip_norm)
+    pretrain_tx = make_optimizer(config.pretrain_lr, config.clip_norm, config)
+    gen_tx = make_optimizer(config.gen_lr, config.clip_norm, config)
+    disc_tx = make_optimizer(config.disc_lr, config.clip_norm, config)
 
     return TrainState(
         gen_params=gen_params,
@@ -87,4 +130,6 @@ def create_train_state(config: Config, rng, gen_params=None, disc_params=None,
         disc_steps=jnp.zeros((), jnp.int32),
         temperature=jnp.asarray(1.0, jnp.float32),
         rng=k_state,
+        ema_gen_params=(jax.tree_util.tree_map(jnp.copy, gen_params)
+                        if config.ema_decay > 0.0 else None),
     )

@@ -93,6 +93,29 @@ def _sample_weights(batch) -> Any:
     return batch.get("weights")
 
 
+def _split_micro(batch: Dict[str, Any], k: int) -> Dict[str, Any]:
+    """Reshape every [B, ...] batch array to [k, B/k, ...] microbatches for
+    ``--grad-accum`` (shapes are static, so the check fires at trace time)."""
+
+    def r(x):
+        if x.shape[0] % k != 0:
+            raise ValueError(
+                "--grad-accum %d does not divide batch size %d"
+                % (k, x.shape[0]))
+        return x.reshape((k, x.shape[0] // k) + x.shape[1:])
+
+    return jax.tree_util.tree_map(r, batch)
+
+
+def _ema_update(config: Config, ema, new_params):
+    """Shadow-param EMA (``--ema-decay`` > 0): ``e ← e·d + p·(1−d)``."""
+    if config.ema_decay <= 0.0 or ema is None:
+        return ema
+    d = config.ema_decay
+    return jax.tree_util.tree_map(
+        lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d), ema, new_params)
+
+
 def noisy_label_flip(rng, d_real, d_fake, p, num_rep):
     """Swap real/fake discriminator logits i.i.d. per SAMPLE with
     probability ``p`` (the report §4.3 noisy-labels trick).
@@ -150,14 +173,42 @@ def mle_loss(config: Config, gen_params, batch, rng, train: bool):
 
 def make_mle_step(config: Config):
     """Jitted pretrain step: loss → grads → clip(5.0) → Adam(pretrain_lr)
-    (reference ``training.py:88,194-199`` with ``args.py:123-126,190-193``)."""
-    tx = make_optimizer(config.pretrain_lr, config.clip_norm)
+    (reference ``training.py:88,194-199`` with ``args.py:123-126,190-193``).
+
+    ``--grad-accum k`` scans k microbatches through the loss/grad body and
+    applies ONE clipped Adam update on the mean grads (one traced body —
+    compile time does not grow with k)."""
+    tx = make_optimizer(config.pretrain_lr, config.clip_norm, config)
+    accum = max(1, int(config.grad_accum))
+
+    def grads_of(gen_params, batch, rng_step):
+        return jax.value_and_grad(
+            lambda gp: mle_loss(config, gp, batch, rng_step, train=True),
+            has_aux=True)(gen_params)
 
     def step(state: TrainState, batch: Dict[str, Any]):
         rng, rng_step = jax.random.split(state.rng)
-        (loss, (new_stats, _)), grads = jax.value_and_grad(
-            lambda gp: mle_loss(config, gp, batch, rng_step, train=True),
-            has_aux=True)(state.gen_params)
+        if accum == 1:
+            (loss, (new_stats, _)), grads = grads_of(state.gen_params, batch,
+                                                     rng_step)
+        else:
+            micro = _split_micro(batch, accum)
+            rngs = jax.random.split(rng_step, accum)
+
+            def body(carry, inp):
+                g_acc, loss_acc = carry
+                mb, r = inp
+                (mb_loss, (stats, _)), g = grads_of(state.gen_params, mb, r)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                return (g_acc, loss_acc + mb_loss), stats
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.gen_params)
+            (g_sum, loss_sum), stats_seq = jax.lax.scan(
+                body, (zeros, jnp.zeros((), jnp.float32)), (micro, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+            loss = loss_sum / accum
+            new_stats = (None if stats_seq is None else
+                         jax.tree_util.tree_map(lambda s: s[-1], stats_seq))
         updates, new_opt = tx.update(grads, state.pretrain_opt_state,
                                      state.gen_params)
         gen_params = jax.tree_util.tree_map(
@@ -167,6 +218,8 @@ def make_mle_step(config: Config):
             gen_params=gen_params,
             pretrain_opt_state=new_opt,
             rng=rng,
+            ema_gen_params=_ema_update(config, state.ema_gen_params,
+                                       gen_params),
         )
         return state, {"gen_pretrain_loss": loss}
 
@@ -320,12 +373,14 @@ def make_adv_step(config: Config):
     ``disc_train_freq = k`` updates D only when ``gen_steps % k == 0``
     (report Table 2's G:D ratio; reference flag args.py:155-158).
     """
-    gen_tx = make_optimizer(config.gen_lr, config.clip_norm)
-    disc_tx = make_optimizer(config.disc_lr, config.clip_norm)
+    gen_tx = make_optimizer(config.gen_lr, config.clip_norm, config)
+    disc_tx = make_optimizer(config.disc_lr, config.clip_norm, config)
     disc_every = max(1, int(config.disc_train_freq))
+    accum = max(1, int(config.grad_accum))
 
-    def step(state: TrainState, batch: Dict[str, Any], temperature):
-        rng, rng_step = jax.random.split(state.rng)
+    def both_grads(state, batch, rng_step, temperature):
+        """g-grads, d-grads and scalar aux for ONE (micro)batch — the
+        original fused body."""
 
         # Generator gradient: g_loss as a function of gen params only.
         def g_loss_fn(gp):
@@ -346,6 +401,42 @@ def make_adv_step(config: Config):
         (g_loss, aux), g_grads = _grad_boundary(
             config, g_loss_fn, state.gen_params, has_aux=True)
         d_loss, d_grads = _grad_boundary(config, d_loss_fn, state.disc_params)
+        return g_loss, d_loss, g_grads, d_grads, aux
+
+    def step(state: TrainState, batch: Dict[str, Any], temperature):
+        rng, rng_step = jax.random.split(state.rng)
+
+        if accum == 1:
+            g_loss, d_loss, g_grads, d_grads, aux = both_grads(
+                state, batch, rng_step, temperature)
+        else:
+            micro = _split_micro(batch, accum)
+            rngs = jax.random.split(rng_step, accum)
+
+            def body(carry, inp):
+                gg_acc, dg_acc, scal_acc = carry
+                mb, r = inp
+                gl, dl, gg, dg, aux = both_grads(state, mb, r, temperature)
+                gg_acc = jax.tree_util.tree_map(jnp.add, gg_acc, gg)
+                dg_acc = jax.tree_util.tree_map(jnp.add, dg_acc, dg)
+                scal = jnp.stack([gl, dl, aux["d_real_mean"],
+                                  aux["d_fake_mean"]])
+                return (gg_acc, dg_acc, scal_acc + scal), aux["new_stats"]
+
+            zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.gen_params)
+            zeros_d = jax.tree_util.tree_map(jnp.zeros_like,
+                                             state.disc_params)
+            (gg_sum, dg_sum, scal_sum), stats_seq = jax.lax.scan(
+                body, (zeros_g, zeros_d, jnp.zeros((4,), jnp.float32)),
+                (micro, rngs))
+            g_grads = jax.tree_util.tree_map(lambda g: g / accum, gg_sum)
+            d_grads = jax.tree_util.tree_map(lambda g: g / accum, dg_sum)
+            scal = scal_sum / accum
+            g_loss, d_loss = scal[0], scal[1]
+            aux = {"new_stats": (None if stats_seq is None else
+                                 jax.tree_util.tree_map(lambda s: s[-1],
+                                                        stats_seq)),
+                   "d_real_mean": scal[2], "d_fake_mean": scal[3]}
 
         # --- D update, conditionally (disc_train_freq) ---
         def update_disc(operand):
@@ -375,6 +466,8 @@ def make_adv_step(config: Config):
             disc_steps=disc_steps,
             temperature=jnp.asarray(temperature, jnp.float32),
             rng=rng,
+            ema_gen_params=_ema_update(config, state.ema_gen_params,
+                                       gen_params),
         )
         metrics = {"gen_adv_loss": g_loss, "disc_adv_loss": d_loss,
                    "d_real_mean": aux["d_real_mean"],
