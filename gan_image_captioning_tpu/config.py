@@ -38,6 +38,79 @@ def _int_list(text):
     return [int(t) for t in str(text).split(",") if t != ""]
 
 
+# Named experiment presets — one per BASELINE.json benchmark configuration.
+# A preset is a bundle of flag DEFAULTS: `--preset configN` applies the
+# bundle, and any flag given explicitly on the command line still wins
+# (two-pass parse in _PresetParser.parse_known_args).  Geometries follow the
+# report (NLP_Report.pdf §4.2) and the canonical sbatch invocation
+# (reference ``sbatch_script.s:16``).
+PRESETS = {
+    # 1. MLE teacher-forcing pretrain of the LSTM generator on a small
+    #    subset, greedy decode eval (CPU-runnable).
+    "config1": dict(conditional_gan=1, pretrain_epochs=20, adv_epochs=0,
+                    dataset_percent=0.01, captions_per_image=5, beam_size=1,
+                    pre_train_batch_size=32, pre_eval_batch_size=32),
+    # 2. Full MLE captioning on COCO: CNN encoder features + LSTM generator,
+    #    beam-search eval.
+    "config2": dict(conditional_gan=1, pretrain_epochs=50, adv_epochs=0,
+                    captions_per_image=5, beam_size=4,
+                    gen_embed_dim=512, gen_num_layers=2),
+    # 3. SeqGAN adversarial loop (Gumbel-softmax LSTM generator vs. RelGAN
+    #    CNN discriminator) at the canonical sbatch geometry
+    #    (sbatch_script.s:16).
+    "config3": dict(gen_embed_dim=512, gen_num_layers=2, pretrain_epochs=50,
+                    adv_epochs=50, pretrain_lr=1e-2, gen_lr=1e-4,
+                    disc_lr=1e-4, dataset_percent=0.1, captions_per_image=5),
+    # 4. Transformer generator + transformer discriminator with
+    #    rollout-based REINFORCE rewards (report §3.2.2/§4.2 geometry:
+    #    gen 256emb/256hid/4L/8H, disc 64emb/128hid/4L/8H).
+    "config4": dict(gen_arch="transformer", disc_arch="transformer",
+                    gen_embed_dim=256, gen_hidden_dim=256, gen_num_layers=4,
+                    gen_num_heads=8, disc_embed_dim=64, disc_hidden_dim=128,
+                    disc_num_heads=8, disc_num_layers=4,
+                    adv_objective="reinforce", rollout_num=4,
+                    rollout_stride=4, pretrain_epochs=50, adv_epochs=50,
+                    dataset_percent=0.1, captions_per_image=5),
+    # 5. Stretch: ViT-B encoder + GPT-2-small generator on full COCO with
+    #    the device-side image pipeline (BASELINE.json config 5).
+    "config5": dict(encoder_arch="vit", gen_arch="gpt2", conditional_gan=1,
+                    tokenizer="bpe", captions_per_image=5, dtype="bfloat16",
+                    device_preprocess=1, pretrain_epochs=50, adv_epochs=50),
+}
+
+
+def _scan_preset(argv) -> Optional[str]:
+    """Extract the ``--preset`` value from raw argv without a parser (the
+    real parse happens afterwards with the preset applied as defaults)."""
+    if argv is None:
+        import sys
+
+        argv = sys.argv[1:]
+    for i, tok in enumerate(argv):
+        if tok == "--preset":
+            return argv[i + 1] if i + 1 < len(argv) else None
+        if tok.startswith("--preset="):
+            return tok.split("=", 1)[1]
+    return None
+
+
+class _PresetParser(argparse.ArgumentParser):
+    """ArgumentParser that resolves ``--preset`` bundles as defaults.
+
+    Two-pass: scan raw argv for ``--preset``, apply the bundle via
+    ``set_defaults``, then parse normally — so explicitly passed flags
+    always override the preset, regardless of argv order."""
+
+    def parse_known_args(self, args=None, namespace=None):
+        name = _scan_preset(args)
+        if name is not None:
+            if name not in PRESETS:
+                self.error("unknown --preset %r (choose from %s)"
+                           % (name, ", ".join(sorted(PRESETS))))
+            self.set_defaults(**PRESETS[name])
+        return super().parse_known_args(args, namespace)
+
+
 def add_model_args(parser):
     """Model flags — reference ``args.py:6-69``."""
     g = parser.add_argument_group("model")
@@ -211,6 +284,14 @@ def add_tpu_args(parser):
                         "params with this decay (0 = off); best-val "
                         "checkpoints gain a *_ema.ckpt twin usable with "
                         "src/evaluate.py --checkpoint")
+    g.add_argument("--preset", type=str, default=None,
+                   choices=sorted(PRESETS),
+                   help="apply a named BASELINE.json benchmark configuration "
+                        "as flag DEFAULTS (config1: CPU-runnable mini-MLE; "
+                        "config2: full MLE + beam eval; config3: SeqGAN "
+                        "adversarial at the sbatch geometry; config4: "
+                        "transformer GAN with rollout rewards; config5: "
+                        "ViT + GPT-2 stretch). Explicit flags still win.")
     g.add_argument("--mesh", type=str, default="",
                    help="device mesh spec, e.g. 'data:4,model:2'. Empty = all "
                         "devices on the 'data' axis.")
@@ -359,8 +440,11 @@ def add_tpu_args(parser):
 
 
 def build_parser():
-    """The full argparse surface: reference groups + TPU extensions."""
-    parser = argparse.ArgumentParser("NLP GAN args (TPU-native rebuild)")
+    """The full argparse surface: reference groups + TPU extensions.
+
+    Returns a :class:`_PresetParser` so every CLI entry point gets
+    ``--preset configN`` resolution for free."""
+    parser = _PresetParser("NLP GAN args (TPU-native rebuild)")
     # Registration order mirrors the reference (args.py:204-206).
     add_training_args(parser)
     add_data_args(parser)
