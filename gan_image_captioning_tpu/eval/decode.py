@@ -147,6 +147,79 @@ def greedy_with_logprobs(gen_params: dict, features, config: Config,
     return ids, sequence_logprob(gen_params, features, ids, config, context)
 
 
+# ------------------------------------------------------------------- sampling
+
+def filter_logits(logits, temperature=1.0, top_k: int = 0, top_p: float = 1.0):
+    """Temperature + top-k + nucleus (top-p) filtering of a [N, V] logit
+    matrix, all inside jit (``top_k`` is a static Python int).
+
+    Order follows the standard GPT-2 sampling recipe: scale by temperature,
+    keep the k highest logits, then keep the smallest prefix of the sorted
+    distribution whose probability mass reaches ``top_p`` (the top token is
+    always kept).  Filtered entries drop to ``NEG_INF``.
+    """
+    logits = logits / jnp.maximum(jnp.asarray(temperature, logits.dtype),
+                                  1e-6)
+    if top_k and top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]          # [N, 1]
+        logits = jnp.where(logits < kth, NEG_INF, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cum - probs) < top_p                    # ≥1 kept/row
+        last_kept = jnp.sum(keep_sorted, axis=-1) - 1          # [N]
+        thresh = jnp.take_along_axis(sorted_logits, last_kept[:, None],
+                                     axis=-1)                  # [N, 1]
+        logits = jnp.where(logits < thresh, NEG_INF, logits)
+    return logits
+
+
+def sample_decode(gen_params: dict, features, config: Config, rng,
+                  seq_len: int = None, context=None, temperature: float = 1.0,
+                  top_k: int = 0, top_p: float = 1.0):
+    """Stochastic decode → ``(ids [B, T], seq_logprob [B])``: one jitted
+    scan sampling each token from the temperature/top-k/top-p-filtered
+    categorical (the inference-time counterpart of the training-time
+    Gumbel-max sample, ``generator.py:68-73`` — there the noise is the
+    relaxation; here it is the product).
+
+    Reported log-probabilities are under the model's UNfiltered
+    distribution, masked after the first ``<E>`` like the greedy path.
+    ``top_k=1`` reproduces greedy argmax exactly.
+    """
+    seq_len = seq_len or config.seq_len
+    B = features.shape[0]
+    stepper = make_stepper(gen_params, config, context)
+    state = stepper.init_state(B)
+
+    def pick(key, logits):
+        filt = filter_logits(logits, temperature, top_k, top_p)
+        ids_t = jax.random.categorical(key, filt)
+        lp = jnp.take_along_axis(jax.nn.log_softmax(logits),
+                                 ids_t[:, None], axis=1)[:, 0]
+        return ids_t, lp
+
+    rng, k0 = jax.random.split(rng)
+    logits0, state = stepper.step(state, features, jnp.asarray(0, jnp.int32))
+    ids0, lp0 = pick(k0, logits0)
+
+    def step(carry, t):
+        state, last_ids, rng = carry
+        rng, key = jax.random.split(rng)
+        logits, state = stepper.step(state, stepper.embed(last_ids), t)
+        ids_t, lp = pick(key, logits)
+        return (state, ids_t, rng), (ids_t, lp)
+
+    (_, _, _), (ids_rest, lps_rest) = jax.lax.scan(
+        step, (state, ids0, rng), jnp.arange(1, seq_len))
+    ids = jnp.concatenate([ids0[:, None], jnp.swapaxes(ids_rest, 0, 1)],
+                          axis=1)
+    lps = jnp.concatenate([lp0[:, None], jnp.swapaxes(lps_rest, 0, 1)],
+                          axis=1)
+    return ids, masked_logprob_sum(ids, lps)
+
+
 # ---------------------------------------------------------------- beam search
 
 def beam_search(gen_params: dict, features, config: Config,

@@ -33,6 +33,23 @@ def parse_args(argv=None):
                         help="how many captions to generate")
     parser.add_argument("--output", type=str, default="",
                         help="write captions as JSONL here (default: stdout)")
+    parser.add_argument("--decode-mode", type=str, default="auto",
+                        choices=["auto", "greedy", "beam", "sample"],
+                        help="'auto' = beam when --beam-size > 1 else greedy; "
+                             "'sample' draws from the temperature/top-k/top-p "
+                             "filtered distribution")
+    parser.add_argument("--top-k", type=int, default=0,
+                        help="sample mode: keep only the k highest-probability "
+                             "tokens per step (0 = no top-k filter)")
+    parser.add_argument("--top-p", type=float, default=1.0,
+                        help="sample mode: nucleus filtering — keep the "
+                             "smallest token prefix whose probability mass "
+                             "reaches p (1.0 = off)")
+    parser.add_argument("--sample-temperature", type=float, default=1.0,
+                        help="sample mode: softmax temperature (<1 sharpens, "
+                             ">1 flattens)")
+    parser.add_argument("--sample-seed", type=int, default=0,
+                        help="PRNG seed for sample mode")
     return parser.parse_args(argv)
 
 
@@ -69,13 +86,23 @@ def main(argv=None):
         gen_params = both["generator"]
 
     beam = max(1, config.beam_size)
+    mode = args.decode_mode
+    if mode == "auto":
+        mode = "beam" if beam > 1 else "greedy"
+    sample_rng = jax.random.PRNGKey(args.sample_seed)
 
-    def decode_batch(params, batch):
+    def decode_batch(params, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)
-        if beam > 1:
+        if mode == "beam":
             ids, scores = decode_lib.beam_search(
                 params, cond["features"], config, beam_size=beam,
                 context=cond["context"])
+        elif mode == "sample":
+            ids, scores = decode_lib.sample_decode(
+                params, cond["features"], config, rng,
+                context=cond["context"],
+                temperature=args.sample_temperature,
+                top_k=args.top_k, top_p=args.top_p)
         else:
             ids = decode_lib.greedy(params, cond["features"], config,
                                     context=cond["context"])
@@ -91,7 +118,8 @@ def main(argv=None):
                      num_workers=config.num_workers)
     emitted = 0
     for batch in loader:
-        ids, scores = decode_jit(gen_params, batch)
+        sample_rng, batch_rng = jax.random.split(sample_rng)
+        ids, scores = decode_jit(gen_params, batch, batch_rng)
         ids, scores = np.asarray(ids), np.asarray(scores)
         for i in range(ids.shape[0]):
             if batch["weights"][i] == 0 or emitted >= args.num_samples:

@@ -48,6 +48,21 @@ def parse_args(argv=None):
     parser.add_argument("--serve-chunk-steps", type=int, default=8,
                         help="decode steps per device program in "
                         "--serve-continuous mode")
+    parser.add_argument("--decode-mode", type=str, default="auto",
+                        choices=["auto", "greedy", "beam", "sample"],
+                        help="'auto' = beam when --beam-size > 1 else greedy; "
+                             "'sample' serves stochastic captions from the "
+                             "temperature/top-k/top-p filtered distribution "
+                             "(coalescing engine; not --serve-continuous)")
+    parser.add_argument("--top-k", type=int, default=0,
+                        help="sample mode: per-step top-k filter (0 = off)")
+    parser.add_argument("--top-p", type=float, default=1.0,
+                        help="sample mode: nucleus mass (1.0 = off)")
+    parser.add_argument("--sample-temperature", type=float, default=1.0,
+                        help="sample mode: softmax temperature")
+    parser.add_argument("--sample-seed", type=int, default=0,
+                        help="base PRNG seed for sample mode (each decode "
+                             "program folds in a call counter)")
     return parser.parse_args(argv)
 
 
@@ -81,14 +96,32 @@ class CaptionService:
 
         config = self.config
         beam = max(1, config.beam_size)
+        mode = getattr(args, "decode_mode", "auto")
+        if mode == "auto":
+            mode = "beam" if beam > 1 else "greedy"
+        self.mode = mode
 
-        def decode(params, feats):
-            if beam > 1:
-                return decode_lib.beam_search(params, feats, config,
-                                              beam_size=beam)
-            # ONE device program: serve-mode decode kernel on TPU (greedy
-            # ids + per-token logprobs), two-scan fallback elsewhere
-            return decode_lib.greedy_with_logprobs(params, feats, config)
+        if mode == "sample":
+            temp = float(getattr(args, "sample_temperature", 1.0))
+            top_k = int(getattr(args, "top_k", 0))
+            top_p = float(getattr(args, "top_p", 1.0))
+
+            def decode(params, feats, key):
+                return decode_lib.sample_decode(
+                    params, feats, config, key, temperature=temp,
+                    top_k=top_k, top_p=top_p)
+
+            self._sample_base = jax.random.PRNGKey(
+                int(getattr(args, "sample_seed", 0)))
+            self._sample_calls = 0
+        else:
+            def decode(params, feats):
+                if beam > 1:
+                    return decode_lib.beam_search(params, feats, config,
+                                                  beam_size=beam)
+                # ONE device program: serve-mode decode kernel on TPU (greedy
+                # ids + per-token logprobs), two-scan fallback elsewhere
+                return decode_lib.greedy_with_logprobs(params, feats, config)
 
         self._decode = jax.jit(decode)
         self._start_features = start_token_features
@@ -101,13 +134,26 @@ class CaptionService:
 
         feat_dim = config.gen_embed_dim
         self.continuous = None
-        if getattr(args, "serve_continuous", False) and beam == 1:
+        if (getattr(args, "serve_continuous", False) and beam == 1
+                and mode != "sample"):
             self.continuous = ContinuousBatcher(
                 self.gen_params, config, num_slots=self.batch_size,
                 chunk_steps=getattr(args, "serve_chunk_steps", 8))
-        self.batcher = CoalescingBatcher(
-            lambda f: self._decode(self.gen_params, f),
-            self.batch_size, feat_dim)
+
+        if mode == "sample":
+            # per-program key: fold the dispatcher's call counter into the
+            # base seed (only the single dispatcher thread calls this)
+            def run_decode(f):
+                key = jax.random.fold_in(self._sample_base,
+                                         self._sample_calls)
+                self._sample_calls += 1
+                return self._decode(self.gen_params, f, key)
+        else:
+            def run_decode(f):
+                return self._decode(self.gen_params, f)
+
+        self.batcher = CoalescingBatcher(run_decode, self.batch_size,
+                                         feat_dim)
         # warm through the REAL request path so the first client request
         # hits the compiled program (requests pad to serve_batch_size)
         self.handle_request({"n": 1})
