@@ -49,7 +49,8 @@ PRESETS = {
     #    subset, greedy decode eval (CPU-runnable).
     "config1": dict(conditional_gan=1, pretrain_epochs=20, adv_epochs=0,
                     dataset_percent=0.01, captions_per_image=5, beam_size=1,
-                    pre_train_batch_size=32, pre_eval_batch_size=32),
+                    pre_train_batch_size=32, pre_eval_batch_size=32,
+                    mle_objective="teacher"),
     # 2. Full MLE captioning on COCO: CNN encoder features + LSTM generator,
     #    beam-search eval.
     "config2": dict(conditional_gan=1, pretrain_epochs=50, adv_epochs=0,
@@ -284,6 +285,19 @@ def add_tpu_args(parser):
                         "params with this decay (0 = off); best-val "
                         "checkpoints gain a *_ema.ckpt twin usable with "
                         "src/evaluate.py --checkpoint")
+    g.add_argument("--mle-objective", type=str, default="free",
+                   choices=["free", "teacher", "scheduled"],
+                   help="LSTM pretrain forward: 'free' = the reference's "
+                        "free-running sample objective (training.py:71), "
+                        "'teacher' = teacher forcing (the reference's unused "
+                        "Decoder.forward, generator.py:39-53), 'scheduled' = "
+                        "scheduled sampling (Bengio et al. 2015) ramping the "
+                        "model-feedback probability 0 → --ss-max-prob over "
+                        "the pretrain epochs. Transformers always run the "
+                        "report's parallel teacher-forced MLE (§3.2.2)")
+    g.add_argument("--ss-max-prob", type=float, default=1.0,
+                   help="scheduled sampling: final model-feedback "
+                        "probability of the linear per-epoch ramp")
     g.add_argument("--preset", type=str, default=None,
                    choices=sorted(PRESETS),
                    help="apply a named BASELINE.json benchmark configuration "
@@ -555,6 +569,8 @@ class Config:
     lr_min_ratio: float = 0.0
     grad_accum: int = 1
     ema_decay: float = 0.0
+    mle_objective: str = "free"
+    ss_max_prob: float = 1.0
 
     def resolve_use_pallas(self) -> bool:
         """'auto' → True on TPU backends only."""

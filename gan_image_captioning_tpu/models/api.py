@@ -89,17 +89,34 @@ def generator_sample(gen_params, cond: Dict[str, Any], rng, temperature,
 
 
 def generator_mle_outputs(gen_params, cond: Dict[str, Any], captions, rng,
-                          config: Config, lengths=None):
+                          config: Config, lengths=None, sample_prob=None):
     """MLE-phase logits ``[B, T, V]`` (targets = ``captions``).
 
-    LSTM: free-running pretrain-mode sample — the reference's actual
-    objective (``training.py:71``; ``Decoder.forward`` is never called).
+    LSTM — dispatched on ``--mle-objective``:
+      * ``free`` (default): free-running pretrain-mode sample — the
+        reference's actual objective (``training.py:71``;
+        ``Decoder.forward`` is never called).
+      * ``teacher``: teacher-forced pass — the reference's
+        ``Decoder.forward`` semantics (``generator.py:39-53``; BASELINE
+        config 1's "MLE teacher-forcing pretrain").
+      * ``scheduled``: scheduled sampling (Bengio et al. 2015) — ground
+        truth vs. own argmax per step with probability ``sample_prob``.
     Transformer: parallel teacher-forced causal pass with padding attention
     masks over the key positions beyond each caption's length — the report's
-    MLE mode (§3.2.2 "parallel decode in MLE", "padding attention masks")."""
+    MLE mode (§3.2.2 "parallel decode in MLE", "padding attention masks"),
+    regardless of ``--mle-objective``."""
     seq_len = captions.shape[1]
     if config.gen_arch == "lstm":
-        logits, _ = gen_lstm.sample(gen_params["decoder"], cond["features"],
+        dec = gen_params["decoder"]
+        if config.mle_objective == "teacher":
+            logits, _ = gen_lstm.teacher_forced(dec, cond["features"],
+                                                captions, pretrain=True)
+            return logits[:, :seq_len]
+        if config.mle_objective == "scheduled":
+            p = jnp.float32(0.0) if sample_prob is None else sample_prob
+            return gen_lstm.scheduled_sample(dec, cond["features"], captions,
+                                             rng, p)
+        logits, _ = gen_lstm.sample(dec, cond["features"],
                                     rng, jnp.float32(1.0), seq_len,
                                     pretrain=True, impl=config.decode_impl)
         return logits

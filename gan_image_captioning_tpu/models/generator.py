@@ -592,6 +592,47 @@ def _scan_unroll() -> int:
     return max(1, int(os.environ.get("GIC_SCAN_UNROLL", "2")))
 
 
+def scheduled_sample(decoder_params, features, captions, rng, sample_prob,
+                     init_states=None):
+    """Scheduled-sampling MLE forward (Bengio et al. 2015) —
+    ``--mle-objective scheduled``.
+
+    One differentiable scan: at step ``t`` the LSTM predicts position ``t``;
+    the input for ``t+1`` is, per sample i.i.d. with probability
+    ``sample_prob``, the embedding of the model's own (detached) argmax
+    instead of the ground-truth token — interpolating between the
+    reference's two decode modes (teacher-forced ``Decoder.forward``,
+    generator.py:39-53, at p=0; free-running pretrain-mode ``sample``,
+    generator.py:55-81 / training.py:71, at p=1).
+
+    ``captions [B, T]`` → logits ``[B, T, V]`` (targets = ``captions``).
+    """
+    batch, seq_len = captions.shape
+    hidden_dim = decoder_params["lstm"][0]["w_hh"].shape[1]
+    if init_states is None:
+        init_states = lstm.zero_state(len(decoder_params["lstm"]), batch,
+                                      hidden_dim, features.dtype)
+    fused_lstm = lstm.fuse_layer_params(decoder_params["lstm"])
+    rngs = jax.random.split(rng, seq_len)
+    gt_emb_tm = decoder_params["embed"][jnp.swapaxes(captions, 0, 1)]
+
+    def step(carry, inp):
+        x, states = carry
+        rng_t, gt_emb_t = inp
+        h_top, states = lstm.lstm_step(fused_lstm, x, states)
+        logits = _project(decoder_params, h_top)
+        ids = jnp.argmax(jax.lax.stop_gradient(logits), axis=-1)
+        model_emb = decoder_params["embed"][ids]
+        coin = jax.random.bernoulli(rng_t, sample_prob, (batch,))
+        nxt = jnp.where(coin[:, None], model_emb, gt_emb_t)
+        return (nxt, states), logits
+
+    (_, _), logits_tm = jax.lax.scan(step, (features, init_states),
+                                     (rngs, gt_emb_tm),
+                                     unroll=_scan_unroll())
+    return jnp.swapaxes(logits_tm, 0, 1)
+
+
 def teacher_forced(decoder_params, features, captions, rng=None,
                    temperature=1.0, pretrain: bool = False):
     """Teacher-forced scoring — reference ``Decoder.forward``

@@ -187,6 +187,7 @@ class GANInstructor:
 
         self.pretrain_steps = 0
         self.adv_batch_steps = 0
+        self._ss_prob = 0.0   # scheduled-sampling feedback prob (per-epoch)
 
         # Graceful interruption (SIGTERM/SIGINT → full-state checkpoint):
         # a crash in the reference loses everything except the last best-val
@@ -270,15 +271,18 @@ class GANInstructor:
         the tunnel — 15.9 steps/s; ``device_get`` issues all the copies
         async and blocks once — 104.8 steps/s on the same loop)."""
         loader = self.pre_train_loader if what == "train" else self.pre_eval_loader
+        ss_prob = np.float32(self._ss_prob)  # scheduled-sampling feedback p
         pending = []                         # (device loss, tag, step)
         for batch in self._progress(self._device_batches(loader),
                                     f"pretrain/{what}", total=len(loader)):
             if what == "train":
-                self.state, metrics = self.mle_step(self.state, batch)
+                self.state, metrics = self.mle_step(self.state, batch,
+                                                    ss_prob)
                 self.pretrain_steps += 1
                 tag = "GenPreTraining_train_loss"
             else:
-                self.state, metrics = self.mle_eval_step(self.state, batch)
+                self.state, metrics = self.mle_eval_step(self.state, batch,
+                                                         ss_prob)
                 tag = "GenPreTraining_val_loss"
             pending.append((metrics["gen_pretrain_loss"], tag,
                             self.pretrain_steps))
@@ -298,6 +302,10 @@ class GANInstructor:
         for epoch in range(epochs):
             if self._checkpoint_if_interrupted():
                 break
+            if self.config.mle_objective == "scheduled":
+                # linear per-epoch ramp 0 → ss_max_prob (Bengio et al. 2015)
+                self._ss_prob = (self.config.ss_max_prob
+                                 * epoch / max(1, epochs - 1))
             train_epoch_loss = float(np.mean(self.genpretrain_loop("train") or [0]))
             total_loss += train_epoch_loss
             val_epoch_loss = float(np.mean(self.genpretrain_loop("val") or [0]))

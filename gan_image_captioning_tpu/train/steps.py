@@ -150,12 +150,16 @@ def _merge_bn_stats(gen_params, new_stats):
 
 # ------------------------------------------------------------------ MLE step
 
-def mle_loss(config: Config, gen_params, batch, rng, train: bool):
+def mle_loss(config: Config, gen_params, batch, rng, train: bool,
+             sample_prob=None):
     """The MLE objective.
 
-    LSTM: the reference's exact pretrain objective (training.py:71,81-83) —
-    free-running pretrain-mode sample for L steps, CE against the real
-    captions over ALL positions (pads included — no ignore_index there).
+    LSTM (``--mle-objective free``, default): the reference's exact pretrain
+    objective (training.py:71,81-83) — free-running pretrain-mode sample for
+    L steps, CE against the real captions over ALL positions (pads included
+    — no ignore_index there).  ``teacher``/``scheduled`` swap the forward
+    (api.generator_mle_outputs); ``sample_prob`` is the scheduled-sampling
+    model-feedback probability (traced scalar, ramped by the instructor).
     Transformer: parallel teacher-forced causal scoring (report §3.2.2)."""
     _, rng_sample = jax.random.split(rng)
     gen_params_c, batch_c = _compute_cast(config, gen_params, batch)
@@ -164,7 +168,8 @@ def mle_loss(config: Config, gen_params, batch, rng, train: bool):
     captions = batch["captions"]
     logits = api.generator_mle_outputs(gen_params_c, cond, captions,
                                        rng_sample, config,
-                                       lengths=batch.get("lengths"))
+                                       lengths=batch.get("lengths"),
+                                       sample_prob=sample_prob)
     w = _sample_weights(batch)
     mask = None if w is None else jnp.broadcast_to(w[:, None], captions.shape)
     loss = cross_entropy_loss(logits.astype(jnp.float32), captions, mask)
@@ -181,16 +186,18 @@ def make_mle_step(config: Config):
     tx = make_optimizer(config.pretrain_lr, config.clip_norm, config)
     accum = max(1, int(config.grad_accum))
 
-    def grads_of(gen_params, batch, rng_step):
+    def grads_of(gen_params, batch, rng_step, sample_prob):
         return jax.value_and_grad(
-            lambda gp: mle_loss(config, gp, batch, rng_step, train=True),
+            lambda gp: mle_loss(config, gp, batch, rng_step, train=True,
+                                sample_prob=sample_prob),
             has_aux=True)(gen_params)
 
-    def step(state: TrainState, batch: Dict[str, Any]):
+    def step(state: TrainState, batch: Dict[str, Any], sample_prob=0.0):
+        sample_prob = jnp.asarray(sample_prob, jnp.float32)
         rng, rng_step = jax.random.split(state.rng)
         if accum == 1:
             (loss, (new_stats, _)), grads = grads_of(state.gen_params, batch,
-                                                     rng_step)
+                                                     rng_step, sample_prob)
         else:
             micro = _split_micro(batch, accum)
             rngs = jax.random.split(rng_step, accum)
@@ -198,7 +205,8 @@ def make_mle_step(config: Config):
             def body(carry, inp):
                 g_acc, loss_acc = carry
                 mb, r = inp
-                (mb_loss, (stats, _)), g = grads_of(state.gen_params, mb, r)
+                (mb_loss, (stats, _)), g = grads_of(state.gen_params, mb, r,
+                                                    sample_prob)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
                 return (g_acc, loss_acc + mb_loss), stats
 
@@ -230,10 +238,11 @@ def make_mle_eval_step(config: Config):
     """Eval-mode MLE loss (reference ``genpretrain_loop('val')``,
     training.py:52,112-114 — no grads, eval-mode BN/dropout)."""
 
-    def step(state: TrainState, batch: Dict[str, Any]):
+    def step(state: TrainState, batch: Dict[str, Any], sample_prob=0.0):
+        sample_prob = jnp.asarray(sample_prob, jnp.float32)
         rng, rng_step = jax.random.split(state.rng)
         loss, _ = mle_loss(config, state.gen_params, batch, rng_step,
-                           train=False)
+                           train=False, sample_prob=sample_prob)
         return state._replace(rng=rng), {"gen_pretrain_loss": loss}
 
     return _maybe_jit(step, config)
