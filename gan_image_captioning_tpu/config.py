@@ -285,6 +285,14 @@ def add_tpu_args(parser):
                         "params with this decay (0 = off); best-val "
                         "checkpoints gain a *_ema.ckpt twin usable with "
                         "src/evaluate.py --checkpoint")
+    g.add_argument("--random-flip", type=int, default=0, choices=[0, 1],
+                   help="train-time random horizontal image flip, applied "
+                        "ON DEVICE inside the fused step (the reference's "
+                        "transform chain is deterministic, tasks.py:92-100)")
+    g.add_argument("--random-crop-pad", type=int, default=0,
+                   help="train-time random translation: reflect-pad images "
+                        "by N pixels then randomly crop back to size (on "
+                        "device, shape-preserving; 0 = off)")
     g.add_argument("--mle-objective", type=str, default="free",
                    choices=["free", "teacher", "scheduled"],
                    help="LSTM pretrain forward: 'free' = the reference's "
@@ -571,6 +579,8 @@ class Config:
     ema_decay: float = 0.0
     mle_objective: str = "free"
     ss_max_prob: float = 1.0
+    random_flip: int = 0
+    random_crop_pad: int = 0
 
     def resolve_use_pallas(self) -> bool:
         """'auto' → True on TPU backends only."""

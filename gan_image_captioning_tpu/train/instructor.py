@@ -151,6 +151,11 @@ class GANInstructor:
             from gan_image_captioning_tpu.data.feature_cache import (
                 CachedFeatureDataset, precompute_backbone_features)
 
+            if config.random_flip or config.random_crop_pad:
+                self.log.warning(
+                    "--cache-features precomputes backbone features from "
+                    "UNaugmented images; --random-flip/--random-crop-pad "
+                    "will have no effect on this run")
             self.log.info("Caching frozen-backbone features "
                           "(one pass per image)…")
             for name in ("train_dataset", "dev_dataset"):

@@ -139,6 +139,26 @@ def _rep_weights(batch, num_rep: int):
     return jnp.repeat(w, num_rep)
 
 
+def _augment_batch(config: Config, batch, rng, train: bool):
+    """Train-time on-device image augmentation (``--random-flip`` /
+    ``--random-crop-pad``, ops/augment.py).  Static no-op when disabled —
+    the default trace (and its PRNG streams) is unchanged.  Cached backbone
+    features (``--cache-features``) bypass augmentation by construction."""
+    if not train or not config.cgan:
+        return batch
+    if not (config.random_flip or config.random_crop_pad):
+        return batch
+    key = ("images" if "images" in batch
+           else "images_u8" if "images_u8" in batch else None)
+    if key is None:
+        return batch
+    from gan_image_captioning_tpu.ops.augment import augment_images
+
+    imgs = augment_images(batch[key], rng, flip=bool(config.random_flip),
+                          crop_pad=int(config.random_crop_pad))
+    return dict(batch, **{key: imgs})
+
+
 def _merge_bn_stats(gen_params, new_stats):
     """Write the encoder head's updated BatchNorm running stats back into the
     (optimizer-updated) generator params — stats are state, not weights."""
@@ -161,8 +181,9 @@ def mle_loss(config: Config, gen_params, batch, rng, train: bool,
     (api.generator_mle_outputs); ``sample_prob`` is the scheduled-sampling
     model-feedback probability (traced scalar, ramped by the instructor).
     Transformer: parallel teacher-forced causal scoring (report §3.2.2)."""
-    _, rng_sample = jax.random.split(rng)
+    rng_aug, rng_sample = jax.random.split(rng)
     gen_params_c, batch_c = _compute_cast(config, gen_params, batch)
+    batch_c = _augment_batch(config, batch_c, rng_aug, train)
     cond, new_stats = api.generator_condition(config, gen_params_c, batch_c,
                                               train)
     captions = batch["captions"]
@@ -300,6 +321,10 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
         jax.random.split(rng, 6))
     gen_params_c, disc_params_c, batch_c = _compute_cast(
         config, gen_params, disc_params, batch)
+    # fold_in (not a wider split) so the default no-augmentation trace keeps
+    # its PRNG streams — golden/parity trajectories are unchanged
+    batch_c = _augment_batch(config, batch_c,
+                             jax.random.fold_in(rng_feat, 7), train)
     # keep the Gumbel temperature in the compute dtype — a float32 scalar
     # would silently promote the whole soft sample out of bfloat16
     temperature = jnp.asarray(
