@@ -285,6 +285,15 @@ def add_tpu_args(parser):
                         "params with this decay (0 = off); best-val "
                         "checkpoints gain a *_ema.ckpt twin usable with "
                         "src/evaluate.py --checkpoint")
+    g.add_argument("--length-penalty", type=float, default=0.0,
+                   help="GNMT length-penalty alpha for beam-search final "
+                        "ranking, ((5+len)/6)^alpha (0 = rank by pure "
+                        "log-probability); used by every beam surface "
+                        "(caption/evaluate/serve/instructor BLEU eval)")
+    g.add_argument("--early-stop-patience", type=int, default=0,
+                   help="stop a training phase when its best val loss has "
+                        "not improved for this many epochs (0 = off; the "
+                        "reference always runs the full epoch budget)")
     g.add_argument("--random-flip", type=int, default=0, choices=[0, 1],
                    help="train-time random horizontal image flip, applied "
                         "ON DEVICE inside the fused step (the reference's "
@@ -581,6 +590,8 @@ class Config:
     ss_max_prob: float = 1.0
     random_flip: int = 0
     random_crop_pad: int = 0
+    length_penalty: float = 0.0
+    early_stop_patience: int = 0
 
     def resolve_use_pallas(self) -> bool:
         """'auto' → True on TPU backends only."""

@@ -304,6 +304,7 @@ class GANInstructor:
         self.log.info("Pretraining Generator")
         total_loss = 0.0
         best_loss = None
+        since_best = 0
         for epoch in range(epochs):
             if self._checkpoint_if_interrupted():
                 break
@@ -317,6 +318,7 @@ class GANInstructor:
 
             if best_loss is None or val_epoch_loss < best_loss:
                 best_loss = val_epoch_loss
+                since_best = 0
                 ckpt_lib.save_params(
                     os.path.join(self.model_dir, "pretrained_model.ckpt"),
                     self.state.gen_params)
@@ -327,9 +329,17 @@ class GANInstructor:
                         self.state.ema_gen_params)
                 self.log.info("Saving Best model [Gen Loss = {}] at Epoch {}"
                               .format(best_loss, epoch))
+            else:
+                since_best += 1
             if epoch % self.config.pre_log_step == 0:
                 self.log.info("Epoch {}: \n \t Train: {} \n\t Val: {} "
                               .format(epoch, train_epoch_loss, val_epoch_loss))
+            if (self.config.early_stop_patience
+                    and since_best >= self.config.early_stop_patience):
+                self.log.info(
+                    "Early stop: pretrain val loss has not improved for %d "
+                    "epochs (best %.6f)" % (since_best, best_loss))
+                break
         return total_loss / epochs if epochs != 0 else 0
 
     # ---------------------------------------------------- adversarial phase
@@ -399,7 +409,9 @@ class GANInstructor:
                     ids, _ = dlib.beam_search(gen_params, cond["features"],
                                               config,
                                               beam_size=config.beam_size,
-                                              context=cond["context"])
+                                              context=cond["context"],
+                                              length_penalty=config
+                                              .length_penalty)
                     return ids
                 _, ids = api.generator_sample(gen_params, cond,
                                               jax.random.PRNGKey(0), 1.0,
@@ -460,6 +472,7 @@ class GANInstructor:
 
         self.log.info("Starting Adversarial Training...")
         best_loss = None
+        since_best = 0
         for adv_epoch in range(self.config.adv_epochs):
             if self._checkpoint_if_interrupted():
                 break
@@ -475,6 +488,7 @@ class GANInstructor:
 
             if best_loss is None or val_g_loss < best_loss:
                 best_loss = val_g_loss
+                since_best = 0
                 ckpt_lib.save_params(
                     os.path.join(self.model_dir, "adv_model.ckpt"),
                     {"generator": self.state.gen_params,
@@ -485,6 +499,8 @@ class GANInstructor:
                         self.state.ema_gen_params)
                 self.log.info("Saving Best model [Gen Loss = {}] at Epoch {}"
                               .format(best_loss, adv_epoch))
+            else:
+                since_best += 1
 
             if (self.config.checkpoint_every
                     and adv_epoch % self.config.checkpoint_every == 0):
@@ -513,6 +529,13 @@ class GANInstructor:
                 self.log.info("[EVAL] NLL_gen %.4f | BLEU-4 %.5f | "
                               "self-BLEU %.4f"
                               % (q["nll_gen"], q["bleu4"], q["self_bleu4"]))
+
+            if (self.config.early_stop_patience
+                    and since_best >= self.config.early_stop_patience):
+                self.log.info(
+                    "Early stop: adversarial val g_loss has not improved "
+                    "for %d epochs (best %.6f)" % (since_best, best_loss))
+                break
 
         # barrier: all async checkpoint writes must be committed before the
         # run is reported complete

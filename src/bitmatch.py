@@ -44,10 +44,10 @@ def main(argv=None):
     from gan_image_captioning_tpu.config import config_from_args
     from gan_image_captioning_tpu.models import generator as gen_lib
     from gan_image_captioning_tpu.models.torch_import import generator_from_torch
-    from src.main import build_datasets
+    from src.main import build_datasets, inject_vocab_size
 
     train_ds, val_ds = build_datasets(args)
-    args.vocab_size = train_ds.vocab_size
+    inject_vocab_size(args, train_ds)
     config = config_from_args(args)
 
     sd = torch.load(args.torch_ckpt, map_location="cpu", weights_only=True)

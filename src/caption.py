@@ -60,12 +60,12 @@ def main(argv=None):
 
     setup()
 
-    from src.main import build_datasets
+    from src.main import build_datasets, inject_vocab_size
 
     args_ds = args
     train_ds, val_ds = build_datasets(args_ds)
     ds = {"train": train_ds, "val": val_ds, "test": val_ds}[args.split]
-    args.vocab_size = train_ds.vocab_size
+    inject_vocab_size(args, train_ds)
     config = config_from_args(args)
 
     from gan_image_captioning_tpu.data.loader import Batcher
@@ -96,7 +96,8 @@ def main(argv=None):
         if mode == "beam":
             ids, scores = decode_lib.beam_search(
                 params, cond["features"], config, beam_size=beam,
-                context=cond["context"])
+                context=cond["context"],
+                length_penalty=config.length_penalty)
         elif mode == "sample":
             ids, scores = decode_lib.sample_decode(
                 params, cond["features"], config, rng,

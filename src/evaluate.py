@@ -64,11 +64,11 @@ def main(argv=None):
 
     setup()
 
-    from src.main import build_datasets
+    from src.main import build_datasets, inject_vocab_size
 
     train_ds, val_ds = build_datasets(args)
     ds = {"train": train_ds, "val": val_ds, "test": val_ds}[args.split]
-    args.vocab_size = train_ds.vocab_size
+    inject_vocab_size(args, train_ds)
     config = config_from_args(args)
 
     from gan_image_captioning_tpu.data.loader import Batcher
@@ -109,7 +109,9 @@ def main(argv=None):
         if config.beam_size > 1:
             ids, _ = decode_lib.beam_search(params, cond["features"], config,
                                             beam_size=config.beam_size,
-                                            context=cond["context"])
+                                            context=cond["context"],
+                                            length_penalty=config
+                                            .length_penalty)
         else:
             ids = decode_lib.greedy(params, cond["features"], config,
                                     context=cond["context"])

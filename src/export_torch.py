@@ -37,10 +37,10 @@ def main(argv=None):
     from gan_image_captioning_tpu.utils.runtime import setup
 
     setup()
-    from src.main import build_datasets
+    from src.main import build_datasets, inject_vocab_size
 
     train_ds, _ = build_datasets(args)
-    args.vocab_size = train_ds.vocab_size
+    inject_vocab_size(args, train_ds)
     config = config_from_args(args)
     if config.gen_arch != "lstm" or config.disc_arch != "cnn":
         raise SystemExit("torch export targets the reference's module "

@@ -60,6 +60,19 @@ def build_datasets(args):
     return train, val
 
 
+def inject_vocab_size(args, train_dataset):
+    """Reference ``main.py:38`` + the TPU vocab padding: align the vocab dim
+    to the MXU's 128-lane tiling / make vocab-dim tensor parallelism
+    divisible (``--vocab-multiple``; padded ids are inert).  Every CLI that
+    loads a checkpoint must apply the SAME padding the training run did, or
+    the param templates won't match the stored shapes."""
+    args.vocab_size = train_dataset.vocab_size
+    if getattr(args, "vocab_multiple", 1) > 1:
+        m = args.vocab_multiple
+        args.vocab_size = ((args.vocab_size + m - 1) // m) * m
+    return args
+
+
 def main(argv=None):
     args = get_args(argv)
 
@@ -68,14 +81,18 @@ def main(argv=None):
     setup()
 
     train_dataset, val_dataset = build_datasets(args)
-    args.vocab_size = train_dataset.vocab_size  # reference main.py:38
-    if args.vocab_multiple > 1:
-        # TPU alignment: pad the vocab dim to the MXU's 128-lane tiling and
-        # make vocab-dim tensor parallelism divisible; padded ids are inert.
-        m = args.vocab_multiple
-        args.vocab_size = ((args.vocab_size + m - 1) // m) * m
+    inject_vocab_size(args, train_dataset)
 
     config = config_from_args(args)
+
+    # Reproducibility: dump the fully-resolved flag namespace (including the
+    # post-dataset vocab_size and any --preset expansion) into the run dir.
+    import json
+
+    with open(os.path.join(args.save_dir, "config.json"), "w") as f:
+        json.dump({k: (v if isinstance(v, (int, float, str, bool, list,
+                                           type(None))) else str(v))
+                   for k, v in sorted(vars(args).items())}, f, indent=1)
 
     from gan_image_captioning_tpu.train.instructor import GANInstructor
 

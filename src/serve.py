@@ -71,10 +71,10 @@ class CaptionService:
         from gan_image_captioning_tpu.utils.runtime import setup
 
         setup()
-        from src.main import build_datasets
+        from src.main import build_datasets, inject_vocab_size
 
         train_ds, _ = build_datasets(args)
-        args.vocab_size = train_ds.vocab_size
+        inject_vocab_size(args, train_ds)
         self.index_to_word = train_ds.index_to_word
         self.config = config_from_args(args)
         self.batch_size = args.serve_batch_size
@@ -117,8 +117,9 @@ class CaptionService:
         else:
             def decode(params, feats):
                 if beam > 1:
-                    return decode_lib.beam_search(params, feats, config,
-                                                  beam_size=beam)
+                    return decode_lib.beam_search(
+                        params, feats, config, beam_size=beam,
+                        length_penalty=config.length_penalty)
                 # ONE device program: serve-mode decode kernel on TPU (greedy
                 # ids + per-token logprobs), two-scan fallback elsewhere
                 return decode_lib.greedy_with_logprobs(params, feats, config)
