@@ -70,6 +70,55 @@ def main(batch_size: int = 64, iters: int = 30):
                       "value": round(float(np.percentile(lat, 99)) * 1e3, 2),
                       "unit": "ms", "batch": batch_size}))
 
+    def device_cps(fn, params, label):
+        # async-dispatch ITERS independent decodes, ONE final host fetch —
+        # the tunnel RTT amortizes over the batch (bench.py's timing mode),
+        # so this is the device-side decode throughput, not RTT
+        out = fn(params, feats)
+        np.asarray(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(params, feats)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"metric": label,
+                          "value": round(batch_size * iters / dt, 1),
+                          "unit": "captions/s", "batch": batch_size}))
+
+    device_cps(greedy, gen_params, "greedy_device_captions_per_sec")
+
+    # -- int8 weight-only decode (ops/quantize.py): same greedy program
+    # against the int8-resident decoder (scan stepper — the quantized path
+    # does not use the Pallas kernel, so compare against GIC_DECODE_IMPL=
+    # fused for the apples-to-apples scan-vs-scan number)
+    from gan_image_captioning_tpu.ops.quantize import quantize_generator
+
+    qparams = quantize_generator(gen_params, config)
+    q_greedy = jax.jit(lambda p, f: decode_lib.greedy(p, f, config))
+    ids_q = np.asarray(q_greedy(qparams, feats))
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        ids_q = np.asarray(q_greedy(qparams, feats))
+        lat.append(time.perf_counter() - t0)
+    lat = np.asarray(lat)
+    print(json.dumps({"metric": "int8_greedy_captions_per_sec",
+                      "value": round(batch_size / float(np.mean(lat)), 1),
+                      "unit": "captions/s", "batch": batch_size}))
+    print(json.dumps({"metric": "int8_greedy_p50_latency_ms",
+                      "value": round(float(np.percentile(lat, 50)) * 1e3, 2),
+                      "unit": "ms", "batch": batch_size}))
+    match = float((ids_q == np.asarray(greedy(gen_params, feats))).mean())
+    print(json.dumps({"metric": "int8_greedy_token_match",
+                      "value": round(match, 4), "unit": "fraction",
+                      "batch": batch_size}))
+    device_cps(q_greedy, qparams, "int8_greedy_device_captions_per_sec")
+    # scan-vs-scan control: the fp16/bf16 fused scan (what int8 replaces
+    # when the Pallas kernel is NOT available, e.g. non-TPU backends)
+    scan_config = config.replace(decode_impl="fused")
+    scan_greedy = jax.jit(lambda p, f: decode_lib.greedy(p, f, scan_config))
+    device_cps(scan_greedy, gen_params, "scan_greedy_device_captions_per_sec")
+
     # -- beam 4
     out = jax.device_get(beam(gen_params, feats))
     lat = []

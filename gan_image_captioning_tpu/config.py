@@ -444,6 +444,15 @@ def add_tpu_args(parser):
                    help="REINFORCE variance-reduction baseline: 'greedy' = "
                         "self-critical (the greedy decode's discriminator "
                         "score), 'batch_mean' = batch average reward")
+    g.add_argument("--quantize", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="weight-only quantization of the DECODE path "
+                        "(evaluate/caption/serve): int8 stores the decoder "
+                        "— embedding, LSTM stack, vocab projection — as "
+                        "symmetric per-channel int8, halving per-step HBM "
+                        "weight reads vs bf16 (ops/quantize.py). Training "
+                        "and NLL eval stay full-precision; transformer "
+                        "decoders get fake-quant (storage-fidelity only)")
     g.add_argument("--decode-impl", type=str, default="fused",
                    choices=["fused", "decoupled", "kernel"],
                    help="LSTM free-running decode implementation. 'fused' "
@@ -571,6 +580,7 @@ class Config:
     cache_features: int = 0
     device_preprocess: int = 0
     use_pallas: str = "auto"
+    quantize: str = "none"
     decode_impl: str = "fused"
     cp_mode: str = "gspmd"
     pp_microbatches: int = 4

@@ -79,8 +79,57 @@ def transformer_stepper(dec: dict, config: Config, context=None,
     return Stepper(init_state, step, gather, lambda ids: dec["embed"][ids])
 
 
+def quantized_lstm_stepper(dec: dict, config: Config,
+                           dtype=None) -> Stepper:
+    """Stepper over an int8-resident decoder (ops/quantize.py layout):
+    every weight read the decode loop makes — embedding rows, the fused
+    [in+H, 4H] gate matrices, the [H, V] vocab projection — comes out of
+    HBM as int8, halving the per-step weight traffic vs bf16.  Compute
+    runs in ``config.dtype`` (override: ``GIC_INT8_DTYPE``).
+    ``GIC_INT8_LOOPDEP=1`` threads the loop counter into every qmatmul
+    as an anti-restructuring token — on the ISOLATED vocab-projection
+    scan it measured −4% (benchmarks/int8_hoist_probe.py) but the
+    full-decode A/B is inside tunnel noise (benchmarks/int8_ab.py), so
+    it stays off by default.  Measured v5e full-decode numbers and the
+    variance caveat: docs/benchmarks.md "Int8 decode"."""
+    import os
+
+    from gan_image_captioning_tpu.ops import quantize as q_lib
+
+    if dtype is None:
+        env = os.environ.get("GIC_INT8_DTYPE", "")
+        if env:
+            dtype = jnp.bfloat16 if env == "bfloat16" else jnp.float32
+        else:
+            dtype = (jnp.bfloat16 if config.dtype == "bfloat16"
+                     else jnp.float32)
+    loopdep = os.environ.get("GIC_INT8_LOOPDEP", "0") == "1"
+    layers = len(dec["lstm_q"])
+    hidden = dec["lstm_q"][0]["w"].q.shape[1] // 4
+
+    def init_state(n):
+        return lstm_lib.zero_state(layers, n, hidden, dtype)
+
+    def step(state, x, t):
+        tok = t if loopdep else None
+        h_top, state = q_lib.quantized_lstm_step(dec, x.astype(dtype),
+                                                 state, t=tok)
+        logits = (q_lib.qmatmul(h_top, dec["linear"]["w"], t=tok)
+                  + dec["linear"]["b"].astype(dtype))
+        return logits, state
+
+    def gather(state, idx):
+        h, c = state
+        return h[:, idx], c[:, idx]
+
+    return Stepper(init_state, step, gather,
+                   lambda ids: q_lib.quantized_embed(dec, ids).astype(dtype))
+
+
 def make_stepper(gen_params: dict, config: Config, context=None) -> Stepper:
     dec = gen_params["decoder"]
+    if "lstm_q" in dec:
+        return quantized_lstm_stepper(dec, config)
     if config.gen_arch == "lstm":
         return lstm_stepper(dec, config)
     return transformer_stepper(dec, config, context)
@@ -93,12 +142,35 @@ def greedy(gen_params: dict, features, config: Config, seq_len: int = None,
     """Deterministic greedy decode → ids [B, T] (the reference's pretrain-
     mode sample path, argmax without Gumbel)."""
     seq_len = seq_len or config.seq_len
+    if "lstm_q" in gen_params["decoder"]:
+        stepper = make_stepper(gen_params, config, context)
+        return _stepper_greedy(stepper, features, seq_len)
     from gan_image_captioning_tpu.models import api
 
     cond = {"features": features, "context": context}
     _, ids = api.generator_sample(gen_params, cond, jax.random.PRNGKey(0),
                                   jnp.float32(1.0), seq_len, True, config)
     return ids
+
+
+def _stepper_greedy(stepper: Stepper, features, seq_len: int):
+    """Greedy argmax decode through a Stepper (the int8 decode path —
+    api.generator_sample's fused scan reads the full-precision pytree)."""
+    B = features.shape[0]
+    state = stepper.init_state(B)
+    logits0, state = stepper.step(state, features, jnp.asarray(0, jnp.int32))
+    ids0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+
+    def step(carry, t):
+        state, last_ids = carry
+        logits, state = stepper.step(state, stepper.embed(last_ids), t)
+        ids_t = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (state, ids_t), ids_t
+
+    (_, _), ids_rest = jax.lax.scan(step, (state, ids0),
+                                    jnp.arange(1, seq_len))
+    return jnp.concatenate([ids0[:, None], jnp.swapaxes(ids_rest, 0, 1)],
+                           axis=1)
 
 
 def kernel_serve_available(config: Config) -> bool:
@@ -134,7 +206,8 @@ def greedy_with_logprobs(gen_params: dict, features, config: Config,
     composition the serving engine round 2 shipped with (VERDICT r2
     weakness 3)."""
     seq_len = seq_len or config.seq_len
-    if kernel_serve_available(config) and context is None:
+    if (kernel_serve_available(config) and context is None
+            and "lstm" in gen_params["decoder"]):  # int8 dec: scan stepper
         from gan_image_captioning_tpu.kernels.decode_sample import (
             decode_sample)
 

@@ -1,0 +1,178 @@
+"""Int8 weight-only quantization for the decode/serving path.
+
+The reference has no quantization (nor any inference path at all —
+``main.py:49`` leaves evaluation commented out); this is a framework
+capability aimed at the serving leg of the north star.  TPU-specific
+rationale:
+
+* Small-batch autoregressive decode is **HBM-bandwidth bound on weight
+  reads**: every timestep re-reads the LSTM stack and the ``[V, H]``
+  vocab projection.  Storing them int8 halves the bytes vs bfloat16
+  (4x vs float32) at a cost of one cheap in-register upcast that XLA
+  fuses into the matmul's operand load.
+* The weights-resident Pallas decode kernel sidesteps the re-read by
+  parking weights in VMEM — but VMEM is ~16 MB/core, so the *resident*
+  path caps model size.  Int8 halves the VMEM footprint too, doubling
+  the geometry that stays resident (the flagship ``[11008, 512]`` vocab
+  projection alone is 11.3 MB bf16 vs 5.6 MB int8).
+* Per-output-channel symmetric scales keep the scale application OUT of
+  the matmul: ``x @ W ≈ (x @ Q) * s`` with ``Q`` int8 and ``s`` a
+  ``[out]`` row vector — one fused VPU multiply after the MXU pass.
+
+Layout:  :func:`quantize` / :func:`dequantize` are the per-tensor
+primitives; :func:`quantize_generator` rewrites a generator pytree's
+decoder into the quantized form that :func:`~eval.decode.make_stepper`
+recognizes (key ``"lstm_q"``); transformer decoders get fake-quant
+(quantize→dequantize at load: same storage savings on disk/export, MXU
+math unchanged).  Quality impact is measured, not assumed — see
+``tests/test_quantize.py`` and docs/benchmarks.md.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class QTensor(NamedTuple):
+    """Symmetric per-channel int8 quantized tensor.
+
+    ``q``: int8 payload, same shape as the original.
+    ``scale``: float32 per-channel scales, broadcastable against ``q``
+    (size-1 axes everywhere except the channel axis).
+    """
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def quantize(w, channel_axis: int = -1) -> QTensor:
+    """Symmetric per-channel int8: ``scale = max|w| / 127`` along every
+    axis except ``channel_axis``; zero channels get scale 1 (q = 0)."""
+    w = jnp.asarray(w, jnp.float32)
+    axes = tuple(a for a in range(w.ndim) if a != channel_axis % w.ndim)
+    amax = jnp.max(jnp.abs(w), axis=axes, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return QTensor(q, scale)
+
+
+def dequantize(qt: QTensor, dtype=jnp.float32):
+    return (qt.q.astype(jnp.float32) * qt.scale).astype(dtype)
+
+
+def qmatmul(x, qt: QTensor, dtype=None, t=None):
+    """``x @ W`` with ``W`` stored int8, scales applied post-matmul.
+
+    ``qt.q`` is ``[in, out]`` with per-out-column scales ``[1, out]``.
+    The int8 operand upcasts to ``x.dtype`` in-register (HBM traffic
+    stays int8); the scale is one fused row-vector multiply.
+
+    ``t`` (a loop counter) makes the int8 payload loop-DEPENDENT inside a
+    scan, pinning the dequant to the matmul's operand read instead of
+    letting the compiler restructure it — −4% on the isolated
+    vocab-projection scan (benchmarks/int8_hoist_probe.py), but within
+    tunnel noise on the full decode (benchmarks/int8_ab.py), so the
+    stepper leaves it off unless ``GIC_INT8_LOOPDEP=1``.
+    """
+    dtype = dtype or x.dtype
+    q = qt.q
+    if t is not None:
+        q = q + (jnp.asarray(t) * 0).astype(jnp.int8)
+    y = x @ q.astype(dtype)
+    return y * qt.scale.reshape(1, -1).astype(dtype)
+
+
+def fake_quantize_tree(tree, channel_axis: int = -1, min_size: int = 4096):
+    """Quantize→dequantize every float matrix leaf with ≥ ``min_size``
+    elements (biases/small vectors stay exact).  Simulates int8 storage
+    for paths that keep full-precision compute (transformer decoder,
+    checkpoint export)."""
+
+    def fq(leaf):
+        if (hasattr(leaf, "dtype")
+                and jnp.issubdtype(leaf.dtype, jnp.floating)
+                and leaf.ndim >= 2 and leaf.size >= min_size):
+            return dequantize(quantize(leaf, channel_axis), leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map(fq, tree)
+
+
+def quantize_lstm_decoder(dec: dict) -> dict:
+    """LSTM decoder pytree → quantized form.
+
+    Input (models/generator.py layout): ``{"embed": [V, E],
+    "lstm": [{w_ih, w_hh, b_ih, b_hh}, …], "linear": {"w": [V, H], "b"}}``.
+    Output: ``{"embed": QTensor (per-dim scales), "lstm_q": [{"w":
+    QTensor [in+H, 4H], "b": [4H]}, …], "linear": {"w": QTensor [H, V]
+    (pre-transposed), "b"}}`` — the fused layout the decode stepper
+    consumes (models/lstm.py:fuse_layer_params), quantized once at load.
+    """
+    from gan_image_captioning_tpu.models import lstm as lstm_lib
+
+    fused = lstm_lib.fuse_layer_params(dec["lstm"])
+    out = {
+        # per-embedding-dim scales: rows are looked up, columns scaled
+        "embed": quantize(dec["embed"], channel_axis=-1),
+        "lstm_q": [{"w": quantize(lp["w"], channel_axis=-1),
+                    "b": jnp.asarray(lp["b"], jnp.float32)}
+                   for lp in fused],
+        # pre-transpose to [H, V] so decode is qmatmul(h, w) directly
+        "linear": {"w": quantize(dec["linear"]["w"].T, channel_axis=-1),
+                   "b": jnp.asarray(dec["linear"]["b"], jnp.float32)},
+    }
+    return out
+
+
+def quantize_generator(gen_params: dict, config) -> dict:
+    """Generator pytree → decode-quantized twin (params elsewhere —
+    encoder, BN — shared by reference, not copied).
+
+    * ``gen_arch == "lstm"``: decoder replaced by the int8-resident form
+      (:func:`quantize_lstm_decoder`); steppers detect ``"lstm_q"``.
+    * transformer: decoder fake-quantized (int8 storage fidelity,
+      full-precision compute — the KV-cache decode step's weight reads
+      are amortized across layers and the win is smaller; measured
+      before kernelizing, per the round-2 lesson).
+    """
+    out = dict(gen_params)
+    if "lstm" in gen_params["decoder"]:
+        out["decoder"] = quantize_lstm_decoder(gen_params["decoder"])
+    else:
+        out["decoder"] = fake_quantize_tree(gen_params["decoder"])
+    return out
+
+
+def is_quantized(dec: dict) -> bool:
+    return "lstm_q" in dec
+
+
+def quantized_lstm_step(qdec: dict, x, state, t=None):
+    """One stacked-LSTM step against int8-resident weights.
+
+    Mirrors models/lstm.py:lstm_step's fused formulation with
+    :func:`qmatmul` in place of the dense matmul.
+    """
+    h_all, c_all = state
+    new_h, new_c = [], []
+    inp = x
+    for layer, lq in enumerate(qdec["lstm_q"]):
+        gates = qmatmul(jnp.concatenate([inp, h_all[layer]], axis=-1),
+                        lq["w"], t=t) + lq["b"].astype(x.dtype)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c_all[layer] + (
+            jax.nn.sigmoid(i) * jnp.tanh(g))
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        new_h.append(h_new)
+        new_c.append(c_new)
+        inp = h_new
+    return inp, (jnp.stack(new_h), jnp.stack(new_c))
+
+
+def quantized_embed(qdec: dict, ids):
+    """Embedding lookup from the int8 table: gather rows, scale columns."""
+    qe = qdec["embed"]
+    return qe.q[ids].astype(jnp.float32) * qe.scale.reshape(1, -1)

@@ -157,8 +157,10 @@ class ContinuousBatcher:
         self._stepper = stepper
         dec = gen_params["decoder"]
 
-        if config.gen_arch == "lstm" and decode_lib.kernel_serve_available(
-                config):
+        if (config.gen_arch == "lstm" and "lstm" in dec
+                and decode_lib.kernel_serve_available(config)):
+            # ("lstm" in dec: the int8-quantized decoder — ops/quantize.py
+            # key "lstm_q" — runs the scan stepper branch below)
             # serve-mode decode kernel: the whole K-step chunk is ONE
             # weights-resident pallas_call that resumes from and returns
             # the carried (h, c, x) — VERDICT r2 weakness 3 ("serving

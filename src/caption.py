@@ -91,24 +91,31 @@ def main(argv=None):
         mode = "beam" if beam > 1 else "greedy"
     sample_rng = jax.random.PRNGKey(args.sample_seed)
 
-    def decode_batch(params, batch, rng):
+    # --quantize int8: conditioning (encoder) stays full-precision, every
+    # decode-loop weight read comes from the int8 decoder (ops/quantize.py)
+    dec_params = gen_params
+    if config.quantize != "none":
+        from gan_image_captioning_tpu.ops.quantize import quantize_generator
+        dec_params = quantize_generator(gen_params, config)
+
+    def decode_batch(params, dparams, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)
         if mode == "beam":
             ids, scores = decode_lib.beam_search(
-                params, cond["features"], config, beam_size=beam,
+                dparams, cond["features"], config, beam_size=beam,
                 context=cond["context"],
                 length_penalty=config.length_penalty)
         elif mode == "sample":
             ids, scores = decode_lib.sample_decode(
-                params, cond["features"], config, rng,
+                dparams, cond["features"], config, rng,
                 context=cond["context"],
                 temperature=args.sample_temperature,
                 top_k=args.top_k, top_p=args.top_p)
         else:
-            ids = decode_lib.greedy(params, cond["features"], config,
+            ids = decode_lib.greedy(dparams, cond["features"], config,
                                     context=cond["context"])
             scores = decode_lib.sequence_logprob(
-                params, cond["features"], ids, config, cond["context"])
+                dparams, cond["features"], ids, config, cond["context"])
         return ids, scores
 
     decode_jit = decode_batch if config.no_jit else jax.jit(decode_batch)
@@ -120,7 +127,7 @@ def main(argv=None):
     emitted = 0
     for batch in loader:
         sample_rng, batch_rng = jax.random.split(sample_rng)
-        ids, scores = decode_jit(gen_params, batch, batch_rng)
+        ids, scores = decode_jit(gen_params, dec_params, batch, batch_rng)
         ids, scores = np.asarray(ids), np.asarray(scores)
         for i in range(ids.shape[0]):
             if batch["weights"][i] == 0 or emitted >= args.num_samples:

@@ -95,7 +95,15 @@ def main(argv=None):
     if not args.disc_score:
         disc_params = None
 
-    def eval_batch(params, batch, rng):
+    # --quantize int8: decode (BLEU/diversity) runs against the int8
+    # decoder; NLL stays full-precision (teacher-forced scoring is a
+    # training-path computation). ops/quantize.py.
+    dec_params = gen_params
+    if config.quantize != "none":
+        from gan_image_captioning_tpu.ops.quantize import quantize_generator
+        dec_params = quantize_generator(gen_params, config)
+
+    def eval_batch(params, dparams, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)
         logits = api.generator_mle_outputs(params, cond, batch["captions"],
                                            rng, config,
@@ -107,13 +115,13 @@ def main(argv=None):
                 else jnp.broadcast_to(w[:, None], batch["captions"].shape))
         nll = cross_entropy_loss(logits, batch["captions"], mask)
         if config.beam_size > 1:
-            ids, _ = decode_lib.beam_search(params, cond["features"], config,
+            ids, _ = decode_lib.beam_search(dparams, cond["features"], config,
                                             beam_size=config.beam_size,
                                             context=cond["context"],
                                             length_penalty=config
                                             .length_penalty)
         else:
-            ids = decode_lib.greedy(params, cond["features"], config,
+            ids = decode_lib.greedy(dparams, cond["features"], config,
                                     context=cond["context"])
         # Discriminator realism score (the report's Table 6 row
         # "Discriminator score": mean sigmoid over generated captions).
@@ -133,7 +141,8 @@ def main(argv=None):
     for i, batch in enumerate(loader):
         if args.max_batches and i >= args.max_batches:
             break
-        pending.append(fn(gen_params, batch, jax.random.PRNGKey(i)))
+        pending.append(fn(gen_params, dec_params, batch,
+                          jax.random.PRNGKey(i)))
         real_b.append(batch["captions"])
         w_b.append(batch.get("weights"))
         n += int(batch["weights"].sum())

@@ -95,6 +95,13 @@ class CaptionService:
             self.gen_params = both["generator"]
 
         config = self.config
+        # --quantize int8: decode programs read the int8 decoder; the
+        # encoder/conditioning path stays full-precision (ops/quantize.py)
+        self.dec_params = self.gen_params
+        if config.quantize != "none":
+            from gan_image_captioning_tpu.ops.quantize import (
+                quantize_generator)
+            self.dec_params = quantize_generator(self.gen_params, config)
         beam = max(1, config.beam_size)
         mode = getattr(args, "decode_mode", "auto")
         if mode == "auto":
@@ -138,7 +145,7 @@ class CaptionService:
         if (getattr(args, "serve_continuous", False) and beam == 1
                 and mode != "sample"):
             self.continuous = ContinuousBatcher(
-                self.gen_params, config, num_slots=self.batch_size,
+                self.dec_params, config, num_slots=self.batch_size,
                 chunk_steps=getattr(args, "serve_chunk_steps", 8))
 
         if mode == "sample":
@@ -148,10 +155,10 @@ class CaptionService:
                 key = jax.random.fold_in(self._sample_base,
                                          self._sample_calls)
                 self._sample_calls += 1
-                return self._decode(self.gen_params, f, key)
+                return self._decode(self.dec_params, f, key)
         else:
             def run_decode(f):
-                return self._decode(self.gen_params, f)
+                return self._decode(self.dec_params, f)
 
         self.batcher = CoalescingBatcher(run_decode, self.batch_size,
                                          feat_dim)

@@ -1,0 +1,255 @@
+"""Int8 weight-only quantized decode (ops/quantize.py + the quantized
+stepper in eval/decode.py).
+
+The reference has no quantization (and no inference path, main.py:49);
+this is a serving-leg capability: per-channel symmetric int8 storage of
+the decoder, halving per-step HBM weight reads.  Quality is MEASURED:
+logits stay close, greedy decodes token-match at high rate on a trained
+model, and the CLI path runs end-to-end with ``--quantize int8``.
+"""
+
+import json
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.data.synthetic import SyntheticCaptions
+from gan_image_captioning_tpu.eval import decode as decode_lib
+from gan_image_captioning_tpu.models import api
+from gan_image_captioning_tpu.ops import quantize as q_lib
+
+
+def _cfg(**kw):
+    ds = SyntheticCaptions("train", num_items=16)
+    base = dict(vocab_size=ds.vocab_size, gen_embed_dim=8, gen_hidden_dim=12,
+                max_seq_len=8, conditional_gan=0)
+    base.update(kw)
+    return Config(**base)
+
+
+def _features(cfg, params, n=6):
+    caps = np.full((n, cfg.seq_len), 3, np.int32)
+    batch = {"captions": jnp.asarray(caps),
+             "weights": jnp.ones((n,), jnp.float32)}
+    cond, _ = api.generator_condition(cfg, params, batch, train=False)
+    return cond["features"]
+
+
+# ------------------------------------------------------------ primitives
+
+def test_roundtrip_error_bounded():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(37, 53) * 0.3, jnp.float32)
+    qt = q_lib.quantize(w, channel_axis=-1)
+    assert qt.q.dtype == jnp.int8
+    assert qt.scale.shape == (1, 53)
+    err = np.abs(np.asarray(q_lib.dequantize(qt)) - np.asarray(w))
+    # symmetric rounding: |err| <= scale/2 per channel
+    bound = np.asarray(qt.scale)[0] / 2.0 + 1e-7
+    assert (err <= bound[None, :]).all()
+
+
+def test_quantize_zero_channel_safe():
+    w = jnp.zeros((4, 3), jnp.float32).at[:, 1].set(2.0)
+    qt = q_lib.quantize(w, channel_axis=-1)
+    back = np.asarray(q_lib.dequantize(qt))
+    np.testing.assert_allclose(back, np.asarray(w), atol=1e-6)
+
+
+def test_qmatmul_matches_dense():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(5, 16), jnp.float32)
+    w = jnp.asarray(rng.randn(16, 24) * 0.2, jnp.float32)
+    qt = q_lib.quantize(w, channel_axis=-1)
+    ref = x @ q_lib.dequantize(qt)        # exact same int8 grid
+    np.testing.assert_allclose(np.asarray(q_lib.qmatmul(x, qt)),
+                               np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fake_quantize_tree_leaves_small_exact():
+    tree = {"big": jnp.ones((80, 80), jnp.float32) * 0.5,
+            "bias": jnp.arange(5, dtype=jnp.float32),
+            "ids": jnp.arange(4, dtype=jnp.int32)}
+    out = q_lib.fake_quantize_tree(tree, min_size=1000)
+    np.testing.assert_array_equal(np.asarray(out["bias"]),
+                                  np.asarray(tree["bias"]))
+    np.testing.assert_array_equal(np.asarray(out["ids"]),
+                                  np.asarray(tree["ids"]))
+    # big leaf quantized but close
+    np.testing.assert_allclose(np.asarray(out["big"]),
+                               np.asarray(tree["big"]), rtol=0.02)
+
+
+# ------------------------------------------------------- quantized stepper
+
+def test_quantized_step_logits_close():
+    cfg = _cfg(gen_num_layers=2)
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    qparams = q_lib.quantize_generator(params, cfg)
+    assert q_lib.is_quantized(qparams["decoder"])
+    s_fp = decode_lib.make_stepper(params, cfg)
+    s_q = decode_lib.make_stepper(qparams, cfg)
+    x = _features(cfg, params, n=4)
+    l_fp, _ = s_fp.step(s_fp.init_state(4), x, jnp.asarray(0, jnp.int32))
+    l_q, _ = s_q.step(s_q.init_state(4), x, jnp.asarray(0, jnp.int32))
+    # int8 grid is ~0.8% of each channel's range; logits are sums of ~20
+    # such terms — demand closeness, not equality
+    np.testing.assert_allclose(np.asarray(l_q), np.asarray(l_fp),
+                               atol=0.05, rtol=0.05)
+
+
+def test_quantized_embed_matches_table():
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(1), cfg)
+    qdec = q_lib.quantize_generator(params, cfg)["decoder"]
+    ids = jnp.asarray([0, 3, 5], jnp.int32)
+    got = np.asarray(q_lib.quantized_embed(qdec, ids))
+    want = np.asarray(q_lib.dequantize(qdec["embed"]))[np.asarray(ids)]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def _train_tiny_mle(cfg, steps=60):
+    """A few MLE steps so greedy argmax has real margins (random weights
+    make near-ties, which would make token-match a coin flip)."""
+    import optax
+
+    from gan_image_captioning_tpu.data.loader import Batcher
+    from gan_image_captioning_tpu.ops.losses import cross_entropy_loss
+
+    ds = SyntheticCaptions("train", num_items=16)
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            cond, _ = api.generator_condition(cfg, p, batch, train=True)
+            logits = api.generator_mle_outputs(p, cond, batch["captions"],
+                                               rng, cfg)
+            return cross_entropy_loss(logits, batch["captions"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    i = 0
+    while i < steps:
+        for batch in Batcher(ds, 8, cfg.seq_len, shuffle=True,
+                             num_workers=0, seed=i):
+            params, opt_state, _ = step(params, opt_state, batch,
+                                        jax.random.PRNGKey(i))
+            i += 1
+            if i >= steps:
+                break
+    return params
+
+
+def test_greedy_token_match_on_trained_model():
+    cfg = _cfg(gen_num_layers=1)
+    params = _train_tiny_mle(cfg)
+    qparams = q_lib.quantize_generator(params, cfg)
+    feats = _features(cfg, params, n=8)
+    ids_fp = np.asarray(decode_lib.greedy(params, feats, cfg))
+    ids_q = np.asarray(decode_lib.greedy(qparams, feats, cfg))
+    match = (ids_fp == ids_q).mean()
+    assert match >= 0.9, f"int8 greedy token match {match:.3f} < 0.9"
+
+
+def test_beam_and_sample_run_quantized():
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(2), cfg)
+    qparams = q_lib.quantize_generator(params, cfg)
+    feats = _features(cfg, params, n=3)
+    ids, scores = decode_lib.beam_search(qparams, feats, cfg, beam_size=3)
+    assert ids.shape == (3, cfg.seq_len)
+    assert np.isfinite(np.asarray(scores)).all()
+    ids2, lp = decode_lib.sample_decode(qparams, feats, cfg,
+                                        jax.random.PRNGKey(0))
+    assert ids2.shape == (3, cfg.seq_len)
+    assert np.isfinite(np.asarray(lp)).all()
+    # sequence_logprob consumes the quantized stepper too
+    slp = decode_lib.sequence_logprob(qparams, feats, ids.astype(jnp.int32),
+                                      cfg)
+    assert np.isfinite(np.asarray(slp)).all()
+
+
+def test_transformer_fake_quant_decodes():
+    cfg = _cfg(gen_arch="transformer", gen_num_heads=2, gen_num_layers=2,
+               gen_embed_dim=16, gen_hidden_dim=32)
+    params = api.init_generator(jax.random.PRNGKey(3), cfg)
+    qparams = q_lib.quantize_generator(params, cfg)
+    # fake-quant: same structure, decodes through the normal stepper
+    assert not q_lib.is_quantized(qparams["decoder"])
+    feats = _features(cfg, params, n=2)
+    ids = decode_lib.greedy(qparams, feats, cfg)
+    assert ids.shape == (2, cfg.seq_len)
+
+
+def test_greedy_with_logprobs_skips_kernel_when_quantized(monkeypatch):
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(4), cfg)
+    qparams = q_lib.quantize_generator(params, cfg)
+    # force "kernel available" — the quantized dict must still route to
+    # the stepper path instead of KeyError'ing on dec["lstm"]
+    monkeypatch.setattr(decode_lib, "kernel_serve_available", lambda c: True)
+    feats = _features(cfg, params, n=2)
+    ids, lp = decode_lib.greedy_with_logprobs(qparams, feats, cfg)
+    assert ids.shape == (2, cfg.seq_len)
+    assert np.isfinite(np.asarray(lp)).all()
+
+
+# ------------------------------------------------------- serving + CLI e2e
+
+def test_continuous_batcher_quantized():
+    from gan_image_captioning_tpu.models.generator import start_token_features
+    from gan_image_captioning_tpu.serving import ContinuousBatcher
+
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(5), cfg)
+    qparams = q_lib.quantize_generator(params, cfg)
+    eng = ContinuousBatcher(qparams, cfg, num_slots=4, chunk_steps=4)
+    try:
+        feats = np.asarray(start_token_features(params["decoder"], 3))
+        futs = [eng.submit(feats[i]) for i in range(3)]
+        outs = [f.result(timeout=60) for f in futs]
+        batch_ids = np.asarray(decode_lib.greedy(
+            qparams, jnp.asarray(feats), cfg))
+        for (ids, _lp), want in zip(outs, batch_ids):
+            np.testing.assert_array_equal(ids, want)
+    finally:
+        eng.close()
+
+
+@pytest.mark.slow
+def test_caption_cli_quantized(tmp_path):
+    out = tmp_path / "caps.jsonl"
+    cmd = [sys.executable, "src/caption.py", "--checkpoint", "RANDOM",
+           "--dataset", "synthetic", "--synthetic-items", "16",
+           "--max-seq-len", "8", "--gen-embed-dim", "8",
+           "--gen-hidden-dim", "12",
+           "--num-samples", "4", "--quantize", "int8",
+           "--output", str(out), "--save-dir", str(tmp_path),
+           "--expt-name", "q8", "--num-workers", "0"]
+    # RANDOM checkpoint sentinel not supported → use a real tiny ckpt
+    import os
+
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    ck = tmp_path / "gen.ckpt"
+    ckpt_lib.save_params(str(ck), params)
+    cmd[cmd.index("RANDOM")] = str(ck)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))), env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(ln) for ln in out.read_text().splitlines()]
+    assert len(lines) == 4 and all("caption" in ln for ln in lines)
