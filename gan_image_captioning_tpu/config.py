@@ -685,9 +685,20 @@ def get_args(argv: Optional[list] = None, make_dirs: bool = True) -> argparse.Na
     args = parser.parse_args(argv)
     if make_dirs:
         make_experiment_dirs(args)
-    if args.device == "cpu":
-        # Force the CPU backend before any computation runs.
+    apply_device_flag(args)
+    return args
+
+
+def apply_device_flag(args: argparse.Namespace) -> None:
+    """Honor ``--device cpu`` before any computation runs.
+
+    Restricting ``jax_platforms`` (not just ``jax_platform_name``) stops jax
+    from even initializing accelerator plugins — platform-name selection
+    still initializes every registered backend, and a TPU plugin whose
+    tunnel is unreachable blocks that init for many minutes.  Every CLI
+    entry point that builds its own parser must call this after parsing.
+    """
+    if getattr(args, "device", None) == "cpu":
         import jax
 
-        jax.config.update("jax_platform_name", "cpu")
-    return args
+        jax.config.update("jax_platforms", "cpu")

@@ -148,16 +148,34 @@ class ContinuousBatcher:
     """
 
     def __init__(self, gen_params: dict, config: Config, num_slots: int = 8,
-                 chunk_steps: int = 8):
+                 chunk_steps: int = 8, mesh=None):
         self.config = config
         self.T = config.seq_len
         self.B = num_slots
         self.K = min(chunk_steps, self.T)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_ax = ("data" if "data" in mesh.axis_names
+                       else mesh.axis_names[0])
+            n_data = mesh.shape[data_ax]
+            if num_slots % n_data:
+                raise ValueError(
+                    f"num_slots={num_slots} not divisible by mesh "
+                    f"'{data_ax}' axis ({n_data})")
+            # params replicate; slot-indexed state/inputs shard over the
+            # slot axis — GSPMD propagates through the advance scan
+            gen_params = jax.device_put(gen_params, NamedSharding(mesh, P()))
+            self._slot_shard = NamedSharding(mesh, P(data_ax))
+            self._state_shard = NamedSharding(mesh, P(None, data_ax))
+        else:
+            self._slot_shard = self._state_shard = None
         stepper = decode_lib.make_stepper(gen_params, config)
         self._stepper = stepper
         dec = gen_params["decoder"]
 
-        if (config.gen_arch == "lstm" and "lstm" in dec
+        if (config.gen_arch == "lstm" and "lstm" in dec and mesh is None
                 and decode_lib.kernel_serve_available(config)):
             # ("lstm" in dec: the int8-quantized decoder — ops/quantize.py
             # key "lstm_q" — runs the scan stepper branch below)
@@ -232,6 +250,12 @@ class ContinuousBatcher:
                               ).shape[-1]
         self._x = jnp.zeros((self.B, feat_dim),
                             jnp.asarray(self._state[0]).dtype)
+        if self._slot_shard is not None:
+            # state leaves are [L, B, …] (slot axis 1); x/tvec are [B, …]
+            self._state = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, self._state_shard), self._state)
+            self._x = jax.device_put(self._x, self._slot_shard)
+            self._tvec = jax.device_put(self._tvec, self._slot_shard)
         # host-side slot bookkeeping
         self._slot_t = np.full((self.B,), -1, np.int32)   # -1 = free
         self._slot_fut: list = [None] * self.B

@@ -33,7 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from gan_image_captioning_tpu.config import build_parser, config_from_args
+from gan_image_captioning_tpu.config import (apply_device_flag,
+                                             build_parser,
+                                             config_from_args)
 
 
 def parse_args(argv=None):
@@ -42,7 +44,9 @@ def parse_args(argv=None):
                         help="two or more checkpoint paths to average")
     parser.add_argument("--output", type=str, required=True,
                         help="where to write the averaged checkpoint")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    apply_device_flag(args)
+    return args
 
 
 def _load_any(path, gen_template, disc_template, state_template):

@@ -25,13 +25,16 @@ import numpy as np
 
 
 def parse_args(argv=None):
-    from gan_image_captioning_tpu.config import build_parser
+    from gan_image_captioning_tpu.config import (apply_device_flag,
+                                                 build_parser)
 
     parser = build_parser()
     parser.add_argument("--torch-ckpt", required=True,
                         help="reference generator state_dict (.ckpt)")
     parser.add_argument("--num-samples", type=int, default=64)
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    apply_device_flag(args)
+    return args
 
 
 def main(argv=None):

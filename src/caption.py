@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gan_image_captioning_tpu.config import build_parser, config_from_args
+from gan_image_captioning_tpu.config import (apply_device_flag,
+                                             build_parser,
+                                             config_from_args)
 
 
 def parse_args(argv=None):
@@ -50,7 +52,9 @@ def parse_args(argv=None):
                              ">1 flattens)")
     parser.add_argument("--sample-seed", type=int, default=0,
                         help="PRNG seed for sample mode")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    apply_device_flag(args)
+    return args
 
 
 def main(argv=None):

@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from gan_image_captioning_tpu.config import build_parser, config_from_args
+from gan_image_captioning_tpu.config import (apply_device_flag,
+                                             build_parser,
+                                             config_from_args)
 
 
 def parse_args(argv=None):
@@ -54,7 +56,9 @@ def parse_args(argv=None):
                         help="also report METEOR (exact-match stage, "
                         "eval/meteor.py — alignment F-mean with "
                         "fragmentation penalty)")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    apply_device_flag(args)
+    return args
 
 
 def main(argv=None):

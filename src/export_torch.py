@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from gan_image_captioning_tpu.config import build_parser, config_from_args
+from gan_image_captioning_tpu.config import (apply_device_flag,
+                                             build_parser,
+                                             config_from_args)
 
 
 def parse_args(argv=None):
@@ -28,7 +30,9 @@ def parse_args(argv=None):
                              "adv {generator, discriminator} dict)")
     parser.add_argument("--output", type=str, required=True,
                         help="where to torch.save the state_dict")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    apply_device_flag(args)
+    return args
 
 
 def main(argv=None):

@@ -31,7 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
-from gan_image_captioning_tpu.config import build_parser, config_from_args
+from gan_image_captioning_tpu.config import (apply_device_flag,
+                                             build_parser,
+                                             config_from_args)
 
 
 def parse_args(argv=None):
@@ -63,7 +65,9 @@ def parse_args(argv=None):
     parser.add_argument("--sample-seed", type=int, default=0,
                         help="base PRNG seed for sample mode (each decode "
                              "program folds in a call counter)")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    apply_device_flag(args)
+    return args
 
 
 class CaptionService:
@@ -102,6 +106,40 @@ class CaptionService:
             from gan_image_captioning_tpu.ops.quantize import (
                 quantize_generator)
             self.dec_params = quantize_generator(self.gen_params, config)
+
+        # --mesh data:N — distributed serving: params replicate, every
+        # decode program shards its batch dim over the data axis (GSPMD
+        # inserts nothing for the LSTM scan — slots/rows are independent —
+        # so this is embarrassingly-parallel decode over ICI).  Model-axis
+        # TP serving is not wired; a model axis >1 raises here.
+        self.mesh = None
+        self._feat_sharding = None
+        if config.mesh:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gan_image_captioning_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(config.mesh)
+            if self.mesh.shape.get("model", 1) > 1:
+                raise SystemExit("serving supports data-axis meshes only "
+                                 "(--mesh data:N); model-axis TP serving "
+                                 "is not wired")
+            n_data = self.mesh.shape.get("data", 1)
+            if args.serve_batch_size % n_data:
+                raise SystemExit(f"--serve-batch-size "
+                                 f"{args.serve_batch_size} must divide by "
+                                 f"the data axis ({n_data})")
+            rep = NamedSharding(self.mesh, P())
+            self.gen_params = jax.device_put(self.gen_params, rep)
+            self.dec_params = jax.device_put(self.dec_params, rep)
+            self._feat_sharding = NamedSharding(self.mesh, P("data"))
+            # the serve-mode decode kernel shards itself over the data
+            # axis once the mesh is installed (kernels/decode_sample.py
+            # shard_map path — same machinery as --decode-impl kernel
+            # under --mesh in training)
+            from gan_image_captioning_tpu.kernels import decode_sample
+
+            decode_sample.set_mesh(self.mesh)
         beam = max(1, config.beam_size)
         mode = getattr(args, "decode_mode", "auto")
         if mode == "auto":
@@ -146,7 +184,12 @@ class CaptionService:
                 and mode != "sample"):
             self.continuous = ContinuousBatcher(
                 self.dec_params, config, num_slots=self.batch_size,
-                chunk_steps=getattr(args, "serve_chunk_steps", 8))
+                chunk_steps=getattr(args, "serve_chunk_steps", 8),
+                mesh=self.mesh)
+
+        def place(f):
+            return (f if self._feat_sharding is None
+                    else jax.device_put(f, self._feat_sharding))
 
         if mode == "sample":
             # per-program key: fold the dispatcher's call counter into the
@@ -155,10 +198,10 @@ class CaptionService:
                 key = jax.random.fold_in(self._sample_base,
                                          self._sample_calls)
                 self._sample_calls += 1
-                return self._decode(self.dec_params, f, key)
+                return self._decode(self.dec_params, place(f), key)
         else:
             def run_decode(f):
-                return self._decode(self.dec_params, f)
+                return self._decode(self.dec_params, place(f))
 
         self.batcher = CoalescingBatcher(run_decode, self.batch_size,
                                          feat_dim)

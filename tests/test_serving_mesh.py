@@ -1,0 +1,114 @@
+"""Distributed serving: decode programs sharded over a data-axis mesh.
+
+The reference has no serving and no parallelism; here the serving leg
+composes with the mesh layer — params replicate, batch/slot dims shard
+over ``data``, and because decode rows are independent GSPMD inserts no
+collectives (embarrassingly-parallel decode over ICI).  Equivalence is
+the test: sharded == single-device, ids exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.data.synthetic import SyntheticCaptions
+from gan_image_captioning_tpu.eval import decode as decode_lib
+from gan_image_captioning_tpu.models import api
+from gan_image_captioning_tpu.models.generator import start_token_features
+from gan_image_captioning_tpu.parallel.mesh import make_mesh
+from gan_image_captioning_tpu.serving import ContinuousBatcher
+
+
+def _cfg(**kw):
+    ds = SyntheticCaptions("train", num_items=16)
+    base = dict(vocab_size=ds.vocab_size, gen_embed_dim=8, gen_hidden_dim=12,
+                max_seq_len=8, conditional_gan=0)
+    base.update(kw)
+    return Config(**base)
+
+
+def _mesh(n=4):
+    return make_mesh(f"data:{n}", devices=jax.devices()[:n])
+
+
+def test_sharded_greedy_matches_single_device():
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    feats = start_token_features(params["decoder"], 8)
+    want_ids, want_lp = jax.jit(
+        lambda p, f: decode_lib.greedy_with_logprobs(p, f, cfg))(params,
+                                                                 feats)
+
+    mesh = _mesh(4)
+    p_rep = jax.device_put(params, NamedSharding(mesh, P()))
+    f_sh = jax.device_put(feats, NamedSharding(mesh, P("data")))
+    got_ids, got_lp = jax.jit(
+        lambda p, f: decode_lib.greedy_with_logprobs(p, f, cfg))(p_rep, f_sh)
+    np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(want_ids))
+    np.testing.assert_allclose(np.asarray(got_lp), np.asarray(want_lp),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_beam_matches_single_device():
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(1), cfg)
+    feats = start_token_features(params["decoder"], 8)
+    want, _ = jax.jit(lambda p, f: decode_lib.beam_search(
+        p, f, cfg, beam_size=3))(params, feats)
+    mesh = _mesh(4)
+    p_rep = jax.device_put(params, NamedSharding(mesh, P()))
+    f_sh = jax.device_put(feats, NamedSharding(mesh, P("data")))
+    got, _ = jax.jit(lambda p, f: decode_lib.beam_search(
+        p, f, cfg, beam_size=3))(p_rep, f_sh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_continuous_batcher_under_mesh(quantized):
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(2), cfg)
+    dparams = params
+    if quantized:
+        from gan_image_captioning_tpu.ops.quantize import quantize_generator
+
+        dparams = quantize_generator(params, cfg)
+    feats = np.asarray(start_token_features(params["decoder"], 6))
+    want = np.asarray(decode_lib.greedy(dparams, jnp.asarray(feats), cfg))
+
+    eng = ContinuousBatcher(dparams, cfg, num_slots=8, chunk_steps=4,
+                            mesh=_mesh(4))
+    try:
+        futs = [eng.submit(feats[i]) for i in range(6)]
+        for fut, want_row in zip(futs, want):
+            ids, _lp = fut.result(timeout=120)
+            np.testing.assert_array_equal(ids, want_row)
+    finally:
+        eng.close()
+
+
+def test_continuous_batcher_rejects_indivisible_slots():
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(3), cfg)
+    with pytest.raises(ValueError):
+        ContinuousBatcher(params, cfg, num_slots=6, mesh=_mesh(4))
+
+
+def test_transformer_slots_under_mesh():
+    cfg = _cfg(gen_arch="transformer", gen_num_heads=2, gen_num_layers=2,
+               gen_embed_dim=16, gen_hidden_dim=32)
+    params = api.init_generator(jax.random.PRNGKey(4), cfg)
+    feats = np.asarray(start_token_features(
+        {"embed": params["decoder"]["embed"]}, 4))
+    want = np.asarray(decode_lib.greedy(params, jnp.asarray(feats), cfg))
+    eng = ContinuousBatcher(params, cfg, num_slots=4, chunk_steps=3,
+                            mesh=_mesh(2))
+    try:
+        futs = [eng.submit(feats[i]) for i in range(4)]
+        for fut, want_row in zip(futs, want):
+            ids, _lp = fut.result(timeout=120)
+            np.testing.assert_array_equal(ids, want_row)
+    finally:
+        eng.close()
