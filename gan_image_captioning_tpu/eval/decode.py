@@ -197,16 +197,20 @@ def masked_logprob_sum(ids, lps):
 
 
 def greedy_with_logprobs(gen_params: dict, features, config: Config,
-                         seq_len: int = None, context=None):
+                         seq_len: int = None, context=None,
+                         allow_kernel: bool = True):
     """``(ids [B, T], seq_logprob [B])`` in ONE device program.
 
     On the kernel path (TPU LSTM) this is the serve-mode decode kernel —
     greedy ids AND per-token greedy logprobs from a single weights-resident
     pallas_call, replacing the two-scan ``greedy`` + ``sequence_logprob``
     composition the serving engine round 2 shipped with (VERDICT r2
-    weakness 3)."""
+    weakness 3).  ``allow_kernel=False`` forces the scan composition —
+    callers holding TP-sharded (vocab-dim) params use it: the kernel is
+    weights-resident and wants full weight blocks, while GSPMD partitions
+    the scan's vocab matmuls exactly as in training."""
     seq_len = seq_len or config.seq_len
-    if (kernel_serve_available(config) and context is None
+    if (allow_kernel and kernel_serve_available(config) and context is None
             and "lstm" in gen_params["decoder"]):  # int8 dec: scan stepper
         from gan_image_captioning_tpu.kernels.decode_sample import (
             decode_sample)

@@ -42,6 +42,32 @@ from gan_image_captioning_tpu.data.vocab import END
 from gan_image_captioning_tpu.eval import decode as decode_lib
 
 
+def shard_serving_params(gen_params: dict, mesh) -> dict:
+    """Place generator params for serving under ``mesh``.
+
+    Full-precision params take the training-side TP layout
+    (:func:`parallel.sharding.generator_param_spec` — vocab-dim tensors
+    shard over ``model``, everything else replicates; with no ``model``
+    axis every spec is ``P()`` so this is plain replication).  Quantized
+    decoders replicate outright: their vocab projection is pre-transposed
+    to [H, V] with per-channel scales (ops/quantize.py), a layout the TP
+    rules don't describe — and int8 weights are small enough that TP buys
+    little there.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gan_image_captioning_tpu.ops.quantize import is_quantized
+    from gan_image_captioning_tpu.parallel.sharding import (
+        generator_param_spec)
+
+    if is_quantized(gen_params.get("decoder", {})):
+        return jax.device_put(gen_params, NamedSharding(mesh, P()))
+    spec = generator_param_spec(gen_params, mesh)
+    return jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        gen_params, spec)
+
+
 def _masked_logprob_sum(ids: np.ndarray, lps: np.ndarray) -> np.ndarray:
     """sequence_logprob's keep-mask on host: positions up to and including
     the FIRST <E>."""
@@ -157,18 +183,17 @@ class ContinuousBatcher:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            data_ax = ("data" if "data" in mesh.axis_names
-                       else mesh.axis_names[0])
-            n_data = mesh.shape[data_ax]
-            if num_slots % n_data:
+            n_data = dict(mesh.shape).get("data", 1)
+            if n_data > 1 and num_slots % n_data:
                 raise ValueError(
                     f"num_slots={num_slots} not divisible by mesh "
-                    f"'{data_ax}' axis ({n_data})")
-            # params replicate; slot-indexed state/inputs shard over the
-            # slot axis — GSPMD propagates through the advance scan
-            gen_params = jax.device_put(gen_params, NamedSharding(mesh, P()))
-            self._slot_shard = NamedSharding(mesh, P(data_ax))
-            self._state_shard = NamedSharding(mesh, P(None, data_ax))
+                    f"'data' axis ({n_data})")
+            gen_params = shard_serving_params(gen_params, mesh)
+            # slot-indexed state/inputs shard over the data axis (slots are
+            # independent rows); GSPMD propagates through the advance scan.
+            slot_ax = "data" if n_data > 1 else None
+            self._slot_shard = NamedSharding(mesh, P(slot_ax))
+            self._state_shard = NamedSharding(mesh, P(None, slot_ax))
         else:
             self._slot_shard = self._state_shard = None
         stepper = decode_lib.make_stepper(gen_params, config)

@@ -107,39 +107,46 @@ class CaptionService:
                 quantize_generator)
             self.dec_params = quantize_generator(self.gen_params, config)
 
-        # --mesh data:N — distributed serving: params replicate, every
-        # decode program shards its batch dim over the data axis (GSPMD
-        # inserts nothing for the LSTM scan — slots/rows are independent —
-        # so this is embarrassingly-parallel decode over ICI).  Model-axis
-        # TP serving is not wired; a model axis >1 raises here.
+        # --mesh — distributed serving.  Data axis: every decode program
+        # shards its batch/slot dim over ``data`` (GSPMD inserts nothing
+        # for the scan — rows are independent — so this is embarrassingly-
+        # parallel decode over ICI).  Model axis: vocab-dim TP with the
+        # training-side layout (parallel/sharding.py) — the scan's vocab
+        # matmul/softmax/argmax partition over ``model`` with the same
+        # collectives as the TP train step.
         self.mesh = None
         self._feat_sharding = None
+        self._tp_serving = False
         if config.mesh:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from gan_image_captioning_tpu.parallel.mesh import make_mesh
+            from gan_image_captioning_tpu.serving import shard_serving_params
 
             self.mesh = make_mesh(config.mesh)
-            if self.mesh.shape.get("model", 1) > 1:
-                raise SystemExit("serving supports data-axis meshes only "
-                                 "(--mesh data:N); model-axis TP serving "
-                                 "is not wired")
-            n_data = self.mesh.shape.get("data", 1)
-            if args.serve_batch_size % n_data:
+            n_data = dict(self.mesh.shape).get("data", 1)
+            self._tp_serving = dict(self.mesh.shape).get("model", 1) > 1
+            if n_data > 1 and args.serve_batch_size % n_data:
                 raise SystemExit(f"--serve-batch-size "
                                  f"{args.serve_batch_size} must divide by "
                                  f"the data axis ({n_data})")
-            rep = NamedSharding(self.mesh, P())
-            self.gen_params = jax.device_put(self.gen_params, rep)
-            self.dec_params = jax.device_put(self.dec_params, rep)
-            self._feat_sharding = NamedSharding(self.mesh, P("data"))
-            # the serve-mode decode kernel shards itself over the data
-            # axis once the mesh is installed (kernels/decode_sample.py
-            # shard_map path — same machinery as --decode-impl kernel
-            # under --mesh in training)
-            from gan_image_captioning_tpu.kernels import decode_sample
+            shared = self.dec_params is self.gen_params
+            self.gen_params = shard_serving_params(self.gen_params,
+                                                   self.mesh)
+            self.dec_params = (self.gen_params if shared else
+                               shard_serving_params(self.dec_params,
+                                                    self.mesh))
+            self._feat_sharding = NamedSharding(
+                self.mesh, P("data" if n_data > 1 else None))
+            if not self._tp_serving:
+                # the serve-mode decode kernel shards itself over the data
+                # axis once the mesh is installed (kernels/decode_sample.py
+                # shard_map path — same machinery as --decode-impl kernel
+                # under --mesh in training).  TP meshes skip it: the kernel
+                # is weights-resident and wants full weight blocks.
+                from gan_image_captioning_tpu.kernels import decode_sample
 
-            decode_sample.set_mesh(self.mesh)
+                decode_sample.set_mesh(self.mesh)
         beam = max(1, config.beam_size)
         mode = getattr(args, "decode_mode", "auto")
         if mode == "auto":
@@ -166,8 +173,11 @@ class CaptionService:
                         params, feats, config, beam_size=beam,
                         length_penalty=config.length_penalty)
                 # ONE device program: serve-mode decode kernel on TPU (greedy
-                # ids + per-token logprobs), two-scan fallback elsewhere
-                return decode_lib.greedy_with_logprobs(params, feats, config)
+                # ids + per-token logprobs), two-scan fallback elsewhere;
+                # TP-sharded params force the scan (GSPMD partitions it)
+                return decode_lib.greedy_with_logprobs(
+                    params, feats, config,
+                    allow_kernel=not self._tp_serving)
 
         self._decode = jax.jit(decode)
         self._start_features = start_token_features

@@ -96,6 +96,69 @@ def test_continuous_batcher_rejects_indivisible_slots():
         ContinuousBatcher(params, cfg, num_slots=6, mesh=_mesh(4))
 
 
+def test_tp_sharded_greedy_matches_single_device():
+    """Model-axis TP serving: vocab-dim-sharded params (training layout)
+    through the scan decode == single-device, ids exactly."""
+    from gan_image_captioning_tpu.serving import shard_serving_params
+
+    cfg = _cfg(vocab_size=36)   # padded: TP shards V over model
+    params = api.init_generator(jax.random.PRNGKey(5), cfg)
+    feats = start_token_features(params["decoder"], 8)
+    want_ids, want_lp = jax.jit(
+        lambda p, f: decode_lib.greedy_with_logprobs(p, f, cfg))(params,
+                                                                 feats)
+
+    mesh = make_mesh("data:2,model:2", devices=jax.devices()[:4])
+    p_sh = shard_serving_params(params, mesh)
+    # the vocab-dim tensors actually shard over model
+    spec = p_sh["decoder"]["linear"]["w"].sharding.spec
+    assert spec[0] == "model", spec
+    f_sh = jax.device_put(feats, NamedSharding(mesh, P("data")))
+    got_ids, got_lp = jax.jit(
+        lambda p, f: decode_lib.greedy_with_logprobs(
+            p, f, cfg, allow_kernel=False))(p_sh, f_sh)
+    np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(want_ids))
+    np.testing.assert_allclose(np.asarray(got_lp), np.asarray(want_lp),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_continuous_batcher_under_tp_mesh():
+    cfg = _cfg(vocab_size=36)   # padded: TP shards V over model
+    params = api.init_generator(jax.random.PRNGKey(6), cfg)
+    feats = np.asarray(start_token_features(params["decoder"], 6))
+    want = np.asarray(decode_lib.greedy(params, jnp.asarray(feats), cfg))
+
+    mesh = make_mesh("data:2,model:2", devices=jax.devices()[:4])
+    eng = ContinuousBatcher(params, cfg, num_slots=8, chunk_steps=4,
+                            mesh=mesh)
+    try:
+        futs = [eng.submit(feats[i]) for i in range(6)]
+        for fut, want_row in zip(futs, want):
+            ids, _lp = fut.result(timeout=120)
+            np.testing.assert_array_equal(ids, want_row)
+    finally:
+        eng.close()
+
+
+def test_model_only_mesh_slots_replicate():
+    """A model-only mesh must NOT shard the slot axis (TP shards vocab,
+    slots replicate) — any num_slots is accepted."""
+    cfg = _cfg(vocab_size=36)   # padded: TP shards V over model
+    params = api.init_generator(jax.random.PRNGKey(7), cfg)
+    feats = np.asarray(start_token_features(params["decoder"], 3))
+    want = np.asarray(decode_lib.greedy(params, jnp.asarray(feats), cfg))
+    mesh = make_mesh("model:4", devices=jax.devices()[:4])
+    eng = ContinuousBatcher(params, cfg, num_slots=3, chunk_steps=4,
+                            mesh=mesh)
+    try:
+        futs = [eng.submit(feats[i]) for i in range(3)]
+        for fut, want_row in zip(futs, want):
+            ids, _lp = fut.result(timeout=120)
+            np.testing.assert_array_equal(ids, want_row)
+    finally:
+        eng.close()
+
+
 def test_transformer_slots_under_mesh():
     cfg = _cfg(gen_arch="transformer", gen_num_heads=2, gen_num_layers=2,
                gen_embed_dim=16, gen_hidden_dim=32)
