@@ -122,6 +122,27 @@ def test_tp_sharded_greedy_matches_single_device():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_tp_sharded_beam_matches_single_device():
+    """Beam search over TP-sharded (vocab-dim) params: the per-step top-K
+    runs over GSPMD-partitioned logits — ids must still match exactly."""
+    from gan_image_captioning_tpu.serving import shard_serving_params
+
+    cfg = _cfg(vocab_size=36)   # padded: TP shards V over model
+    params = api.init_generator(jax.random.PRNGKey(8), cfg)
+    feats = start_token_features(params["decoder"], 4)
+    want, want_sc = jax.jit(lambda p, f: decode_lib.beam_search(
+        p, f, cfg, beam_size=3))(params, feats)
+
+    mesh = make_mesh("data:2,model:2", devices=jax.devices()[:4])
+    p_sh = shard_serving_params(params, mesh)
+    f_sh = jax.device_put(feats, NamedSharding(mesh, P("data")))
+    got, got_sc = jax.jit(lambda p, f: decode_lib.beam_search(
+        p, f, cfg, beam_size=3))(p_sh, f_sh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(got_sc), np.asarray(want_sc),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_continuous_batcher_under_tp_mesh():
     cfg = _cfg(vocab_size=36)   # padded: TP shards V over model
     params = api.init_generator(jax.random.PRNGKey(6), cfg)
