@@ -48,6 +48,30 @@ def generator_param_spec(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def quantized_generator_param_spec(params: Any, mesh: Mesh) -> Any:
+    """PartitionSpec tree for a decode-quantized generator (the
+    ``ops/quantize.py`` layout: ``decoder.embed``/``decoder.linear.w`` are
+    ``QTensor`` NamedTuples, the vocab projection pre-transposed to
+    ``[H, V]``).  Vocab-dim payloads shard over ``model`` exactly as the
+    full-precision rules; each ``QTensor.scale`` follows its payload's
+    channel axis (the ``[1, V]`` projection scales shard, the ``[1, E]``
+    embedding scales replicate)."""
+    model = "model" if _has_axis(mesh, "model") else None
+
+    def spec_for(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if model:
+            if "embed" in keys and "q" in keys:       # [V, E] int8 rows
+                return P(model, None)
+            if "linear" in keys and "w" in keys:      # QTensor [H, V]
+                return P(None, model)                 # q and [1, V] scales
+            if "linear" in keys and "b" in keys:      # [V]
+                return P(model)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def discriminator_param_spec(params: Any, mesh: Mesh) -> Any:
     """PartitionSpec tree for discriminator params (embedding cols → model)."""
     model = "model" if _has_axis(mesh, "model") else None

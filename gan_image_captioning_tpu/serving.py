@@ -49,20 +49,21 @@ def shard_serving_params(gen_params: dict, mesh) -> dict:
     (:func:`parallel.sharding.generator_param_spec` — vocab-dim tensors
     shard over ``model``, everything else replicates; with no ``model``
     axis every spec is ``P()`` so this is plain replication).  Quantized
-    decoders replicate outright: their vocab projection is pre-transposed
-    to [H, V] with per-channel scales (ops/quantize.py), a layout the TP
-    rules don't describe — and int8 weights are small enough that TP buys
-    little there.
+    decoders take :func:`parallel.sharding.quantized_generator_param_spec`
+    — same vocab-dim layout on the int8 payloads (the projection is
+    pre-transposed to [H, V], so its q AND [1, V] scales shard over the
+    last axis).
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import NamedSharding
 
     from gan_image_captioning_tpu.ops.quantize import is_quantized
     from gan_image_captioning_tpu.parallel.sharding import (
-        generator_param_spec)
+        generator_param_spec, quantized_generator_param_spec)
 
     if is_quantized(gen_params.get("decoder", {})):
-        return jax.device_put(gen_params, NamedSharding(mesh, P()))
-    spec = generator_param_spec(gen_params, mesh)
+        spec = quantized_generator_param_spec(gen_params, mesh)
+    else:
+        spec = generator_param_spec(gen_params, mesh)
     return jax.tree_util.tree_map(
         lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
         gen_params, spec)

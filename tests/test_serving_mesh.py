@@ -161,6 +161,51 @@ def test_continuous_batcher_under_tp_mesh():
         eng.close()
 
 
+def test_tp_sharded_int8_greedy_matches_single_device():
+    """Int8 decoders shard under TP too: the [H, V] int8 projection (q and
+    its [1, V] scales) and the [V, E] int8 embedding rows split over
+    ``model``; ids must match the single-device int8 decode exactly."""
+    from gan_image_captioning_tpu.ops.quantize import quantize_generator
+    from gan_image_captioning_tpu.serving import shard_serving_params
+
+    cfg = _cfg(vocab_size=36)   # padded: TP shards V over model
+    params = api.init_generator(jax.random.PRNGKey(9), cfg)
+    qparams = quantize_generator(params, cfg)
+    feats = start_token_features(params["decoder"], 8)
+    want = jax.jit(lambda p, f: decode_lib.greedy(p, f, cfg))(qparams, feats)
+
+    mesh = make_mesh("data:2,model:2", devices=jax.devices()[:4])
+    q_sh = shard_serving_params(qparams, mesh)
+    lw = q_sh["decoder"]["linear"]["w"]
+    assert lw.q.sharding.spec[1] == "model", lw.q.sharding.spec
+    assert lw.scale.sharding.spec[1] == "model", lw.scale.sharding.spec
+    assert q_sh["decoder"]["embed"].q.sharding.spec[0] == "model"
+    f_sh = jax.device_put(feats, NamedSharding(mesh, P("data")))
+    got = jax.jit(lambda p, f: decode_lib.greedy(p, f, cfg))(q_sh, f_sh)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_continuous_batcher_int8_under_tp_mesh():
+    from gan_image_captioning_tpu.ops.quantize import quantize_generator
+
+    cfg = _cfg(vocab_size=36)   # padded: TP shards V over model
+    params = api.init_generator(jax.random.PRNGKey(10), cfg)
+    qparams = quantize_generator(params, cfg)
+    feats = np.asarray(start_token_features(params["decoder"], 6))
+    want = np.asarray(decode_lib.greedy(qparams, jnp.asarray(feats), cfg))
+
+    mesh = make_mesh("data:2,model:2", devices=jax.devices()[:4])
+    eng = ContinuousBatcher(qparams, cfg, num_slots=8, chunk_steps=4,
+                            mesh=mesh)
+    try:
+        futs = [eng.submit(feats[i]) for i in range(6)]
+        for fut, want_row in zip(futs, want):
+            ids, _lp = fut.result(timeout=120)
+            np.testing.assert_array_equal(ids, want_row)
+    finally:
+        eng.close()
+
+
 def test_model_only_mesh_slots_replicate():
     """A model-only mesh must NOT shard the slot axis (TP shards vocab,
     slots replicate) — any num_slots is accepted."""
