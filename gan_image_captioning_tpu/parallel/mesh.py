@@ -55,3 +55,27 @@ def make_mesh(spec: str = "", devices: Optional[list] = None) -> Mesh:
     names, sizes = parse_mesh_spec(spec, len(devices))
     mesh_devices = np.asarray(devices).reshape(sizes)
     return Mesh(mesh_devices, names)
+
+
+def inference_mesh_setup(config):
+    """``--mesh`` for the inference CLIs (evaluate / caption / serve).
+
+    Builds the mesh and gates the Pallas decode path exactly as the
+    training instructor does (train/instructor.py): on a data-only mesh
+    the decode kernel runs per-shard via ``shard_map``
+    (``kernels/decode_sample.set_mesh``); any model/pp/sp axis forces the
+    GSPMD-sharded scan implementations instead (the weights-resident
+    kernel holds whole vocab/stack blocks).  Returns ``(mesh, config)``
+    with ``config.decode_impl`` rewritten when it had to fall back.
+    """
+    from gan_image_captioning_tpu.kernels import decode_sample as dsk
+
+    mesh = make_mesh(config.mesh)
+    tp_axes = any(n != "data" and s > 1 for n, s in mesh.shape.items())
+    if tp_axes:
+        dsk.set_mesh(None)
+        if config.decode_impl == "kernel":
+            config = config.replace(decode_impl="decoupled")
+    else:
+        dsk.set_mesh(mesh)
+    return mesh, config

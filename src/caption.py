@@ -102,6 +102,20 @@ def main(argv=None):
         from gan_image_captioning_tpu.ops.quantize import quantize_generator
         dec_params = quantize_generator(gen_params, config)
 
+    # --mesh — distributed decode: batches shard over 'data', params take
+    # the training-side TP layout over 'model' (src/evaluate.py pattern).
+    mesh = None
+    if config.mesh:
+        from gan_image_captioning_tpu.parallel.mesh import (
+            inference_mesh_setup)
+        from gan_image_captioning_tpu.serving import shard_serving_params
+
+        mesh, config = inference_mesh_setup(config)
+        shared = dec_params is gen_params
+        gen_params = shard_serving_params(gen_params, mesh)
+        dec_params = (gen_params if shared else
+                      shard_serving_params(dec_params, mesh))
+
     def decode_batch(params, dparams, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)
         if mode == "beam":
@@ -126,10 +140,19 @@ def main(argv=None):
 
     out_f = open(args.output, "w") if args.output else sys.stdout
     batch_size = min(args.num_samples, config.pre_eval_batch_size)
+    if mesh is not None:
+        n_data = dict(mesh.shape).get("data", 1)
+        if batch_size % n_data:
+            # round up so the fixed-shape batch splits over 'data'
+            batch_size += n_data - batch_size % n_data
     loader = Batcher(ds, batch_size, config.seq_len, shuffle=False,
                      num_workers=config.num_workers)
     emitted = 0
     for batch in loader:
+        if mesh is not None:
+            from gan_image_captioning_tpu.parallel.sharding import shard_batch
+
+            batch = shard_batch(batch, mesh)
         sample_rng, batch_rng = jax.random.split(sample_rng)
         ids, scores = decode_jit(gen_params, dec_params, batch, batch_rng)
         ids, scores = np.asarray(ids), np.asarray(scores)

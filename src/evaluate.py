@@ -107,6 +107,35 @@ def main(argv=None):
         from gan_image_captioning_tpu.ops.quantize import quantize_generator
         dec_params = quantize_generator(gen_params, config)
 
+    # --mesh — distributed evaluation: batches shard over 'data', params
+    # take the training-side TP layout over 'model' (vocab-dim); the same
+    # jitted eval program runs SPMD via GSPMD, like serving (src/serve.py).
+    mesh = None
+    if config.mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gan_image_captioning_tpu.parallel.mesh import (
+            inference_mesh_setup)
+        from gan_image_captioning_tpu.parallel.sharding import (
+            discriminator_param_spec)
+        from gan_image_captioning_tpu.serving import shard_serving_params
+
+        mesh, config = inference_mesh_setup(config)
+        n_data = dict(mesh.shape).get("data", 1)
+        if config.pre_eval_batch_size % n_data:
+            raise SystemExit(f"--pre-eval-batch-size "
+                             f"{config.pre_eval_batch_size} must divide by "
+                             f"the data axis ({n_data})")
+        shared = dec_params is gen_params
+        gen_params = shard_serving_params(gen_params, mesh)
+        dec_params = (gen_params if shared else
+                      shard_serving_params(dec_params, mesh))
+        if disc_params is not None:
+            disc_spec = discriminator_param_spec(disc_params, mesh)
+            disc_params = jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+                disc_params, disc_spec)
+
     def eval_batch(params, dparams, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)
         logits = api.generator_mle_outputs(params, cond, batch["captions"],
@@ -145,6 +174,10 @@ def main(argv=None):
     for i, batch in enumerate(loader):
         if args.max_batches and i >= args.max_batches:
             break
+        if mesh is not None:
+            from gan_image_captioning_tpu.parallel.sharding import shard_batch
+
+            batch = shard_batch(batch, mesh)
         pending.append(fn(gen_params, dec_params, batch,
                           jax.random.PRNGKey(i)))
         real_b.append(batch["captions"])

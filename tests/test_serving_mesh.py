@@ -225,6 +225,30 @@ def test_model_only_mesh_slots_replicate():
         eng.close()
 
 
+def test_evaluate_cli_under_tp_mesh(tmp_path, capsys):
+    """src/evaluate.py --mesh data:4,model:2: sharded evaluation returns
+    the same metrics as the single-device run."""
+    import json
+
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.evaluate import main
+
+    cfg = _cfg(vocab_size=36)
+    params = api.init_generator(jax.random.PRNGKey(11), cfg)
+    ckpt = str(tmp_path / "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+    argv = ["--checkpoint", ckpt, "--dataset", "synthetic",
+            "--max-seq-len", "6", "--vocab-multiple", "2",
+            "--gen-embed-dim", "8", "--gen-hidden-dim", "12",
+            "--conditional-gan", "0", "--pre-eval-batch-size", "8",
+            "--num-workers", "1", "--max-batches", "2"]
+    main(argv)
+    want = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(argv + ["--mesh", "data:4,model:2"])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got == want
+
+
 def test_transformer_slots_under_mesh():
     cfg = _cfg(gen_arch="transformer", gen_num_heads=2, gen_num_layers=2,
                gen_embed_dim=16, gen_hidden_dim=32)
