@@ -36,10 +36,17 @@ def parse_args(argv=None):
     parser.add_argument("--output", type=str, default="",
                         help="write captions as JSONL here (default: stdout)")
     parser.add_argument("--decode-mode", type=str, default="auto",
-                        choices=["auto", "greedy", "beam", "sample"],
+                        choices=["auto", "greedy", "beam", "sample",
+                                 "speculative"],
                         help="'auto' = beam when --beam-size > 1 else greedy; "
                              "'sample' draws from the temperature/top-k/top-p "
-                             "filtered distribution")
+                             "filtered distribution; 'speculative' = "
+                             "greedy-exact ids via an int8 draft + "
+                             "deferred-projection verify (LSTM only, "
+                             "eval/speculative.py)")
+    parser.add_argument("--draft-len", type=int, default=4,
+                        help="speculative mode: tokens proposed per draft "
+                             "block (K)")
     parser.add_argument("--top-k", type=int, default=0,
                         help="sample mode: keep only the k highest-probability "
                              "tokens per step (0 = no top-k filter)")
@@ -102,6 +109,18 @@ def main(argv=None):
         from gan_image_captioning_tpu.ops.quantize import quantize_generator
         dec_params = quantize_generator(gen_params, config)
 
+    # --decode-mode speculative: full-precision target + int8 draft twin
+    # (greedy-exact ids, eval/speculative.py); the draft plays the
+    # dec_params role so --quantize int8 reuses its quantized decoder.
+    if mode == "speculative":
+        if config.gen_arch != "lstm":
+            raise SystemExit("--decode-mode speculative requires the LSTM "
+                             "generator (deferred-projection verify)")
+        if dec_params is gen_params:
+            from gan_image_captioning_tpu.ops.quantize import (
+                quantize_generator)
+            dec_params = quantize_generator(gen_params, config)
+
     # --mesh — distributed decode: batches shard over 'data', params take
     # the training-side TP layout over 'model' (src/evaluate.py pattern).
     mesh = None
@@ -129,6 +148,14 @@ def main(argv=None):
                 context=cond["context"],
                 temperature=args.sample_temperature,
                 top_k=args.top_k, top_p=args.top_p)
+        elif mode == "speculative":
+            from gan_image_captioning_tpu.eval.speculative import (
+                speculative_greedy)
+
+            ids = speculative_greedy(params, dparams, cond["features"],
+                                     config, draft_len=args.draft_len)
+            scores = decode_lib.sequence_logprob(
+                params, cond["features"], ids, config, cond["context"])
         else:
             ids = decode_lib.greedy(dparams, cond["features"], config,
                                     context=cond["context"])
