@@ -102,6 +102,37 @@ def load_params(path: str, target: Any):
     return ckptr.restore(os.path.abspath(path), target=target)
 
 
+def load_generator_checkpoint(path: str, config):
+    """Load either checkpoint form the training loop writes: a plain
+    generator pytree (``pretrained_model.ckpt``) or the adversarial
+    ``{"generator": …, "discriminator": …}`` dict (``adv_model.ckpt``).
+
+    Returns ``(gen_params, disc_params_or_None)``.  The shared loader for
+    every inference CLI (serve/evaluate/caption/human_eval) — one place
+    to handle checkpoint formats.  A path that matches NEITHER form
+    re-raises the plain-form error (the more informative one: a missing
+    or corrupt path fails identically under both templates).
+    """
+    import jax
+
+    from gan_image_captioning_tpu.models import api
+
+    wait_for_checkpoints()  # in-process async saves may still be landing
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"checkpoint not found: {path}")
+    template = api.init_generator(jax.random.PRNGKey(0), config)
+    try:
+        return load_params(path, template), None
+    except Exception as plain_err:
+        disc_template = api.init_discriminator(jax.random.PRNGKey(1), config)
+        try:
+            both = load_params(path, {"generator": template,
+                                      "discriminator": disc_template})
+        except Exception:
+            raise plain_err
+        return both["generator"], both["discriminator"]
+
+
 def save_state(path: str, state, sync: bool = False):
     """Save the full TrainState."""
     save_params(path, state, sync=sync)

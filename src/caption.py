@@ -85,16 +85,8 @@ def main(argv=None):
     from gan_image_captioning_tpu.models import api
     from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
 
-    template = api.init_generator(jax.random.PRNGKey(0), config)
-    try:
-        gen_params = ckpt_lib.load_params(args.checkpoint, template)
-    except Exception:
-        # adv_model.ckpt stores {"generator": …, "discriminator": …}
-        disc_template = api.init_discriminator(jax.random.PRNGKey(1), config)
-        both = ckpt_lib.load_params(args.checkpoint,
-                                    {"generator": template,
-                                     "discriminator": disc_template})
-        gen_params = both["generator"]
+    gen_params, _ = ckpt_lib.load_generator_checkpoint(args.checkpoint,
+                                                       config)
 
     beam = max(1, config.beam_size)
     mode = args.decode_mode
@@ -176,12 +168,16 @@ def main(argv=None):
                      num_workers=config.num_workers)
     emitted = 0
     for batch in loader:
+        dev_batch = batch
         if mesh is not None:
             from gan_image_captioning_tpu.parallel.sharding import shard_batch
 
-            batch = shard_batch(batch, mesh)
+            # the emit loop below reads weights/captions row-by-row — keep
+            # the host batch for that, ship only dev_batch to the program
+            dev_batch = shard_batch(batch, mesh)
         sample_rng, batch_rng = jax.random.split(sample_rng)
-        ids, scores = decode_jit(gen_params, dec_params, batch, batch_rng)
+        ids, scores = decode_jit(gen_params, dec_params, dev_batch,
+                                 batch_rng)
         ids, scores = np.asarray(ids), np.asarray(scores)
         for i in range(ids.shape[0]):
             if batch["weights"][i] == 0 or emitted >= args.num_samples:

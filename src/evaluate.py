@@ -82,17 +82,8 @@ def main(argv=None):
     from gan_image_captioning_tpu.ops.losses import cross_entropy_loss
     from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
 
-    template = api.init_generator(jax.random.PRNGKey(0), config)
-    disc_template = api.init_discriminator(jax.random.PRNGKey(1), config)
-    disc_params = None
-    try:
-        gen_params = ckpt_lib.load_params(args.checkpoint, template)
-    except Exception:
-        both = ckpt_lib.load_params(args.checkpoint,
-                                    {"generator": template,
-                                     "discriminator": disc_template})
-        gen_params = both["generator"]
-        disc_params = both["discriminator"]
+    gen_params, disc_params = ckpt_lib.load_generator_checkpoint(
+        args.checkpoint, config)
     if args.disc_score and disc_params is None:
         print("warning: --disc-score needs an adv_model.ckpt "
               "(generator+discriminator); skipping", file=sys.stderr)
@@ -174,12 +165,15 @@ def main(argv=None):
     for i, batch in enumerate(loader):
         if args.max_batches and i >= args.max_batches:
             break
+        dev_batch = batch
         if mesh is not None:
             from gan_image_captioning_tpu.parallel.sharding import shard_batch
 
-            batch = shard_batch(batch, mesh)
-        pending.append(fn(gen_params, dec_params, batch,
+            dev_batch = shard_batch(batch, mesh)
+        pending.append(fn(gen_params, dec_params, dev_batch,
                           jax.random.PRNGKey(i)))
+        # bookkeeping reads the HOST batch — per-batch syncs on sharded
+        # arrays would serialize the async dispatch pipeline below
         real_b.append(batch["captions"])
         w_b.append(batch.get("weights"))
         n += int(batch["weights"].sum())

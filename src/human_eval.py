@@ -77,6 +77,7 @@ def score_sheet(sheet_path: str, key_path: str):
     rows = key["rows"]
     ratings = {}
     n_blank = 0
+    bad_rows = []
     with open(sheet_path) as f:
         for rec in csv.DictReader(f):
             row_id = rec["row_id"]
@@ -84,10 +85,17 @@ def score_sheet(sheet_path: str, key_path: str):
             if not val:
                 n_blank += 1
                 continue
+            try:
+                score = float(val.replace(",", "."))  # hand-edited CSVs:
+            except ValueError:                        # tolerate 3,5 = 3.5
+                bad_rows.append(row_id)               # skip n/a etc., but
+                continue                              # report which rows
             system = rows[row_id]["system"]
-            ratings.setdefault(system, []).append(float(val))
+            ratings.setdefault(system, []).append(score)
     result = {"num_rated": sum(len(v) for v in ratings.values()),
               "num_blank": n_blank}
+    if bad_rows:
+        result["unparsable_rows"] = bad_rows
     for system, vals in sorted(ratings.items()):
         result[f"rating_{system}"] = round(float(np.mean(vals)), 3)
     for system, vals in sorted(key.get("disc_scores", {}).items()):
@@ -121,22 +129,13 @@ def main(argv=None):
     from gan_image_captioning_tpu.models import api
     from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
 
-    template = api.init_generator(jax.random.PRNGKey(0), config)
-    disc_template = api.init_discriminator(jax.random.PRNGKey(1), config)
-
-    def load(path):
-        try:
-            return ckpt_lib.load_params(path, template), None
-        except Exception:
-            both = ckpt_lib.load_params(path, {"generator": template,
-                                               "discriminator": disc_template})
-            return both["generator"], both["discriminator"]
-
     systems = {}   # name -> generator params
-    gen_params, disc_params = load(args.checkpoint)
+    gen_params, disc_params = ckpt_lib.load_generator_checkpoint(
+        args.checkpoint, config)
     systems["generated"] = gen_params
     if args.mle_checkpoint:
-        systems["mle"], _ = load(args.mle_checkpoint)
+        systems["mle"], _ = ckpt_lib.load_generator_checkpoint(
+            args.mle_checkpoint, config)
 
     beam = max(1, config.beam_size)
 

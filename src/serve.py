@@ -89,14 +89,8 @@ class CaptionService:
             start_token_features)
         from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
 
-        template = api.init_generator(jax.random.PRNGKey(0), self.config)
-        try:
-            self.gen_params = ckpt_lib.load_params(args.checkpoint, template)
-        except Exception:
-            disc_t = api.init_discriminator(jax.random.PRNGKey(1), self.config)
-            both = ckpt_lib.load_params(
-                args.checkpoint, {"generator": template, "discriminator": disc_t})
-            self.gen_params = both["generator"]
+        self.gen_params, _ = ckpt_lib.load_generator_checkpoint(
+            args.checkpoint, self.config)
 
         config = self.config
         # --quantize int8: decode programs read the int8 decoder; the
@@ -120,12 +114,21 @@ class CaptionService:
         if config.mesh:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from gan_image_captioning_tpu.parallel.mesh import make_mesh
+            from gan_image_captioning_tpu.parallel.mesh import (
+                inference_mesh_setup)
             from gan_image_captioning_tpu.serving import shard_serving_params
 
-            self.mesh = make_mesh(config.mesh)
+            # inference_mesh_setup gates the Pallas decode path exactly as
+            # the instructor/evaluate/caption do: a data-only mesh keeps
+            # the kernels per-shard via shard_map (decode_sample.set_mesh);
+            # any model/pp/sp axis forces the GSPMD-partitioned scan
+            # (rewriting --decode-impl kernel → decoupled, since the
+            # weights-resident kernel holds whole vocab/stack blocks).
+            self.mesh, config = inference_mesh_setup(config)
+            self.config = config
             n_data = dict(self.mesh.shape).get("data", 1)
-            self._tp_serving = dict(self.mesh.shape).get("model", 1) > 1
+            self._tp_serving = any(
+                n != "data" and s > 1 for n, s in self.mesh.shape.items())
             if n_data > 1 and args.serve_batch_size % n_data:
                 raise SystemExit(f"--serve-batch-size "
                                  f"{args.serve_batch_size} must divide by "
@@ -138,15 +141,6 @@ class CaptionService:
                                                     self.mesh))
             self._feat_sharding = NamedSharding(
                 self.mesh, P("data" if n_data > 1 else None))
-            if not self._tp_serving:
-                # the serve-mode decode kernel shards itself over the data
-                # axis once the mesh is installed (kernels/decode_sample.py
-                # shard_map path — same machinery as --decode-impl kernel
-                # under --mesh in training).  TP meshes skip it: the kernel
-                # is weights-resident and wants full weight blocks.
-                from gan_image_captioning_tpu.kernels import decode_sample
-
-                decode_sample.set_mesh(self.mesh)
         beam = max(1, config.beam_size)
         mode = getattr(args, "decode_mode", "auto")
         if mode == "auto":

@@ -110,3 +110,18 @@ def test_score_aggregation_table6_means(ckpts, tmp_path, capsys):
         assert result[f"rating_{system}"] == pytest.approx(val), system
     assert 0.0 <= result["disc_score_generated"] <= 1.0
     assert blank_sys in want
+
+    # hand-edited sheets: 'n/a' cells are skipped AND reported by row_id;
+    # European decimals parse
+    rows[1]["rating"] = "n/a"
+    rows[2]["rating"] = "3,5"
+    with open(filled, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["row_id", "image_id", "caption",
+                                          "rating"])
+        w.writeheader()
+        w.writerows(rows)
+    main(["--score-sheet", filled, "--key", key, "--checkpoint", "x",
+          "--dataset", "synthetic"])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["unparsable_rows"] == [rows[1]["row_id"]]
+    assert result["num_rated"] == len(rows) - 2  # blank + n/a dropped
