@@ -51,11 +51,18 @@ def parse_args(argv=None):
                         help="decode steps per device program in "
                         "--serve-continuous mode")
     parser.add_argument("--decode-mode", type=str, default="auto",
-                        choices=["auto", "greedy", "beam", "sample"],
+                        choices=["auto", "greedy", "beam", "sample",
+                                 "speculative"],
                         help="'auto' = beam when --beam-size > 1 else greedy; "
                              "'sample' serves stochastic captions from the "
                              "temperature/top-k/top-p filtered distribution "
-                             "(coalescing engine; not --serve-continuous)")
+                             "(coalescing engine; not --serve-continuous); "
+                             "'speculative' serves greedy-exact captions via "
+                             "the int8-draft block decoder "
+                             "(eval/speculative.py, LSTM only)")
+    parser.add_argument("--draft-len", type=int, default=4,
+                        help="speculative mode: tokens proposed per draft "
+                             "block (K)")
     parser.add_argument("--top-k", type=int, default=0,
                         help="sample mode: per-step top-k filter (0 = off)")
     parser.add_argument("--top-p", type=float, default=1.0,
@@ -100,6 +107,17 @@ class CaptionService:
             from gan_image_captioning_tpu.ops.quantize import (
                 quantize_generator)
             self.dec_params = quantize_generator(self.gen_params, config)
+        if getattr(args, "decode_mode", "auto") == "speculative":
+            # the int8 twin plays the dec_params role as the DRAFT; the
+            # full-precision gen_params stay the verify target (built
+            # before any mesh sharding so the QTensor TP specs apply)
+            if config.gen_arch != "lstm":
+                raise SystemExit("--decode-mode speculative requires the "
+                                 "LSTM generator")
+            if self.dec_params is self.gen_params:
+                from gan_image_captioning_tpu.ops.quantize import (
+                    quantize_generator)
+                self.dec_params = quantize_generator(self.gen_params, config)
 
         # --mesh — distributed serving.  Data axis: every decode program
         # shards its batch/slot dim over ``data`` (GSPMD inserts nothing
@@ -160,6 +178,19 @@ class CaptionService:
             self._sample_base = jax.random.PRNGKey(
                 int(getattr(args, "sample_seed", 0)))
             self._sample_calls = 0
+        elif mode == "speculative":
+            from gan_image_captioning_tpu.eval.speculative import (
+                speculative_greedy)
+
+            spec_k = int(getattr(args, "draft_len", 4))
+
+            def decode(target, draft, feats):
+                # greedy-exact ids from the draft/verify block decoder +
+                # one rescore pass for the per-sequence logprobs
+                ids = speculative_greedy(target, draft, feats, config,
+                                         draft_len=spec_k)
+                return ids, decode_lib.sequence_logprob(target, feats, ids,
+                                                        config)
         else:
             def decode(params, feats):
                 if beam > 1:
@@ -185,7 +216,7 @@ class CaptionService:
         feat_dim = config.gen_embed_dim
         self.continuous = None
         if (getattr(args, "serve_continuous", False) and beam == 1
-                and mode != "sample"):
+                and mode not in ("sample", "speculative")):
             self.continuous = ContinuousBatcher(
                 self.dec_params, config, num_slots=self.batch_size,
                 chunk_steps=getattr(args, "serve_chunk_steps", 8),
@@ -203,6 +234,10 @@ class CaptionService:
                                          self._sample_calls)
                 self._sample_calls += 1
                 return self._decode(self.dec_params, place(f), key)
+        elif mode == "speculative":
+            def run_decode(f):
+                return self._decode(self.gen_params, self.dec_params,
+                                    place(f))
         else:
             def run_decode(f):
                 return self._decode(self.dec_params, place(f))

@@ -49,3 +49,34 @@ def test_chunked_request_exceeds_batch(service):
 def test_image_request_on_unconditional_checkpoint(service):
     resp = service.handle_request({"image": "/nonexistent.jpg"})
     assert "error" in resp
+
+
+def test_speculative_mode_matches_greedy(tmp_path):
+    """--decode-mode speculative serves the SAME captions/logprobs as
+    greedy serving (lossless speculation through the coalescing engine)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, parse_args
+
+    cfg = Config(vocab_size=35, gen_embed_dim=12, gen_hidden_dim=16,
+                 max_seq_len=9)
+    params = api.init_generator(jax.random.PRNGKey(3), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+    base = ["--checkpoint", ckpt, "--dataset", "synthetic",
+            "--max-seq-len", "9", "--gen-embed-dim", "12",
+            "--gen-hidden-dim", "16", "--serve-batch-size", "4"]
+    greedy_svc = CaptionService(parse_args(base + ["--decode-mode",
+                                                   "greedy"]))
+    want = greedy_svc.handle_request({"n": 4})
+    spec_svc = CaptionService(parse_args(base + ["--decode-mode",
+                                                 "speculative",
+                                                 "--draft-len", "3"]))
+    got = spec_svc.handle_request({"n": 4})
+    assert got["captions"] == want["captions"]
+    np.testing.assert_allclose(got["logprobs"], want["logprobs"], atol=1e-3)
