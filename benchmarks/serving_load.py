@@ -103,11 +103,25 @@ def main():
 
     results = []
 
-    # ---- coalescing (full-T batch programs; greedy or beam) -------------
+    # ---- coalescing (full-T batch programs; greedy, beam, or
+    # GIC_LOAD_SPEC=K speculative int8-draft blocks) -----------------------
+    spec_k = int(os.environ.get("GIC_LOAD_SPEC", "0"))
     if BEAM > 1:
         def decode_fn(feats):
             return decode_lib.beam_search(gen_params, feats, config,
                                           beam_size=BEAM)
+    elif spec_k > 0:
+        from gan_image_captioning_tpu.eval.speculative import (
+            speculative_greedy)
+        from gan_image_captioning_tpu.ops.quantize import quantize_generator
+
+        draft = quantize_generator(gen_params, config)
+
+        def decode_fn(feats):
+            ids = speculative_greedy(gen_params, draft, feats, config,
+                                     draft_len=spec_k)
+            return ids, decode_lib.sequence_logprob(gen_params, feats, ids,
+                                                    config)
     else:
         def decode_fn(feats):
             return decode_lib.greedy_with_logprobs(gen_params, feats, config)
@@ -115,7 +129,9 @@ def main():
     co = CoalescingBatcher(decode_jit, BATCH, config.gen_embed_dim)
     co.submit(feat[None, :]).result(timeout=600)         # warm compile
     lat = []
-    r = run_load("coalescing" + (f"_beam{BEAM}" if BEAM > 1 else ""),
+    tag = ("coalescing" + (f"_beam{BEAM}" if BEAM > 1 else "")
+           + (f"_spec{spec_k}" if BEAM == 1 and spec_k > 0 else ""))
+    r = run_load(tag,
                  timed_submit(lambda i: co.submit(feat[None, :]), lat),
                  N_REQ, RATE, lambda: co.device_calls)
     co.close()

@@ -69,6 +69,11 @@ def set_mesh(mesh) -> None:
     _MESH = mesh
 
 
+def get_mesh():
+    """The currently installed kernel mesh (``None`` = single-device)."""
+    return _MESH
+
+
 def _data_mesh():
     m = _MESH
     if m is not None and "data" in m.shape and m.shape["data"] > 1:

@@ -225,6 +225,27 @@ def test_model_only_mesh_slots_replicate():
         eng.close()
 
 
+def test_inference_mesh_setup_gates_kernel():
+    """The single decode-path gate for inference CLIs: TP axes rewrite
+    --decode-impl kernel → decoupled and clear the kernel mesh; data-only
+    meshes keep the kernel and install shard_map sharding."""
+    from gan_image_captioning_tpu.kernels import decode_sample as dsk
+    from gan_image_captioning_tpu.parallel.mesh import inference_mesh_setup
+
+    cfg = _cfg(decode_impl="kernel", mesh="data:4,model:2")
+    try:
+        mesh, cfg2 = inference_mesh_setup(cfg)
+        assert cfg2.decode_impl == "decoupled"
+        assert dsk.get_mesh() is None
+
+        cfg = _cfg(decode_impl="kernel", mesh="data:8")
+        mesh, cfg2 = inference_mesh_setup(cfg)
+        assert cfg2.decode_impl == "kernel"
+        assert dsk.get_mesh() is mesh
+    finally:
+        dsk.set_mesh(None)
+
+
 def test_evaluate_cli_under_tp_mesh(tmp_path, capsys):
     """src/evaluate.py --mesh data:4,model:2: sharded evaluation returns
     the same metrics as the single-device run."""
