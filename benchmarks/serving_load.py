@@ -34,6 +34,13 @@ RATE = float(os.environ.get("GIC_LOAD_RATE", "1500"))   # offered captions/s
 N_REQ = int(os.environ.get("GIC_LOAD_N", "1500"))
 BATCH = int(os.environ.get("GIC_BENCH_BATCH", "64"))
 BEAM = int(os.environ.get("GIC_LOAD_BEAM", "1"))
+# GIC_LOAD_CKPT: serve a TRAINED generator checkpoint instead of random
+# init — trained captions emit <E> early, which is what the continuous
+# engine's early slot release monetizes (GIC_LOAD_EXACT=1 disables the
+# release for the A/B).  Geometry must match the checkpoint: set
+# GIC_LOAD_VOCAB/EMBED/HIDDEN/LAYERS/T accordingly.
+CKPT = os.environ.get("GIC_LOAD_CKPT", "")
+EXACT = os.environ.get("GIC_LOAD_EXACT", "0") == "1"
 
 
 def _flagship_config():
@@ -41,10 +48,15 @@ def _flagship_config():
 
     small = jax.default_backend() != "tpu"
     return Config(
-        vocab_size=1024 if small else 11008,
-        gen_embed_dim=64 if small else 512,
-        gen_hidden_dim=64 if small else 512,
-        gen_num_layers=2, max_seq_len=10 if small else 34,
+        vocab_size=int(os.environ.get("GIC_LOAD_VOCAB",
+                                      "1024" if small else "11008")),
+        gen_embed_dim=int(os.environ.get("GIC_LOAD_EMBED",
+                                         "64" if small else "512")),
+        gen_hidden_dim=int(os.environ.get("GIC_LOAD_HIDDEN",
+                                          "64" if small else "512")),
+        gen_num_layers=int(os.environ.get("GIC_LOAD_LAYERS", "2")),
+        max_seq_len=int(os.environ.get("GIC_LOAD_T",
+                                       "10" if small else "34")),
         beam_size=BEAM)
 
 
@@ -87,9 +99,15 @@ def main():
 
     setup()
     config = _flagship_config()
-    dec = gen_lib.init_decoder_params(jax.random.PRNGKey(0), config,
-                                      jnp.float32)
-    gen_params = {"decoder": dec}
+    if CKPT:
+        from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+
+        gen_params, _ = ckpt_lib.load_generator_checkpoint(CKPT, config)
+        dec = gen_params["decoder"]
+    else:
+        dec = gen_lib.init_decoder_params(jax.random.PRNGKey(0), config,
+                                          jnp.float32)
+        gen_params = {"decoder": dec}
     feat = np.asarray(gen_lib.start_token_features(dec, 1))[0]
 
     def timed_submit(engine_submit, lat_list):
@@ -145,12 +163,14 @@ def main():
     if BEAM == 1:
         cb = ContinuousBatcher(gen_params, config, num_slots=BATCH,
                                chunk_steps=int(os.environ.get(
-                                   "GIC_LOAD_CHUNK", "8")))
+                                   "GIC_LOAD_CHUNK", "8")),
+                               early_exit=not EXACT)
         cb.submit(feat).result(timeout=600)              # warm compile
         lat = []
-        r = run_load("continuous",
+        r = run_load("continuous" + ("_exact" if EXACT else ""),
                      timed_submit(lambda i: cb.submit(feat), lat),
                      N_REQ, RATE, lambda: cb.device_calls)
+        r["occupancy"] = cb.stats()["occupancy"]
         cb.close()
         lat_ms = np.sort(np.asarray(lat)) * 1e3
         r["p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)

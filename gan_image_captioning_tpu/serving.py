@@ -80,20 +80,60 @@ def _masked_logprob_sum(ids: np.ndarray, lps: np.ndarray) -> np.ndarray:
 
 class CoalescingBatcher:
     """Single dispatcher thread draining a cross-connection request queue
-    into shared fixed-shape decode programs."""
+    into shared fixed-shape decode programs.
+
+    ``bucket_sizes`` (optional, ascending) compiles the decode at several
+    batch shapes and dispatches each drain at the smallest bucket that
+    fits — at low load a 1-row request runs the B=1 program instead of
+    paying the full-``batch_size`` pad (XLA compiles one program per
+    distinct shape, lazily, so the set should stay small: powers of two).
+    Default is the single full-``batch_size`` program (round-2 behavior).
+    """
 
     def __init__(self, decode_fn, batch_size: int, feat_dim: int,
-                 feat_dtype=np.float32):
+                 feat_dtype=np.float32, bucket_sizes=None):
         self._decode = decode_fn            # feats [B, E] → (ids, logprobs)
         self.batch_size = batch_size
         self.feat_dim = feat_dim
         self.feat_dtype = feat_dtype
+        if bucket_sizes:
+            bs = sorted(set(int(b) for b in bucket_sizes) | {batch_size})
+            if bs[-1] != batch_size:
+                raise ValueError(
+                    f"bucket_sizes {bucket_sizes} exceed batch_size "
+                    f"{batch_size}")
+            self.bucket_sizes = bs
+        else:
+            self.bucket_sizes = [batch_size]
         self._q: "queue.Queue" = queue.Queue()
         self.device_calls = 0
         self.requests = 0
+        self.rows_dispatched = 0            # incl. padding rows
+        self.rows_requested = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._stop = False
         self._thread.start()
+
+    def stats(self) -> dict:
+        """Dispatcher-side observability counters (host-only, no device
+        sync): padding_frac is the share of dispatched rows that were
+        pad replicas — high values at steady load mean the buckets (or
+        the coalescing window) are mis-sized."""
+        rd = self.rows_dispatched
+        return {
+            "requests": self.requests,
+            "device_calls": self.device_calls,
+            "rows_requested": self.rows_requested,
+            "rows_dispatched": rd,
+            "padding_frac": round(1.0 - self.rows_requested / rd, 4)
+            if rd else 0.0,
+        }
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.bucket_sizes:
+            if b >= n:
+                return b
+        return self.bucket_sizes[-1]
 
     def submit(self, feats_rows: np.ndarray) -> Future:
         """Enqueue one request's feature rows [n, E]; resolves to
@@ -132,19 +172,27 @@ class CoalescingBatcher:
             try:
                 feats = np.concatenate([f for f, _ in pending], axis=0)
                 n = feats.shape[0]
-                pad = (-n) % self.batch_size
-                if pad:
-                    feats = np.concatenate(
-                        [feats, np.repeat(feats[:1], pad, axis=0)])
+                self.rows_requested += n
                 # dispatch every chunk async, then ONE batched fetch —
                 # per-chunk np.asarray pays a transfer RTT each and
                 # serializes dispatch with fetch (cf. the instructor's
-                # sweep-end jax.device_get, docs/benchmarks.md round 3)
+                # sweep-end jax.device_get, docs/benchmarks.md round 3).
+                # Each chunk runs at the smallest bucket that fits what's
+                # left, so the tail of a drain (and a lone low-load
+                # request) doesn't pay the full-batch_size program.
                 dev_parts = []
-                for i in range(0, feats.shape[0], self.batch_size):
-                    dev_parts.append(self._decode(
-                        jnp.asarray(feats[i:i + self.batch_size])))
+                off = 0
+                while off < n:
+                    b = self._bucket_for(n - off)
+                    chunk = feats[off:off + b]
+                    pad = b - chunk.shape[0]
+                    if pad:
+                        chunk = np.concatenate(
+                            [chunk, np.repeat(chunk[:1], pad, axis=0)])
+                    dev_parts.append(self._decode(jnp.asarray(chunk)))
                     self.device_calls += 1
+                    self.rows_dispatched += b
+                    off += b
                 fetched = jax.device_get(dev_parts)
                 ids = np.concatenate([p[0] for p in fetched])[:n]
                 lps = np.concatenate([p[1] for p in fetched])[:n]
@@ -175,12 +223,22 @@ class ContinuousBatcher:
     """
 
     def __init__(self, gen_params: dict, config: Config, num_slots: int = 8,
-                 chunk_steps: int = 8, mesh=None):
+                 chunk_steps: int = 8, mesh=None, early_exit: bool = True):
         self.config = config
         self.T = config.seq_len
         self.B = num_slots
         self.K = min(chunk_steps, self.T)
         self.mesh = mesh
+        # Early slot release: a slot whose chunk emitted <E> frees at the
+        # NEXT chunk boundary instead of running out the full T steps —
+        # captions average well under max_seq_len, so slots recycle ~T/len
+        # times faster under load.  The returned ids keep everything up to
+        # and including the first <E> and pad the tail with <PAD>=0 (the
+        # post-<E> greedy continuation is semantically void and already
+        # excluded from the logprob mask).  early_exit=False restores
+        # bit-identity with the full batch greedy decode over all T
+        # positions.
+        self.early_exit = early_exit
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -291,10 +349,27 @@ class ContinuousBatcher:
 
         self._q: "queue.Queue" = queue.Queue()
         self.device_calls = 0
+        self.completed = 0
+        self.slot_chunks = 0      # sum over chunks of active-slot count
         self._stop = False
         self._wake = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def stats(self) -> dict:
+        """Host-side pool counters: occupancy is the mean fraction of
+        slots doing useful work per device program — low values mean the
+        pool is oversized (or arrivals too sparse) and each chunk's cost
+        is amortized over few captions."""
+        dc = self.device_calls
+        return {
+            "device_calls": dc,
+            "completed": self.completed,
+            "queue_depth": self._q.qsize(),
+            "active_slots": int((self._slot_t >= 0).sum()),
+            "occupancy": round(self.slot_chunks / (dc * self.B), 4)
+            if dc else 0.0,
+        }
 
     def submit(self, feats_row: np.ndarray) -> Future:
         """One caption request (a single feature row [E]); resolves to
@@ -355,6 +430,7 @@ class ContinuousBatcher:
                 self._fail_active_slots(exc)
                 continue
             self.device_calls += 1
+            self.slot_chunks += int((self._slot_t >= 0).sum())
             # one batched fetch (two per-array fetches = two RTTs)
             ids_k, lps_k = jax.device_get((ids_k, lps_k))
             for i in range(self.B):
@@ -364,13 +440,23 @@ class ContinuousBatcher:
                 k = min(self.K, self.T - t)
                 self._ids[i, t:t + k] = ids_k[i, :k]
                 self._lps[i, t:t + k] = lps_k[i, :k]
+                done = t + k >= self.T
+                if self.early_exit and not done:
+                    ends = np.flatnonzero(ids_k[i, :k] == END)
+                    if ends.size:
+                        # keep through the first <E>; void the tail
+                        cut = t + int(ends[0]) + 1
+                        self._ids[i, cut:] = 0
+                        self._lps[i, cut:] = 0.0
+                        done = True
                 t += k
-                if t >= self.T:
+                if done:
                     lp = _masked_logprob_sum(self._ids[i:i + 1],
                                              self._lps[i:i + 1])[0]
                     self._slot_fut[i].set_result(
                         (self._ids[i].copy(), float(lp)))
                     self._slot_t[i] = -1
                     self._slot_fut[i] = None
+                    self.completed += 1
                 else:
                     self._slot_t[i] = t

@@ -17,6 +17,7 @@ answered as JSON lines.  The decode program is compiled once at startup
 Request forms:
   {"n": k}              → k unconditional captions
   {"image": "<path>"}   → caption for one image (conditional checkpoints)
+  {"stats": true}       → dispatcher counters (occupancy, padding, queue)
 Response: {"captions": [...], "logprobs": [...], "latency_ms": t}
 """
 
@@ -50,6 +51,18 @@ def parse_args(argv=None):
     parser.add_argument("--serve-chunk-steps", type=int, default=8,
                         help="decode steps per device program in "
                         "--serve-continuous mode")
+    parser.add_argument("--serve-buckets", type=str, default="",
+                        help="coalescing batch-shape buckets: 'auto' = "
+                        "powers of two up to --serve-batch-size, or an "
+                        "explicit comma list (e.g. '1,4,16'); low-load "
+                        "requests run the smallest program that fits "
+                        "instead of padding to the full batch")
+    parser.add_argument("--serve-exact", action="store_true",
+                        help="--serve-continuous: disable early slot "
+                        "release so returned ids are bit-identical to the "
+                        "full-T batch greedy decode (by default a slot "
+                        "frees at the first chunk containing <E> and the "
+                        "void tail is <PAD>)")
     parser.add_argument("--decode-mode", type=str, default="auto",
                         choices=["auto", "greedy", "beam", "sample",
                                  "speculative"],
@@ -220,7 +233,8 @@ class CaptionService:
             self.continuous = ContinuousBatcher(
                 self.dec_params, config, num_slots=self.batch_size,
                 chunk_steps=getattr(args, "serve_chunk_steps", 8),
-                mesh=self.mesh)
+                mesh=self.mesh,
+                early_exit=not getattr(args, "serve_exact", False))
 
         def place(f):
             return (f if self._feat_sharding is None
@@ -242,8 +256,23 @@ class CaptionService:
             def run_decode(f):
                 return self._decode(self.dec_params, place(f))
 
+        # --serve-buckets: shape buckets for the coalescing dispatcher.
+        # Under a data mesh every dispatched shape must divide by the data
+        # axis, so buckets are filtered to its multiples.
+        buckets = None
+        spec = getattr(args, "serve_buckets", "") or ""
+        if spec == "auto":
+            buckets, b = [], 1
+            while b < self.batch_size:
+                buckets.append(b)
+                b *= 2
+        elif spec:
+            buckets = [int(x) for x in spec.split(",")]
+        if buckets and self.mesh is not None:
+            n_data = dict(self.mesh.shape).get("data", 1)
+            buckets = [b for b in buckets if b % n_data == 0]
         self.batcher = CoalescingBatcher(run_decode, self.batch_size,
-                                         feat_dim)
+                                         feat_dim, bucket_sizes=buckets)
         # warm through the REAL request path so the first client request
         # hits the compiled program (requests pad to serve_batch_size)
         self.handle_request({"n": 1})
@@ -272,6 +301,11 @@ class CaptionService:
                                                            strip_caption)
 
         t0 = time.perf_counter()
+        if req.get("stats"):
+            out = {"coalescing": self.batcher.stats()}
+            if self.continuous is not None:
+                out["continuous"] = self.continuous.stats()
+            return out
         if "image" in req:
             if not self.config.cgan:
                 return {"error": "checkpoint is unconditional; use {'n': k}"}

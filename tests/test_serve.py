@@ -80,3 +80,38 @@ def test_speculative_mode_matches_greedy(tmp_path):
     got = spec_svc.handle_request({"n": 4})
     assert got["captions"] == want["captions"]
     np.testing.assert_allclose(got["logprobs"], want["logprobs"], atol=1e-3)
+
+
+def test_stats_request_and_buckets(tmp_path):
+    """{"stats": true} reports dispatcher counters; --serve-buckets auto
+    serves a lone request at the 1-row program instead of the full batch."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, parse_args
+
+    cfg = Config(vocab_size=35, gen_embed_dim=12, gen_hidden_dim=16,
+                 max_seq_len=9)
+    params = api.init_generator(jax.random.PRNGKey(5), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+    svc = CaptionService(parse_args([
+        "--checkpoint", ckpt, "--dataset", "synthetic", "--max-seq-len", "9",
+        "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+        "--serve-batch-size", "4", "--serve-buckets", "auto",
+        "--serve-continuous"]))
+    assert svc.batcher.bucket_sizes == [1, 2, 4]
+
+    resp = svc.handle_request({"n": 1})      # continuous path (1 slot)
+    assert len(resp["captions"]) == 1
+    st = svc.handle_request({"stats": True})
+    assert "coalescing" in st and "continuous" in st
+    # with --serve-continuous every caption request (warmup included)
+    # takes the slot pool; the coalescing dispatcher stays idle
+    assert st["coalescing"]["rows_dispatched"] == 0
+    assert st["continuous"]["completed"] >= 2
+    assert 0.0 < st["continuous"]["occupancy"] <= 1.0

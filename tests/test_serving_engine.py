@@ -91,6 +91,111 @@ def test_coalescing_merges_requests():
         eng.close()
 
 
+def _end_rigged(config, params):
+    """Decoder twin whose vocab projection bias makes <E> the argmax at
+    every step — every greedy caption is [<E>, …] deterministically."""
+    from gan_image_captioning_tpu.data.vocab import END
+
+    b = np.asarray(params["decoder"]["linear"]["b"]).copy()
+    b[END] += 100.0
+    dec = dict(params["decoder"])
+    dec["linear"] = dict(dec["linear"], b=jnp.asarray(b))
+    return dict(params, decoder=dec)
+
+
+def test_continuous_early_exit_releases_slots():
+    """A slot whose chunk emitted <E> frees at that chunk boundary: with a
+    1-slot pool and captions ending at t=0, N requests cost ~N chunks, not
+    N * ceil(T/K); the returned tail is <PAD> and the logprob matches the
+    reference mask semantics."""
+    from gan_image_captioning_tpu.data.vocab import END
+
+    config, params, feats = _setup(b=3)
+    rig = _end_rigged(config, params)
+    ref_lp = np.asarray(decode_lib.sequence_logprob(
+        rig, jnp.asarray(feats),
+        jnp.asarray(decode_lib.greedy(rig, jnp.asarray(feats), config)),
+        config))
+
+    eng = ContinuousBatcher(rig, config, num_slots=1, chunk_steps=2)
+    try:
+        futs = [eng.submit(feats[i]) for i in range(3)]
+        for i, fut in enumerate(futs):
+            ids, lp = fut.result(timeout=30)
+            assert ids[0] == END
+            np.testing.assert_array_equal(ids[1:], 0)
+            np.testing.assert_allclose(lp, ref_lp[i], atol=1e-4)
+        # full-T would need ceil(7/2)=4 chunks per caption (12 total);
+        # early release needs 1 each (+ scheduling slack)
+        assert eng.device_calls <= 6, eng.stats()
+        assert eng.stats()["completed"] == 3
+    finally:
+        eng.close()
+
+
+def test_continuous_exact_mode_bit_identity():
+    """early_exit=False runs every slot the full T steps — ids are
+    bit-identical to the batch greedy decode even when <E> fires at t=0."""
+    config, params, feats = _setup(b=2)
+    rig = _end_rigged(config, params)
+    ref_ids = np.asarray(decode_lib.greedy(rig, jnp.asarray(feats), config))
+
+    eng = ContinuousBatcher(rig, config, num_slots=2, chunk_steps=3,
+                            early_exit=False)
+    try:
+        futs = [eng.submit(feats[i]) for i in range(2)]
+        for i, fut in enumerate(futs):
+            ids, _ = fut.result(timeout=30)
+            np.testing.assert_array_equal(ids, ref_ids[i])
+    finally:
+        eng.close()
+
+
+def test_coalescing_buckets():
+    """With bucket_sizes, a lone request runs the smallest program that
+    fits and a burst drains at mixed shapes; results are unchanged and
+    padding_frac reflects only the final chunk's pad."""
+    config, params, feats = _setup(b=8)
+    shapes = []
+
+    def decode_fn(f):
+        shapes.append(f.shape[0])
+        ids = decode_lib.greedy(params, f, config)
+        return ids, decode_lib.sequence_logprob(params, f, ids, config)
+
+    ref_ids = np.asarray(decode_lib.greedy(params, jnp.asarray(feats),
+                                           config))
+    eng = CoalescingBatcher(decode_fn, batch_size=8, feat_dim=16,
+                            bucket_sizes=[1, 2, 4])
+    try:
+        # lone request → the B=1 program
+        ids, _ = eng.submit(feats[:1]).result(timeout=30)
+        np.testing.assert_array_equal(ids[0], ref_ids[0])
+        assert shapes[0] == 1
+        # a 3-row request → the 4-bucket (pad 1), not the full-8 program
+        ids, _ = eng.submit(feats[:3]).result(timeout=30)
+        np.testing.assert_array_equal(ids, ref_ids[:3])
+        assert shapes[1] == 4
+        # a 5-row request → ONE program at the smallest fitting bucket (8):
+        # a single dispatch beats splitting into 4+1 two-program drains
+        ids, _ = eng.submit(feats[:5]).result(timeout=30)
+        np.testing.assert_array_equal(ids, ref_ids[:5])
+        assert shapes[2] == 8
+        st = eng.stats()
+        assert st["rows_requested"] == 9 and st["rows_dispatched"] == 13
+        assert 0.30 < st["padding_frac"] < 0.31
+    finally:
+        eng.close()
+
+
+def test_coalescing_bucket_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        CoalescingBatcher(lambda f: f, batch_size=4, feat_dim=8,
+                          bucket_sizes=[2, 16])
+
+
 def test_masked_logprob_sum():
     from gan_image_captioning_tpu.data.vocab import END
 
