@@ -276,6 +276,12 @@ class CaptionService:
         # warm through the REAL request path so the first client request
         # hits the compiled program (requests pad to serve_batch_size)
         self.handle_request({"n": 1})
+        # with buckets, compile EVERY program shape up front — otherwise
+        # the first request that lands in a cold bucket eats its compile
+        # (moot under --serve-continuous: captions take the slot pool)
+        if self.continuous is None:
+            for b in self.batcher.bucket_sizes[1:]:
+                self.handle_request({"n": b})
 
     def _features_unconditional(self, n):
         dec = self.gen_params["decoder"]
