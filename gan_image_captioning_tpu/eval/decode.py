@@ -224,6 +224,97 @@ def greedy_with_logprobs(gen_params: dict, features, config: Config,
     return ids, sequence_logprob(gen_params, features, ids, config, context)
 
 
+def greedy_with_logprobs_adaptive(gen_params: dict, features, config: Config,
+                                  seq_len: int = None, context=None,
+                                  chunk: int = 8, allow_kernel: bool = True):
+    """``(ids [B, T], seq_logprob [B])`` with an EARLY-STOPPING program.
+
+    Same contract as :func:`greedy_with_logprobs` up to and including each
+    row's first ``<E>``; the post-``<E>`` tail is ``<PAD>`` (semantically
+    void — it is already excluded from the logprob mask).  The decode runs
+    ``chunk``-step blocks inside a ``lax.while_loop`` whose condition is
+    "some row has not emitted ``<E>`` yet", so the device program costs
+    ``ceil(longest_caption/chunk)`` blocks instead of the full
+    ``max_seq_len`` steps — on trained models captions average well under
+    T, which roughly halves batch decode time at the flagship geometry
+    (T=34, captions ≈10-15 tokens).  The reference decodes a fixed
+    ``max_caption_len`` steps unconditionally (``generator.py:60``).
+
+    On the kernel path each block is one serve-mode weights-resident
+    pallas_call resuming from the carried (h, c, x) — the same chunking
+    the continuous batcher uses (``serving.py``).
+    """
+    seq_len = seq_len or config.seq_len
+    B = features.shape[0]
+    K = max(1, min(chunk, seq_len))
+    n_chunks = -(-seq_len // K)
+    t_pad = n_chunks * K
+    use_kernel = (allow_kernel and kernel_serve_available(config)
+                  and context is None and "lstm" in gen_params["decoder"])
+    stepper = make_stepper(gen_params, config, context)
+    dec = gen_params["decoder"]
+
+    if use_kernel:
+        from gan_image_captioning_tpu.kernels.decode_sample import (
+            decode_sample)
+
+        def run_chunk(state, x, t, done):
+            ids_k, lps_k, (h, c, xT) = decode_sample(
+                x, dec["lstm"], dec["linear"]["w"], dec["linear"]["b"],
+                dec["embed"], K, mode="serve",
+                init_state=(state[0], state[1], x))
+            is_end = ids_k == END
+            # void rows already done and positions strictly after the
+            # chunk's first <E>
+            after = jnp.cumsum(is_end, axis=1) - is_end.astype(jnp.int32)
+            void = done[:, None] | (after > 0)
+            ids_k = jnp.where(void, PAD, ids_k)
+            lps_k = jnp.where(void, 0.0, lps_k)
+            done = done | is_end.any(axis=1)
+            return (h, c.astype(state[1].dtype)), xT, ids_k, lps_k, done
+    else:
+        def run_chunk(state, x, t, done):
+            def step(carry, i):
+                state, x, done = carry
+                logits, state = stepper.step(state, x, t + i)
+                logp = jax.nn.log_softmax(logits)
+                raw = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                lp = jnp.take_along_axis(logp, raw[:, None], axis=1)[:, 0]
+                ids_t = jnp.where(done, PAD, raw)
+                lp_t = jnp.where(done, 0.0, lp)
+                done = done | (raw == END)
+                return (state, stepper.embed(raw), done), (ids_t, lp_t)
+
+            (state, x, done), (ids_k, lps_k) = jax.lax.scan(
+                step, (state, x, done), jnp.arange(K))
+            return (state, x, jnp.swapaxes(ids_k, 0, 1),
+                    jnp.swapaxes(lps_k, 0, 1), done)
+
+    def cond(carry):
+        _, _, t, done, _, _ = carry
+        return (t < seq_len) & ~done.all()
+
+    def body(carry):
+        state, x, t, done, ids_buf, lps_buf = carry
+        state, x, ids_k, lps_k, done = run_chunk(state, x, t, done)
+        ids_buf = jax.lax.dynamic_update_slice(ids_buf, ids_k, (0, t))
+        lps_buf = jax.lax.dynamic_update_slice(lps_buf, lps_k, (0, t))
+        return state, x, t + K, done, ids_buf, lps_buf
+
+    # the carried x starts as the feature row and becomes an embedding row
+    # after the first step — unify dtypes or the while_loop carry mismatches
+    # (probe the stepper rather than dec["embed"]: int8 decoders store the
+    # embedding as a QTensor dict)
+    x0 = features.astype(stepper.embed(jnp.zeros((1,), jnp.int32)).dtype)
+    init = (stepper.init_state(B), x0, jnp.asarray(0, jnp.int32),
+            jnp.zeros((B,), bool),
+            jnp.zeros((B, t_pad), jnp.int32),
+            jnp.zeros((B, t_pad), jnp.float32))
+    _, _, _, _, ids_buf, lps_buf = jax.lax.while_loop(cond, body, init)
+    ids = ids_buf[:, :seq_len]
+    return ids, jnp.sum(lps_buf[:, :seq_len], axis=1)
+
+
 # ------------------------------------------------------------------- sampling
 
 def filter_logits(logits, temperature=1.0, top_k: int = 0, top_p: float = 1.0):

@@ -57,6 +57,11 @@ def parse_args(argv=None):
                         "explicit comma list (e.g. '1,4,16'); low-load "
                         "requests run the smallest program that fits "
                         "instead of padding to the full batch")
+    parser.add_argument("--serve-adaptive-chunk", type=int, default=0,
+                        help="greedy coalescing decode: run K-step blocks "
+                        "in a while_loop that stops once every row in the "
+                        "batch has emitted <E> (0 = fixed full-T program); "
+                        "the post-<E> tail is <PAD>")
     parser.add_argument("--serve-exact", action="store_true",
                         help="--serve-continuous: disable early slot "
                         "release so returned ids are bit-identical to the "
@@ -205,11 +210,19 @@ class CaptionService:
                 return ids, decode_lib.sequence_logprob(target, feats, ids,
                                                         config)
         else:
+            adaptive = int(getattr(args, "serve_adaptive_chunk", 0))
+
             def decode(params, feats):
                 if beam > 1:
                     return decode_lib.beam_search(
                         params, feats, config, beam_size=beam,
                         length_penalty=config.length_penalty)
+                if adaptive > 0:
+                    # early-stopping program: K-step blocks until every
+                    # row has emitted <E> (tail = <PAD>)
+                    return decode_lib.greedy_with_logprobs_adaptive(
+                        params, feats, config, chunk=adaptive,
+                        allow_kernel=not self._tp_serving)
                 # ONE device program: serve-mode decode kernel on TPU (greedy
                 # ids + per-token logprobs), two-scan fallback elsewhere;
                 # TP-sharded params force the scan (GSPMD partitions it)

@@ -116,3 +116,101 @@ def test_beam_width_monotonic_quality():
         if prev is not None:
             assert np.all(scores >= prev - 1e-4), (k, scores, prev)
         prev = scores
+
+
+# ------------------------------------------------- adaptive-length decode
+
+def _canon(ids):
+    """Void everything after each row's first <E> (the adaptive decoder's
+    output convention)."""
+    from gan_image_captioning_tpu.data.vocab import END, PAD
+
+    ids = np.asarray(ids).copy()
+    for row in ids:
+        hits = np.flatnonzero(row == END)
+        if hits.size:
+            row[hits[0] + 1:] = PAD
+    return ids
+
+
+def _rig_end(params, boost=100.0):
+    from gan_image_captioning_tpu.data.vocab import END
+
+    b = np.asarray(params["decoder"]["linear"]["b"]).copy()
+    b[END] += boost
+    dec = dict(params["decoder"])
+    dec["linear"] = dict(dec["linear"], b=jnp.asarray(b))
+    return dict(params, decoder=dec)
+
+
+def test_adaptive_matches_full_greedy():
+    """greedy_with_logprobs_adaptive == greedy_with_logprobs up to each
+    row's first <E> (tail <PAD>), logprobs equal — including a chunk size
+    that does not divide T."""
+    import jax
+
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.eval import decode as decode_lib
+    from gan_image_captioning_tpu.models import generator as gen_lib
+
+    config = Config(vocab_size=64, gen_embed_dim=16, gen_hidden_dim=24,
+                    gen_num_layers=2, max_seq_len=11)
+    params = {"decoder": gen_lib.init_decoder_params(jax.random.PRNGKey(7),
+                                                     config)}
+    feats = jax.random.normal(jax.random.PRNGKey(8), (5, 16))
+
+    want_ids, want_lp = decode_lib.greedy_with_logprobs(params, feats, config)
+    for chunk in (3, 8, 32):
+        ids, lp = decode_lib.greedy_with_logprobs_adaptive(
+            params, feats, config, chunk=chunk)
+        np.testing.assert_array_equal(_canon(ids), _canon(want_ids))
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(want_lp),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_adaptive_early_stop_rigged_end():
+    """With <E> forced argmax the adaptive decode returns [<E>, <PAD>…] and
+    the sequence_logprob mask semantics."""
+    import jax
+
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.data.vocab import END
+    from gan_image_captioning_tpu.eval import decode as decode_lib
+    from gan_image_captioning_tpu.models import generator as gen_lib
+
+    config = Config(vocab_size=40, gen_embed_dim=12, gen_hidden_dim=16,
+                    max_seq_len=9)
+    params = _rig_end({"decoder": gen_lib.init_decoder_params(
+        jax.random.PRNGKey(1), config)})
+    feats = jax.random.normal(jax.random.PRNGKey(2), (3, 12))
+
+    ids, lp = decode_lib.greedy_with_logprobs_adaptive(params, feats, config,
+                                                       chunk=4)
+    assert (np.asarray(ids)[:, 0] == END).all()
+    np.testing.assert_array_equal(np.asarray(ids)[:, 1:], 0)
+    ref = decode_lib.sequence_logprob(
+        params, feats, decode_lib.greedy(params, feats, config), config)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ref), atol=1e-4)
+
+
+def test_adaptive_transformer():
+    """The adaptive while_loop also runs the transformer stepper (dynamic
+    per-step positions inside the chunk scan)."""
+    import jax
+
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.eval import decode as decode_lib
+    from gan_image_captioning_tpu.models import api
+
+    config = Config(vocab_size=48, gen_embed_dim=16, gen_hidden_dim=32,
+                    gen_arch="transformer", gen_num_layers=2,
+                    gen_num_heads=2, max_seq_len=10)
+    params = api.init_generator(jax.random.PRNGKey(4), config)
+    feats = jax.random.normal(jax.random.PRNGKey(5), (4, 16))
+
+    want_ids, want_lp = decode_lib.greedy_with_logprobs(params, feats, config)
+    ids, lp = decode_lib.greedy_with_logprobs_adaptive(params, feats, config,
+                                                       chunk=4)
+    np.testing.assert_array_equal(_canon(ids), _canon(want_ids))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(want_lp),
+                               atol=1e-4, rtol=1e-4)

@@ -124,3 +124,26 @@ def test_transformer_continuous_batcher_matches_batch_greedy():
         cb.close()
     want = np.asarray(decode_lib.greedy(gen_params, features, config))
     np.testing.assert_array_equal(got, want)
+
+
+def test_adaptive_uses_kernel_chunks():
+    """greedy_with_logprobs_adaptive's while_loop body is the serve-mode
+    pallas_call (chunked, carried (h, c, x)) — identical ids/logprobs to
+    the full-T kernel program up to the first <E>."""
+    config, gen_params, features = _setup()
+    want_ids, want_lp = decode_lib.greedy_with_logprobs(gen_params, features,
+                                                        config, T)
+
+    ids, lp = decode_lib.greedy_with_logprobs_adaptive(
+        gen_params, features, config, seq_len=T, chunk=3)
+
+    from gan_image_captioning_tpu.data.vocab import END, PAD
+    w = np.asarray(want_ids).copy()
+    for row in w:
+        hits = np.flatnonzero(row == END)
+        if hits.size:
+            row[hits[0] + 1:] = PAD
+    g = np.asarray(ids)
+    np.testing.assert_array_equal(g, w)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(want_lp),
+                               atol=1e-4, rtol=1e-4)
