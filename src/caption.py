@@ -47,6 +47,10 @@ def parse_args(argv=None):
     parser.add_argument("--draft-len", type=int, default=4,
                         help="speculative mode: tokens proposed per draft "
                              "block (K)")
+    parser.add_argument("--adaptive-chunk", type=int, default=0,
+                        help="greedy mode: decode K-step blocks that stop "
+                             "once every row emitted <E> (0 = fixed "
+                             "full-T program)")
     parser.add_argument("--top-k", type=int, default=0,
                         help="sample mode: keep only the k highest-probability "
                              "tokens per step (0 = no top-k filter)")
@@ -148,6 +152,12 @@ def main(argv=None):
                                      config, draft_len=args.draft_len)
             scores = decode_lib.sequence_logprob(
                 params, cond["features"], ids, config, cond["context"])
+        elif args.adaptive_chunk > 0:
+            # early-stopping greedy: same captions/logprobs, the program
+            # ends once every row emitted <E> (<PAD> tail)
+            ids, scores = decode_lib.greedy_with_logprobs_adaptive(
+                dparams, cond["features"], config, context=cond["context"],
+                chunk=args.adaptive_chunk)
         else:
             ids = decode_lib.greedy(dparams, cond["features"], config,
                                     context=cond["context"])

@@ -56,6 +56,11 @@ def parse_args(argv=None):
                         help="also report METEOR (exact-match stage, "
                         "eval/meteor.py — alignment F-mean with "
                         "fragmentation penalty)")
+    parser.add_argument("--adaptive-chunk", type=int, default=0,
+                        help="greedy decode in K-step blocks that stop "
+                        "once every row in the batch emitted <E> "
+                        "(0 = fixed full-T program); captions are "
+                        "unchanged after <E>-stripping")
     args = parser.parse_args(argv)
     apply_device_flag(args)
     return args
@@ -127,6 +132,8 @@ def main(argv=None):
                 lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
                 disc_params, disc_spec)
 
+    adaptive = int(getattr(args, "adaptive_chunk", 0))
+
     def eval_batch(params, dparams, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)
         logits = api.generator_mle_outputs(params, cond, batch["captions"],
@@ -144,6 +151,13 @@ def main(argv=None):
                                             context=cond["context"],
                                             length_penalty=config
                                             .length_penalty)
+        elif adaptive > 0:
+            # early-stopping program: stops once every row emitted <E>
+            # (ids get a <PAD> tail — BLEU strips at <E> either way; the
+            # disc score then reads <PAD> instead of post-<E> argmax noise)
+            ids, _ = decode_lib.greedy_with_logprobs_adaptive(
+                dparams, cond["features"], config, context=cond["context"],
+                chunk=adaptive)
         else:
             ids = decode_lib.greedy(dparams, cond["features"], config,
                                     context=cond["context"])
