@@ -339,8 +339,14 @@ def add_tpu_args(parser):
                         "checkpoint (optimizers fresh) — e.g. an imported "
                         "pretrained GPT-2 decoder from src/import_gpt2.py")
     g.add_argument("--checkpoint-every", type=int, default=0,
-                   help="also save a full resumable TrainState every N adv "
-                        "epochs (0 = only best-val, like the reference)")
+                   help="also save a full resumable TrainState every N "
+                        "pretrain/adv epochs (0 = only best-val, like the "
+                        "reference)")
+    g.add_argument("--keep-checkpoints", type=int, default=0,
+                   help="retention for --checkpoint-every snapshots: keep "
+                        "only the N newest state_*.ckpt per phase "
+                        "(0 = keep all); best-val checkpoints are never "
+                        "pruned")
     g.add_argument("--eval-bleu-every", type=int, default=0,
                    help="compute BLEU-4/NLL_gen on val every N epochs "
                         "(0 = off; the reference left BLEU commented out, "
@@ -564,6 +570,7 @@ class Config:
     seed: int = 1008
     resume: str = ""
     checkpoint_every: int = 0
+    keep_checkpoints: int = 0
     eval_bleu_every: int = 0
     beam_size: int = 1
     dataset: str = "coco"

@@ -142,3 +142,36 @@ def load_state(path: str, template):
     """Restore a full TrainState shaped like ``template`` (built with the
     same config via :func:`create_train_state`)."""
     return load_params(path, template)
+
+
+def prune_checkpoints(model_dir: str, prefix: str, keep: int) -> list:
+    """Retention policy for periodic snapshots: keep the ``keep``
+    highest-numbered ``{prefix}{N}.ckpt`` directories under ``model_dir``
+    and delete the rest (``keep <= 0`` keeps everything).  Best-val files
+    (``pretrained_model.ckpt`` / ``adv_model.ckpt``) never match a
+    numbered prefix, so they are never pruned.  Returns the deleted paths.
+    """
+    import re
+    import shutil
+
+    if keep <= 0:
+        return []
+    if pending_checkpoints():
+        # async writes land AFTER this call would list the directory (and
+        # deleting a directory mid-write corrupts it) — drain first.  Rare
+        # and bounded: once every checkpoint_every epochs, FIFO queue.
+        wait_for_checkpoints()
+    pat = re.compile(re.escape(prefix) + r"(\d+)\.ckpt$")
+    found = []
+    for name in os.listdir(model_dir):
+        m = pat.fullmatch(name)
+        if m:
+            found.append((int(m.group(1)), name))
+    found.sort()
+    doomed = [name for _, name in found[:-keep]] if len(found) > keep else []
+    deleted = []
+    for name in doomed:
+        path = os.path.join(model_dir, name)
+        shutil.rmtree(path, ignore_errors=True)
+        deleted.append(path)
+    return deleted

@@ -331,6 +331,15 @@ class GANInstructor:
                               .format(best_loss, epoch))
             else:
                 since_best += 1
+            if (self.config.checkpoint_every
+                    and epoch % self.config.checkpoint_every == 0):
+                # periodic full-state snapshots during PRETRAIN too (the
+                # adv loop has had them since round 2) + retention
+                ckpt_lib.save_state(
+                    os.path.join(self.model_dir,
+                                 f"state_pre_{epoch}.ckpt"), self.state)
+                ckpt_lib.prune_checkpoints(self.model_dir, "state_pre_",
+                                           self.config.keep_checkpoints)
             if epoch % self.config.pre_log_step == 0:
                 self.log.info("Epoch {}: \n \t Train: {} \n\t Val: {} "
                               .format(epoch, train_epoch_loss, val_epoch_loss))
@@ -507,6 +516,8 @@ class GANInstructor:
                 ckpt_lib.save_state(
                     os.path.join(self.model_dir, f"state_{adv_epoch}.ckpt"),
                     self.state)
+                ckpt_lib.prune_checkpoints(self.model_dir, "state_",
+                                           self.config.keep_checkpoints)
 
             if (adv_epoch % self.config.adv_log_step == 0
                     or adv_epoch == self.config.adv_epochs - 1):

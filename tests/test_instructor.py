@@ -125,3 +125,44 @@ def test_interrupt_checkpoints_and_stops(tmp_path, datasets):
     inst2 = GANInstructor(cfg2, *datasets, silent=True)
     inst2._run()
     assert int(inst2.state.gen_steps) == 4
+
+
+def test_checkpoint_retention(tmp_path, datasets):
+    """--keep-checkpoints N prunes periodic state snapshots (per phase,
+    newest N kept); best-val files are untouched and the newest snapshot
+    still resumes."""
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from gan_image_captioning_tpu.train.state import create_train_state
+
+    cfg = _config(str(tmp_path), pretrain_epochs=4, adv_epochs=5,
+                  checkpoint_every=1, keep_checkpoints=2)
+    inst = GANInstructor(cfg, *datasets, silent=True)
+    inst._run()
+    ckpt_lib.wait_for_checkpoints()
+    names = sorted(os.listdir(cfg.model_dir))
+    assert [n for n in names if n.startswith("state_pre_")] == [
+        "state_pre_2.ckpt", "state_pre_3.ckpt"]
+    assert [n for n in names if n.startswith("state_")
+            and not n.startswith("state_pre_")] == [
+        "state_3.ckpt", "state_4.ckpt"]
+    assert "pretrained_model.ckpt" in names and "adv_model.ckpt" in names
+    # the newest adv snapshot is loadable (retention never corrupts)
+    template = create_train_state(cfg, jax.random.PRNGKey(0))
+    st = ckpt_lib.load_state(os.path.join(cfg.model_dir, "state_4.ckpt"),
+                             template)
+    assert int(st.gen_steps) > 0
+
+
+def test_prune_checkpoints_unit(tmp_path):
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+
+    d = str(tmp_path)
+    for n in ("state_1.ckpt", "state_2.ckpt", "state_10.ckpt",
+              "state_pre_7.ckpt", "adv_model.ckpt"):
+        os.makedirs(os.path.join(d, n))
+    deleted = ckpt_lib.prune_checkpoints(d, "state_", keep=1)
+    assert sorted(os.path.basename(p) for p in deleted) == [
+        "state_1.ckpt", "state_2.ckpt"]  # numeric sort: 10 survives
+    left = sorted(os.listdir(d))
+    assert left == ["adv_model.ckpt", "state_10.ckpt", "state_pre_7.ckpt"]
+    assert ckpt_lib.prune_checkpoints(d, "state_", keep=0) == []
