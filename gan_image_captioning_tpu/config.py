@@ -347,6 +347,21 @@ def add_tpu_args(parser):
                         "only the N newest state_*.ckpt per phase "
                         "(0 = keep all); best-val checkpoints are never "
                         "pruned")
+    g.add_argument("--scst-epochs", type=int, default=0,
+                   help="self-critical sequence training epochs between "
+                        "MLE pretraining and adversarial training "
+                        "(Rennie et al. 2017): REINFORCE on a sentence "
+                        "metric reward with the model's own greedy decode "
+                        "as baseline (train/scst.py; 0 = off)")
+    g.add_argument("--scst-reward", type=str, default="cider",
+                   choices=["cider", "bleu"],
+                   help="SCST reward metric: CIDEr-D with idf fit over the "
+                        "training captions (the COCO leaderboard metric) "
+                        "or smoothed sentence BLEU-4")
+    g.add_argument("--scst-lr", type=float, default=0.0,
+                   help="SCST learning rate (0 = reuse --gen-lr); the "
+                        "update shares the adversarial generator Adam "
+                        "chain")
     g.add_argument("--eval-bleu-every", type=int, default=0,
                    help="compute BLEU-4/NLL_gen on val every N epochs "
                         "(0 = off; the reference left BLEU commented out, "
@@ -571,6 +586,9 @@ class Config:
     resume: str = ""
     checkpoint_every: int = 0
     keep_checkpoints: int = 0
+    scst_epochs: int = 0
+    scst_reward: str = "cider"
+    scst_lr: float = 0.0
     eval_bleu_every: int = 0
     beam_size: int = 1
     dataset: str = "coco"

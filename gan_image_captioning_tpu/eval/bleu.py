@@ -20,6 +20,42 @@ def _ngrams(tokens: Sequence, n: int) -> Counter:
     return Counter(tuple(tokens[i: i + n]) for i in range(len(tokens) - n + 1))
 
 
+def sentence_bleu(candidate: Sequence, references: List[Sequence],
+                  max_n: int = 4) -> float:
+    """Smoothed per-sentence BLEU-``max_n`` (SCST reward use).
+
+    Corpus BLEU zeroes out whenever any n-gram order has no match — useless
+    as a per-sample reward signal.  This applies add-one smoothing to the
+    clipped counts and totals for n >= 2 (Chen & Cherry 2014, method 1),
+    keeping 1-gram precision exact; brevity penalty as in corpus BLEU.
+    """
+    cand = list(candidate)
+    if not cand:
+        return 0.0
+    log_p = 0.0
+    for n in range(1, max_n + 1):
+        cand_ngrams = _ngrams(cand, n)
+        max_ref: Counter = Counter()
+        for ref in references:
+            for gram, cnt in _ngrams(list(ref), n).items():
+                max_ref[gram] = max(max_ref[gram], cnt)
+        total = max(len(cand) - n + 1, 0)
+        clipped = sum(min(cnt, max_ref[gram])
+                      for gram, cnt in cand_ngrams.items())
+        if n == 1:
+            if total == 0 or clipped == 0:
+                return 0.0
+        else:
+            total += 1
+            clipped += 1
+        log_p += math.log(clipped / total) / max_n
+    ref_len = min((abs(len(r) - len(cand)), len(r))
+                  for r in references)[1] if references else len(cand)
+    bp = (1.0 if len(cand) > ref_len
+          else math.exp(1.0 - ref_len / max(len(cand), 1)))
+    return bp * math.exp(log_p)
+
+
 def corpus_bleu(candidates: List[Sequence],
                 references: List[List[Sequence]],
                 max_n: int = 4) -> float:

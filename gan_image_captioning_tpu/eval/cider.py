@@ -70,26 +70,59 @@ def cider_d(candidates: List[Sequence],
 
     total = 0.0
     for cand, refs in zip(candidates, references):
-        cand = list(cand)
-        img_score = 0.0
-        for n in range(1, _MAX_N + 1):
-            cand_counts = _ngram_counts(cand, n)
-            per_ref = 0.0
-            for ref in refs:
-                ref = list(ref)
-                ref_counts = _ngram_counts(ref, n)
-                # CIDEr-D clips candidate counts to the reference's
-                clipped = Counter({g: min(c, ref_counts.get(g, 0))
-                                   for g, c in cand_counts.items()})
-                c_vec, c_norm = _tfidf_vec(clipped, doc_freq[n - 1], log_n)
-                r_vec, r_norm = _tfidf_vec(ref_counts, doc_freq[n - 1], log_n)
-                if c_norm == 0.0 or r_norm == 0.0:
-                    continue
-                dot = sum(val * r_vec.get(gram, 0.0)
-                          for gram, val in c_vec.items())
-                delta = len(cand) - len(ref)
-                penalty = math.exp(-(delta * delta) / (2.0 * _SIGMA ** 2))
-                per_ref += penalty * dot / (c_norm * r_norm)
-            img_score += per_ref / max(len(refs), 1)
-        total += 10.0 * img_score / _MAX_N
+        total += _image_score(list(cand), refs, doc_freq, log_n)
     return total / num_images
+
+
+def _image_score(cand: list, refs: List[Sequence],
+                 doc_freq: List[Dict], log_n: float) -> float:
+    """One image's CIDEr-D against its reference set under a given idf."""
+    img_score = 0.0
+    for n in range(1, _MAX_N + 1):
+        cand_counts = _ngram_counts(cand, n)
+        per_ref = 0.0
+        for ref in refs:
+            ref = list(ref)
+            ref_counts = _ngram_counts(ref, n)
+            # CIDEr-D clips candidate counts to the reference's
+            clipped = Counter({g: min(c, ref_counts.get(g, 0))
+                               for g, c in cand_counts.items()})
+            c_vec, c_norm = _tfidf_vec(clipped, doc_freq[n - 1], log_n)
+            r_vec, r_norm = _tfidf_vec(ref_counts, doc_freq[n - 1], log_n)
+            if c_norm == 0.0 or r_norm == 0.0:
+                continue
+            dot = sum(val * r_vec.get(gram, 0.0)
+                      for gram, val in c_vec.items())
+            delta = len(cand) - len(ref)
+            penalty = math.exp(-(delta * delta) / (2.0 * _SIGMA ** 2))
+            per_ref += penalty * dot / (c_norm * r_norm)
+        img_score += per_ref / max(len(refs), 1)
+    return 10.0 * img_score / _MAX_N
+
+
+class CiderScorer:
+    """Per-sentence CIDEr-D against a FIXED reference corpus idf.
+
+    SCST (train/scst.py) needs per-sample rewards scored thousands of
+    times against the same training corpus — recomputing document
+    frequencies per batch would both cost O(corpus) each call and make the
+    reward non-stationary.  ``fit`` precomputes idf over the training
+    reference sets once (one "document" per image, as coco-caption does);
+    ``score`` then prices a single candidate.
+    """
+
+    def __init__(self, corpus_references: List[List[Sequence]]):
+        self.doc_freq = [defaultdict(int) for _ in range(_MAX_N)]
+        self.num_images = len(corpus_references)
+        for refs in corpus_references:
+            for n in range(1, _MAX_N + 1):
+                grams = set()
+                for ref in refs:
+                    grams.update(_ngram_counts(list(ref), n).keys())
+                for gram in grams:
+                    self.doc_freq[n - 1][gram] += 1
+        self.log_n = math.log(max(self.num_images, 2))
+
+    def score(self, candidate: Sequence, references: List[Sequence]) -> float:
+        return _image_score(list(candidate), references, self.doc_freq,
+                            self.log_n)

@@ -475,9 +475,75 @@ class GANInstructor:
         return {"nll_gen": float(np.mean(nll or [0])), "bleu4": bleu4,
                 "self_bleu4": sbleu}
 
+    def scst_finetune(self, epochs: int):
+        """Self-critical sequence training (``--scst-epochs``): REINFORCE
+        on a sentence metric reward, greedy-decode baseline
+        (train/scst.py).  Runs between MLE pretraining and adversarial
+        training; best-val-reward params land in ``scst_model.ckpt``."""
+        if epochs <= 0:
+            return
+        from gan_image_captioning_tpu.train import scst as scst_lib
+
+        self.log.info("SCST finetuning (%d epochs, reward=%s)"
+                      % (epochs, self.config.scst_reward))
+        reward_fn = scst_lib.build_reward_fn(self.config, self.train_dataset)
+        rollout, update = scst_lib.make_scst_programs(self.config)
+        base_key = jax.random.PRNGKey(self.config.seed + 31)
+        best = None
+        step = 0
+        for epoch in range(epochs):
+            if self._checkpoint_if_interrupted():
+                break
+            t0 = time.time()
+            advs, losses = [], []
+            for batch in self._progress(
+                    self._device_batches(self.pre_train_loader),
+                    f"scst/{epoch}", total=len(self.pre_train_loader)):
+                k1, k2 = jax.random.split(jax.random.fold_in(base_key, step))
+                sampled, greedy = rollout(self.state.gen_params, batch, k1)
+                sampled, greedy, refs = jax.device_get(
+                    (sampled, greedy, batch["captions"]))
+                adv = scst_lib.batch_advantage(reward_fn, sampled, greedy,
+                                               refs)
+                self.state, loss = update(self.state, batch,
+                                          jax.numpy.asarray(sampled),
+                                          jax.numpy.asarray(adv), k2)
+                advs.append(float(adv.mean()))
+                losses.append(loss)
+                step += 1
+            # val sweep: mean greedy reward (the quantity SCST maximizes)
+            val_r, n_val = 0.0, 0
+            for batch in self._device_batches(self.pre_eval_loader):
+                k = jax.random.fold_in(base_key, 10**6 + n_val)
+                _, greedy = rollout(self.state.gen_params, batch, k)
+                greedy, refs = jax.device_get((greedy, batch["captions"]))
+                val_r += scst_lib.batch_reward(reward_fn, greedy, refs)
+                n_val += 1
+            val_r /= max(n_val, 1)
+            train_loss = float(np.mean(jax.device_get(losses))) \
+                if losses else 0.0
+            self.writer.add_scalar("SCST_val_reward", val_r, step)
+            self.writer.add_scalar("SCST_train_loss", train_loss, step)
+            if best is None or val_r > best:
+                best = val_r
+                ckpt_lib.save_params(
+                    os.path.join(self.model_dir, "scst_model.ckpt"),
+                    self.state.gen_params)
+                self.log.info("Saving Best SCST model [val %s = %.4f] "
+                              "at Epoch %d" % (self.config.scst_reward,
+                                               best, epoch))
+            self.log.info(
+                "[SCST] epoch %d: val %s %.4f | mean advantage %.4f | "
+                "loss %.5f  [%.1fs]" % (
+                    epoch, self.config.scst_reward, val_r,
+                    float(np.mean(advs or [0])), train_loss,
+                    time.time() - t0))
+
     def _run(self):
         """The full schedule — reference ``_run`` (training.py:201-235)."""
         self.pretrain_generator(self.config.pretrain_epochs)
+
+        self.scst_finetune(self.config.scst_epochs)
 
         self.log.info("Starting Adversarial Training...")
         best_loss = None
