@@ -223,7 +223,8 @@ class ContinuousBatcher:
     """
 
     def __init__(self, gen_params: dict, config: Config, num_slots: int = 8,
-                 chunk_steps: int = 8, mesh=None, early_exit: bool = True):
+                 chunk_steps: int = 8, mesh=None, early_exit: bool = True,
+                 draft_params: dict = None):
         self.config = config
         self.T = config.seq_len
         self.B = num_slots
@@ -259,7 +260,83 @@ class ContinuousBatcher:
         self._stepper = stepper
         dec = gen_params["decoder"]
 
-        if (config.gen_arch == "lstm" and "lstm" in dec and mesh is None
+        self._speculative = draft_params is not None
+        if self._speculative:
+            # slot-based lossless speculation: per chunk each slot's draft
+            # (e.g. the int8 twin) proposes K tokens from the last committed
+            # token, the target verifies all of them with ONE deferred
+            # [ (K+1)·B, H ] @ [H, V] projection (eval/speculative.py block
+            # structure, re-carried per slot), and 1..K+1 target-exact
+            # tokens commit per slot per program.  LSTM-family only;
+            # fresh slots fold the un-speculated t=0 step into their first
+            # block (x = the feature row, set by reset_slot).
+            if config.gen_arch != "lstm" or "lstm" not in dec:
+                raise ValueError("speculative continuous batching needs a "
+                                 "full-precision LSTM target")
+            if mesh is not None:
+                raise ValueError("speculative continuous batching does not "
+                                 "compose with --mesh yet")
+            from gan_image_captioning_tpu.models import lstm as lstm_lib
+
+            ddec = draft_params["decoder"]
+            if not ("lstm" in ddec or "lstm_q" in ddec):
+                raise ValueError("speculative draft must be LSTM-family")
+            draft = decode_lib.make_stepper(draft_params, config)
+            self._draft = draft
+            fused = lstm_lib.fuse_layer_params(dec["lstm"])
+            W, bb = dec["linear"]["w"], dec["linear"]["b"]
+            tgt_embed = dec["embed"]
+            K, B = self.K, self.B
+            rows_b = jnp.arange(B)
+            jidx = jnp.arange(K + 1)
+
+            def advance(state, x, tvec):
+                S, D, y, fresh2 = state
+                x_t = jnp.where(fresh2[:, None], x.astype(tgt_embed.dtype),
+                                tgt_embed[y])
+                x_d0 = draft.embed(y)
+                x_d = jnp.where(fresh2[:, None], x.astype(x_d0.dtype), x_d0)
+
+                def dstep(dc, _):
+                    Dst, xx = dc
+                    logits, Dst = draft.step(Dst, xx,
+                                             jnp.asarray(0, jnp.int32))
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (Dst, draft.embed(nxt)), (nxt, Dst)
+
+                (_, _), (d_toks, Dstates) = jax.lax.scan(
+                    dstep, (D, x_d), None, length=K + 1)
+
+                xs = jnp.concatenate([x_t[None], tgt_embed[d_toks[:K]]],
+                                     axis=0)                  # [K+1, B, E]
+
+                def vstep(St, xx):
+                    h_top, St = lstm_lib.lstm_step(fused, xx, St)
+                    return St, (h_top, St)
+
+                _, (hs, Ss) = jax.lax.scan(vstep, S, xs)
+                logits = hs @ W.T + bb                        # [K+1, B, V]
+                logp = jax.nn.log_softmax(logits)
+                p = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+                match = (d_toks[:K] == p[:K])
+                acc = jnp.cumprod(match.astype(jnp.int32), axis=0)
+                n = jnp.sum(acc, axis=0).astype(jnp.int32)    # [B] in 0..K
+                block = jnp.where(jidx[:, None] < n[None], d_toks, p)
+                blk_lp = jnp.take_along_axis(logp, block[:, :, None],
+                                             axis=2)[:, :, 0]
+
+                def sel_state(stacked):  # [K+1, L, B, H] → rows at n
+                    m = jnp.moveaxis(stacked, 2, 0)           # [B, K+1, L, H]
+                    return jnp.moveaxis(m[rows_b, n], 0, 1)
+
+                S2 = jax.tree_util.tree_map(sel_state, Ss)
+                D2 = jax.tree_util.tree_map(sel_state, Dstates)
+                y2 = jnp.take_along_axis(block, n[None], axis=0)[0]
+                return ((S2, D2, y2, jnp.zeros((B,), bool)), x, tvec,
+                        jnp.swapaxes(block, 0, 1),
+                        jnp.swapaxes(blk_lp, 0, 1), n + 1)
+        elif (config.gen_arch == "lstm" and "lstm" in dec and mesh is None
                 and decode_lib.kernel_serve_available(config)):
             # ("lstm" in dec: the int8-quantized decoder — ops/quantize.py
             # key "lstm_q" — runs the scan stepper branch below)
@@ -276,7 +353,8 @@ class ContinuousBatcher:
                     x, dec["lstm"], dec["linear"]["w"], dec["linear"]["b"],
                     dec["embed"], self.K, mode="serve",
                     init_state=(state[0], state[1], x))
-                return (hT, cT.astype(state[1].dtype)), xT, tvec, ids, lps
+                return ((hT, cT.astype(state[1].dtype)), xT, tvec, ids, lps,
+                        jnp.full((self.B,), self.K, jnp.int32))
         elif config.gen_arch == "lstm":
             def advance(state, x, tvec):
                 def body(carry, _):
@@ -291,7 +369,8 @@ class ContinuousBatcher:
                 (state, x), (ids, lps) = jax.lax.scan(body, (state, x),
                                                       None, length=self.K)
                 return (state, x, tvec, jnp.swapaxes(ids, 0, 1),
-                        jnp.swapaxes(lps, 0, 1))
+                        jnp.swapaxes(lps, 0, 1),
+                        jnp.full((self.B,), self.K, jnp.int32))
         else:
             # transformer slots: per-slot KV-cache positions (VERDICT r2
             # missing item 3 — the LSTM-only assert is gone).  Each slot
@@ -314,10 +393,17 @@ class ContinuousBatcher:
                 (state, x, tvec), (ids, lps) = jax.lax.scan(
                     body, (state, x, tvec), None, length=self.K)
                 return (state, x, tvec, jnp.swapaxes(ids, 0, 1),
-                        jnp.swapaxes(lps, 0, 1))
+                        jnp.swapaxes(lps, 0, 1),
+                        jnp.full((self.B,), self.K, jnp.int32))
 
         def reset_slot(state, x, tvec, row, feats):
-            if self.config.gen_arch == "lstm":
+            if self._speculative:
+                S, D, y, fresh2 = state
+                zero_row = lambda a: a.at[:, row].set(0)  # noqa: E731
+                state = (jax.tree_util.tree_map(zero_row, S),
+                         jax.tree_util.tree_map(zero_row, D),
+                         y.at[row].set(0), fresh2.at[row].set(True))
+            elif self.config.gen_arch == "lstm":
                 h, c = state
                 state = (h.at[:, row].set(0.0), c.at[:, row].set(0.0))
             # transformer: no cache zeroing needed — the per-slot mask
@@ -328,12 +414,19 @@ class ContinuousBatcher:
         self._advance = jax.jit(advance)
         self._reset = jax.jit(reset_slot)
 
-        self._state = stepper.init_state(self.B)
+        if self._speculative:
+            self._state = (stepper.init_state(self.B),
+                           self._draft.init_state(self.B),
+                           jnp.zeros((self.B,), jnp.int32),
+                           jnp.zeros((self.B,), bool))
+            x_dtype = jnp.asarray(self._state[0][0]).dtype
+        else:
+            self._state = stepper.init_state(self.B)
+            x_dtype = jnp.asarray(self._state[0]).dtype
         self._tvec = jnp.zeros((self.B,), jnp.int32)
         feat_dim = np.asarray(stepper.embed(jnp.zeros((1,), jnp.int32))
                               ).shape[-1]
-        self._x = jnp.zeros((self.B, feat_dim),
-                            jnp.asarray(self._state[0]).dtype)
+        self._x = jnp.zeros((self.B, feat_dim), x_dtype)
         if self._slot_shard is not None:
             # state leaves are [L, B, …] (slot axis 1); x/tvec are [B, …]
             self._state = jax.tree_util.tree_map(
@@ -351,6 +444,7 @@ class ContinuousBatcher:
         self.device_calls = 0
         self.completed = 0
         self.slot_chunks = 0      # sum over chunks of active-slot count
+        self.tokens_committed = 0  # spec mode: accepted+corrected tokens
         self._stop = False
         self._wake = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -362,7 +456,7 @@ class ContinuousBatcher:
         pool is oversized (or arrivals too sparse) and each chunk's cost
         is amortized over few captions."""
         dc = self.device_calls
-        return {
+        out = {
             "device_calls": dc,
             "completed": self.completed,
             "queue_depth": self._q.qsize(),
@@ -370,6 +464,12 @@ class ContinuousBatcher:
             "occupancy": round(self.slot_chunks / (dc * self.B), 4)
             if dc else 0.0,
         }
+        if self._speculative and self.slot_chunks:
+            # mean target-exact tokens committed per slot-chunk (1..K+1);
+            # the speculation win over the 1-token-per-step scan
+            out["tokens_per_slot_chunk"] = round(
+                self.tokens_committed / self.slot_chunks, 3)
+        return out
 
     def submit(self, feats_row: np.ndarray) -> Future:
         """One caption request (a single feature row [E]); resolves to
@@ -424,20 +524,21 @@ class ContinuousBatcher:
             if not (self._slot_t >= 0).any():
                 continue
             try:
-                (self._state, self._x, self._tvec, ids_k,
-                 lps_k) = self._advance(self._state, self._x, self._tvec)
+                (self._state, self._x, self._tvec, ids_k, lps_k,
+                 counts) = self._advance(self._state, self._x, self._tvec)
             except Exception as exc:
                 self._fail_active_slots(exc)
                 continue
             self.device_calls += 1
             self.slot_chunks += int((self._slot_t >= 0).sum())
             # one batched fetch (two per-array fetches = two RTTs)
-            ids_k, lps_k = jax.device_get((ids_k, lps_k))
+            ids_k, lps_k, counts = jax.device_get((ids_k, lps_k, counts))
             for i in range(self.B):
                 t = self._slot_t[i]
                 if t < 0:
                     continue
-                k = min(self.K, self.T - t)
+                k = min(int(counts[i]), self.T - t)
+                self.tokens_committed += k
                 self._ids[i, t:t + k] = ids_k[i, :k]
                 self._lps[i, t:t + k] = lps_k[i, :k]
                 done = t + k >= self.T

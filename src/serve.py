@@ -242,12 +242,25 @@ class CaptionService:
         feat_dim = config.gen_embed_dim
         self.continuous = None
         if (getattr(args, "serve_continuous", False) and beam == 1
-                and mode not in ("sample", "speculative")):
-            self.continuous = ContinuousBatcher(
-                self.dec_params, config, num_slots=self.batch_size,
-                chunk_steps=getattr(args, "serve_chunk_steps", 8),
-                mesh=self.mesh,
-                early_exit=not getattr(args, "serve_exact", False))
+                and mode != "sample"):
+            if mode == "speculative":
+                # slot-based speculation: the int8 twin drafts per slot,
+                # the target verifies per chunk — target-exact captions
+                if self.mesh is not None:
+                    raise SystemExit("--serve-continuous --decode-mode "
+                                     "speculative does not compose with "
+                                     "--mesh")
+                self.continuous = ContinuousBatcher(
+                    self.gen_params, config, num_slots=self.batch_size,
+                    chunk_steps=getattr(args, "draft_len", 4),
+                    early_exit=not getattr(args, "serve_exact", False),
+                    draft_params=self.dec_params)
+            else:
+                self.continuous = ContinuousBatcher(
+                    self.dec_params, config, num_slots=self.batch_size,
+                    chunk_steps=getattr(args, "serve_chunk_steps", 8),
+                    mesh=self.mesh,
+                    early_exit=not getattr(args, "serve_exact", False))
 
         def place(f):
             return (f if self._feat_sharding is None

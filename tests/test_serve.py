@@ -142,3 +142,34 @@ def test_adaptive_chunk_serves_same_captions(tmp_path):
         base + ["--serve-adaptive-chunk", "4"])).handle_request({"n": 4})
     assert got["captions"] == want["captions"]
     np.testing.assert_allclose(got["logprobs"], want["logprobs"], atol=1e-3)
+
+
+def test_speculative_continuous_service(tmp_path):
+    """--serve-continuous --decode-mode speculative: slot-based int8-draft
+    speculation serves the same captions as greedy serving."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, parse_args
+
+    cfg = Config(vocab_size=35, gen_embed_dim=12, gen_hidden_dim=16,
+                 max_seq_len=9)
+    params = api.init_generator(jax.random.PRNGKey(13), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+    base = ["--checkpoint", ckpt, "--dataset", "synthetic",
+            "--max-seq-len", "9", "--gen-embed-dim", "12",
+            "--gen-hidden-dim", "16", "--serve-batch-size", "4"]
+    want = CaptionService(parse_args(base)).handle_request({"n": 4})
+    svc = CaptionService(parse_args(base + [
+        "--decode-mode", "speculative", "--draft-len", "3",
+        "--serve-continuous"]))
+    got = svc.handle_request({"n": 4})
+    assert got["captions"] == want["captions"]
+    np.testing.assert_allclose(got["logprobs"], want["logprobs"], atol=1e-3)
+    st = svc.handle_request({"stats": True})
+    assert st["continuous"]["tokens_per_slot_chunk"] >= 1.0

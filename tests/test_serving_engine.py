@@ -203,3 +203,79 @@ def test_masked_logprob_sum():
     lps = np.array([[-1.0, -2.0, -4.0, -8.0], [-1.0, -1.0, -1.0, -1.0]])
     out = _masked_logprob_sum(ids, lps)
     np.testing.assert_allclose(out, [-3.0, -4.0])
+
+
+# --------------------------------------------- speculative continuous slots
+
+def test_speculative_slots_match_batch_greedy():
+    """Slot-based speculation is target-exact for ANY draft: a perfect
+    draft (the target itself) and a garbage draft (random params) must
+    both serve the batch-greedy captions."""
+    import jax as _jax
+
+    from gan_image_captioning_tpu.models import generator as gen_lib
+
+    config, params, feats = _setup(b=6)
+    ref_ids = np.asarray(decode_lib.greedy(params, jnp.asarray(feats),
+                                           config))
+    ref_lp = np.asarray(decode_lib.sequence_logprob(
+        params, jnp.asarray(feats), jnp.asarray(ref_ids), config))
+
+    bad_draft = {"decoder": gen_lib.init_decoder_params(
+        _jax.random.PRNGKey(99), config)}
+    for draft in (params, bad_draft):
+        eng = ContinuousBatcher(params, config, num_slots=3, chunk_steps=3,
+                                early_exit=False, draft_params=draft)
+        try:
+            futs = []
+            for i in range(feats.shape[0]):
+                futs.append(eng.submit(feats[i]))
+                if i == 2:
+                    time.sleep(0.1)  # join mid-flight
+            for i, fut in enumerate(futs):
+                ids, lp = fut.result(timeout=60)
+                np.testing.assert_array_equal(ids, ref_ids[i])
+                np.testing.assert_allclose(lp, ref_lp[i], atol=1e-4)
+        finally:
+            eng.close()
+
+
+def test_speculative_slots_perfect_draft_accepts_all():
+    """With the target as its own draft every block commits K+1 tokens —
+    the stat the speculation win is measured by."""
+    config, params, feats = _setup(b=4)
+    eng = ContinuousBatcher(params, config, num_slots=4, chunk_steps=2,
+                            early_exit=False, draft_params=params)
+    try:
+        futs = [eng.submit(feats[i]) for i in range(4)]
+        for fut in futs:
+            fut.result(timeout=60)
+        st = eng.stats()
+        assert st["tokens_per_slot_chunk"] == 3.0  # K+1 every block
+    finally:
+        eng.close()
+
+
+def test_speculative_slots_int8_draft():
+    """The production pairing: int8 quantized twin drafts, full-precision
+    target verifies (early exit on)."""
+    from gan_image_captioning_tpu.ops.quantize import quantize_generator
+
+    config, params, feats = _setup(b=5)
+    draft = quantize_generator(params, config)
+    ref_ids = np.asarray(decode_lib.greedy(params, jnp.asarray(feats),
+                                           config))
+    eng = ContinuousBatcher(params, config, num_slots=2, chunk_steps=4,
+                            draft_params=draft)
+    try:
+        futs = [eng.submit(feats[i]) for i in range(5)]
+        from gan_image_captioning_tpu.data.vocab import END
+        for i, fut in enumerate(futs):
+            ids, _ = fut.result(timeout=60)
+            want = ref_ids[i].copy()
+            hits = np.flatnonzero(want == END)
+            if hits.size:
+                want[hits[0] + 1:] = 0
+            np.testing.assert_array_equal(ids, want)
+    finally:
+        eng.close()
