@@ -79,6 +79,12 @@ class CocoCaptions:
         """Token ids without touching the image (for feature caching)."""
         return self._token_ids[index]
 
+    def image_key(self, index: int) -> str:
+        """Grouping key for multi-reference evaluation: rows are flattened
+        per-caption (≤ captions_per_image per image, ``tasks.py:64``), so
+        the filename identifies which rows share an image."""
+        return self.captions[index]["filename"]
+
     def sample(self, index: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         ids = self._token_ids[index]
         if not self.conditional:

@@ -80,6 +80,10 @@ class SyntheticCaptions:
         """Token count (pre-wrap) — the grammar is fixed-length 7."""
         return 7
 
+    def image_key(self, index: int) -> str:
+        """One caption per synthetic item — every row is its own image."""
+        return str(index)
+
     def sample(self, index: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """Deterministic per-index sample: (token_ids, image|None)."""
         rng = np.random.default_rng(self.seed * 1_000_003 + index)

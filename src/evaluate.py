@@ -56,6 +56,13 @@ def parse_args(argv=None):
                         help="also report METEOR (exact-match stage, "
                         "eval/meteor.py — alignment F-mean with "
                         "fragmentation penalty)")
+    parser.add_argument("--multi-ref", action="store_true",
+                        help="coco-caption protocol for BLEU/CIDEr/ROUGE/"
+                        "METEOR: group rows by image (the dataset is "
+                        "flattened per-caption) and score ONE candidate "
+                        "per image against ALL of its reference captions; "
+                        "default scores each row against its own single "
+                        "reference")
     parser.add_argument("--adaptive-chunk", type=int, default=0,
                         help="greedy decode in K-step blocks that stop "
                         "once every row in the batch emitted <E> "
@@ -204,16 +211,43 @@ def main(argv=None):
     if disc_params is not None:
         result["disc_score_generated"] = round(float(np.mean(d_gen_scores)), 4)
         result["disc_score_real"] = round(float(np.mean(d_real_scores)), 4)
-    if args.diversity or args.cider or args.rouge or args.meteor:
+    if (args.diversity or args.cider or args.rouge or args.meteor
+            or args.multi_ref):
         from gan_image_captioning_tpu.eval.metrics import strip_caption
 
-        cands, refs = [], []
-        for gen_ids, real_ids, w in zip(gen_b, real_b, w_b):
-            for j in range(gen_ids.shape[0]):
-                if w is not None and w[j] == 0:
-                    continue
-                cands.append(strip_caption(gen_ids[j]))
-                refs.append([strip_caption(real_ids[j])])
+        if args.multi_ref:
+            # coco-caption protocol: one candidate per IMAGE against all
+            # of its references.  Rows arrive in dataset order (shuffle
+            # off, pad rows zero-weighted), so the running row counter
+            # maps each row to ds.image_key.
+            by_img = {}          # key → [cand, [refs...]] (insertion order)
+            row = 0
+            for gen_ids, real_ids, w in zip(gen_b, real_b, w_b):
+                for j in range(gen_ids.shape[0]):
+                    if w is not None and w[j] == 0:
+                        row += 1
+                        continue
+                    key = ds.image_key(row)
+                    row += 1
+                    ref = strip_caption(real_ids[j])
+                    if key in by_img:
+                        by_img[key][1].append(ref)
+                    else:
+                        by_img[key] = [strip_caption(gen_ids[j]), [ref]]
+            cands = [c for c, _ in by_img.values()]
+            refs = [r for _, r in by_img.values()]
+            result["num_images"] = len(cands)
+            from gan_image_captioning_tpu.eval.bleu import corpus_bleu
+
+            result["bleu4_multiref"] = round(corpus_bleu(cands, refs), 5)
+        else:
+            cands, refs = [], []
+            for gen_ids, real_ids, w in zip(gen_b, real_b, w_b):
+                for j in range(gen_ids.shape[0]):
+                    if w is not None and w[j] == 0:
+                        continue
+                    cands.append(strip_caption(gen_ids[j]))
+                    refs.append([strip_caption(real_ids[j])])
     if args.diversity:
         from gan_image_captioning_tpu.eval.diversity import (distinct_n,
                                                              self_bleu)

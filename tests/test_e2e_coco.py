@@ -74,3 +74,60 @@ def test_full_cli_run_on_mini_coco(mini_coco, tmp_path):
     tags = {json.loads(line)["tag"] for line in open(metrics_path)}
     assert "GenPreTraining_train_loss" in tags
     assert "Generator_train_loss" in tags and "Discriminator_train_loss" in tags
+
+
+def test_multi_ref_grouping(mini_coco):
+    """image_key groups the flattened per-caption rows back to images (2
+    captions per image in this fixture)."""
+    from gan_image_captioning_tpu.data.coco import CocoCaptions
+
+    cj = os.path.join(mini_coco, "dataset_coco.json")
+    train = CocoCaptions(cj, mini_coco, "train", 48,
+                         captions_per_image=2, conditional=False)
+    ds = CocoCaptions(cj, mini_coco, "val", 48, captions_per_image=2,
+                      vocab_dicts=(train.word_to_index,
+                                   train.index_to_word),
+                      conditional=False)
+    keys = [ds.image_key(i) for i in range(len(ds))]
+    assert len(keys) == 8  # 4 val images × 2 captions
+    from collections import Counter
+    assert all(v == 2 for v in Counter(keys).values())
+
+
+def test_evaluate_multi_ref_cli(mini_coco, tmp_path, capsys):
+    """--multi-ref: one candidate per image vs all its references; CIDEr/
+    BLEU computed over num_images groups."""
+    import json as _json
+
+    import jax
+
+    from gan_image_captioning_tpu.config import (build_parser,
+                                                 config_from_args)
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src import evaluate as eval_cli
+    from src.main import build_datasets, inject_vocab_size
+
+    parser = build_parser()
+    args = parser.parse_args([
+        "--data-dir", mini_coco, "--dataset", "coco",
+        "--captions-per-image", "2", "--max-seq-len", "8",
+        "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+        "--pre-eval-batch-size", "4", "--num-workers", "1"])
+    train_ds, _ = build_datasets(args)
+    inject_vocab_size(args, train_ds)
+    cfg = config_from_args(args)
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+
+    eval_cli.main([
+        "--data-dir", mini_coco, "--dataset", "coco",
+        "--captions-per-image", "2", "--max-seq-len", "8",
+        "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+        "--pre-eval-batch-size", "4", "--num-workers", "1",
+        "--checkpoint", ckpt, "--multi-ref", "--cider", "--device", "cpu"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["num_samples"] == 8     # 4 val images × 2 caption rows
+    assert out["num_images"] == 4      # grouped
+    assert "bleu4_multiref" in out and "cider_d" in out
