@@ -161,16 +161,27 @@ def main():
 
     # ---- continuous (slot pool, chunked kernel advance; greedy only) ----
     if BEAM == 1:
+        draft = None
+        if spec_k > 0:
+            from gan_image_captioning_tpu.ops.quantize import (
+                quantize_generator)
+
+            draft = quantize_generator(gen_params, config)
         cb = ContinuousBatcher(gen_params, config, num_slots=BATCH,
-                               chunk_steps=int(os.environ.get(
-                                   "GIC_LOAD_CHUNK", "8")),
-                               early_exit=not EXACT)
+                               chunk_steps=(spec_k if draft is not None else
+                                            int(os.environ.get(
+                                                "GIC_LOAD_CHUNK", "8"))),
+                               early_exit=not EXACT, draft_params=draft)
         cb.submit(feat).result(timeout=600)              # warm compile
         lat = []
-        r = run_load("continuous" + ("_exact" if EXACT else ""),
+        r = run_load("continuous" + (f"_spec{spec_k}" if draft is not None
+                                     else "") + ("_exact" if EXACT else ""),
                      timed_submit(lambda i: cb.submit(feat), lat),
                      N_REQ, RATE, lambda: cb.device_calls)
-        r["occupancy"] = cb.stats()["occupancy"]
+        st = cb.stats()
+        r["occupancy"] = st["occupancy"]
+        if "tokens_per_slot_chunk" in st:
+            r["tokens_per_slot_chunk"] = st["tokens_per_slot_chunk"]
         cb.close()
         lat_ms = np.sort(np.asarray(lat)) * 1e3
         r["p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
