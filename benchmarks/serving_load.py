@@ -128,6 +128,12 @@ def main():
         def decode_fn(feats):
             return decode_lib.beam_search(gen_params, feats, config,
                                           beam_size=BEAM)
+    elif int(os.environ.get("GIC_LOAD_ADAPTIVE", "0")) > 0:
+        ak = int(os.environ.get("GIC_LOAD_ADAPTIVE", "0"))
+
+        def decode_fn(feats):
+            return decode_lib.greedy_with_logprobs_adaptive(
+                gen_params, feats, config, chunk=ak)
     elif spec_k > 0:
         from gan_image_captioning_tpu.eval.speculative import (
             speculative_greedy)
@@ -147,8 +153,11 @@ def main():
     co = CoalescingBatcher(decode_jit, BATCH, config.gen_embed_dim)
     co.submit(feat[None, :]).result(timeout=600)         # warm compile
     lat = []
+    adaptive_k = int(os.environ.get("GIC_LOAD_ADAPTIVE", "0"))
     tag = ("coalescing" + (f"_beam{BEAM}" if BEAM > 1 else "")
-           + (f"_spec{spec_k}" if BEAM == 1 and spec_k > 0 else ""))
+           + (f"_adaptive{adaptive_k}" if BEAM == 1 and adaptive_k else "")
+           + (f"_spec{spec_k}" if BEAM == 1 and spec_k > 0
+              and not adaptive_k else ""))
     r = run_load(tag,
                  timed_submit(lambda i: co.submit(feat[None, :]), lat),
                  N_REQ, RATE, lambda: co.device_calls)
