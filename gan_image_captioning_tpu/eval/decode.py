@@ -392,12 +392,17 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
 
 def beam_search(gen_params: dict, features, config: Config,
                 beam_size: int = 4, seq_len: int = None, context=None,
-                length_penalty: float = 0.0):
+                length_penalty: float = 0.0, early_stop: bool = True):
     """Batched beam search → ``(ids [B, T], scores [B])``.
 
-    One jittable program: scan over T steps, each advancing all B*K
+    One jittable program: a while_loop over steps, each advancing all B*K
     hypotheses through the decoder and re-selecting the top K of K·V
-    continuations per batch row.
+    continuations per batch row.  The loop ends as soon as EVERY beam of
+    every row has emitted ``<E>`` (``early_stop``) — exactly equivalent to
+    running all T steps, because finished beams may only extend with
+    ``<PAD>`` at zero cost (``pad_only``): their scores, lengths, and
+    token buffers are already fixed.  ``early_stop=False`` forces the
+    full-T trip count (A/B measurement).
     """
     seq_len = seq_len or config.seq_len
     K = beam_size
@@ -421,8 +426,8 @@ def beam_search(gen_params: dict, features, config: Config,
     # Continuation logp for finished beams: only PAD at zero cost.
     pad_only = jnp.full((V,), NEG_INF).at[PAD].set(0.0)
 
-    def step(carry, t):
-        state, scores, tokens, lengths, done, last_ids = carry
+    def body(carry):
+        t, state, scores, tokens, lengths, done, last_ids = carry
         x = stepper.embed(last_ids.reshape(-1))              # [B*K, E]
         logits, new_state = stepper.step(state, x, t)
         logp = jax.nn.log_softmax(logits).reshape(B, K, V)
@@ -436,17 +441,26 @@ def beam_search(gen_params: dict, features, config: Config,
         gidx = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
         new_state = stepper.gather(new_state, gidx)
         tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
-        tokens = tokens.at[:, :, t].set(token)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, token[:, :, None], (0, 0, t))
         parent_done = jnp.take_along_axis(done, parent, axis=1)
         parent_len = jnp.take_along_axis(lengths, parent, axis=1)
         new_done = parent_done | (token == END)
         new_lengths = jnp.where(parent_done, parent_len, parent_len + 1)
-        return ((new_state, new_scores, tokens, new_lengths, new_done, token),
-                None)
+        return (t + 1, new_state, new_scores, tokens, new_lengths, new_done,
+                token)
 
-    carry = (state, scores, tokens, lengths, done, ids0)
-    (state, scores, tokens, lengths, done, _), _ = jax.lax.scan(
-        step, carry, jnp.arange(1, seq_len))
+    def cond(carry):
+        t, done = carry[0], carry[5]
+        keep = t < seq_len
+        if early_stop:
+            keep &= ~done.all()
+        return keep
+
+    carry = (jnp.asarray(1, jnp.int32), state, scores, tokens, lengths,
+             done, ids0)
+    (_, state, scores, tokens, lengths, done, _) = jax.lax.while_loop(
+        cond, body, carry)
 
     # GNMT length penalty for final ranking
     lp = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty

@@ -214,3 +214,30 @@ def test_adaptive_transformer():
     np.testing.assert_array_equal(_canon(ids), _canon(want_ids))
     np.testing.assert_allclose(np.asarray(lp), np.asarray(want_lp),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_beam_early_stop_exact_equivalence():
+    """early_stop beam == full-T beam bit-exactly — finished beams only
+    extend with zero-cost <PAD>, so truncating the loop changes nothing
+    (checked on a rigged model where every beam ends at t=0 AND on a
+    random model where beams end at staggered steps)."""
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.eval import decode as decode_lib
+    from gan_image_captioning_tpu.models import generator as gen_lib
+
+    config = Config(vocab_size=48, gen_embed_dim=12, gen_hidden_dim=20,
+                    gen_num_layers=2, max_seq_len=9)
+    for seed, rig in ((3, True), (5, False)):
+        params = {"decoder": gen_lib.init_decoder_params(
+            jax.random.PRNGKey(seed), config)}
+        if rig:
+            params = _rig_end(params)
+        feats = jax.random.normal(jax.random.PRNGKey(seed + 10), (4, 12))
+        want = decode_lib.beam_search(params, feats, config, beam_size=3,
+                                      early_stop=False)
+        got = decode_lib.beam_search(params, feats, config, beam_size=3,
+                                     early_stop=True)
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(want[0]))
+        np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                                   rtol=1e-6)

@@ -244,7 +244,9 @@ def test_caption_cli_quantized(tmp_path):
     cfg = _cfg()
     params = api.init_generator(jax.random.PRNGKey(0), cfg)
     ck = tmp_path / "gen.ckpt"
-    ckpt_lib.save_params(str(ck), params)
+    # sync: a SUBPROCESS reads this path next — it cannot see the parent's
+    # async writer queue, so an in-flight write races the spawn
+    ckpt_lib.save_params(str(ck), params, sync=True)
     cmd[cmd.index("RANDOM")] = str(ck)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
