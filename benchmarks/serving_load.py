@@ -143,7 +143,8 @@ def main():
 
         def decode_fn(feats):
             ids = speculative_greedy(gen_params, draft, feats, config,
-                                     draft_len=spec_k)
+                                     draft_len=spec_k,
+                                     early_stop=not EXACT)
             return ids, decode_lib.sequence_logprob(gen_params, feats, ids,
                                                     config)
     else:

@@ -49,7 +49,7 @@ from gan_image_captioning_tpu.models import lstm as lstm_lib
 
 def speculative_greedy(gen_params: dict, draft_params: dict, features,
                        config: Config, seq_len: int = None,
-                       draft_len: int = 4):
+                       draft_len: int = 4, early_stop: bool = False):
     """Greedy ids ``[B, T]`` — bit-identical to the target's greedy decode,
     produced draft-first.
 
@@ -61,6 +61,12 @@ def speculative_greedy(gen_params: dict, draft_params: dict, features,
         per-row KV positions.
       features: ``[B, E]`` t=0 inputs (image features / <S> embedding).
       draft_len: K — tokens proposed per block (static).
+      early_stop: end the while_loop once every row has committed an
+        ``<E>`` instead of filling all T positions.  The caption (tokens
+        through the first ``<E>``) and its masked logprob are unchanged;
+        the tail beyond the ending block becomes ``<PAD>`` instead of the
+        greedy continuation, so only full-T bit-compare consumers should
+        leave this off (the serving/caption paths strip at ``<E>``).
     """
     from gan_image_captioning_tpu.eval.decode import make_stepper
 
@@ -96,9 +102,11 @@ def speculative_greedy(gen_params: dict, draft_params: dict, features,
     _, D = draft.step(D, features, jnp.asarray(0, jnp.int32))
     buf = jnp.zeros((B, Tbuf), jnp.int32).at[:, 0].set(y)
     pos = jnp.ones((B,), jnp.int32)
+    from gan_image_captioning_tpu.data.vocab import END
+    ended = y == END
 
     def body(carry):
-        S, D, y, pos, buf = carry
+        S, D, y, pos, buf, ended = carry
 
         # 1. draft proposes: K+1 sequential cheap steps from y
         def dstep(dc, _):
@@ -143,16 +151,25 @@ def speculative_greedy(gen_params: dict, draft_params: dict, features,
         D2 = jax.tree_util.tree_map(sel_state, Dstates)
         y2 = jnp.take_along_axis(block, n[None], axis=0)[0]  # p at slot n
 
-        # 5. emit: per-row positions pos..pos+n; invalid slots → scratch col
+        # 5. emit: per-row positions pos..pos+n; invalid slots → scratch
+        #    col; under early_stop rows that already committed <E> freeze
         positions = pos[:, None] + jidx[None, :]             # [B, K+1]
-        wpos = jnp.where(valid.T, jnp.minimum(positions, Tbuf - 2),
-                         Tbuf - 1)
+        if early_stop:
+            live = valid.T & ~ended[:, None]
+            pos2 = jnp.where(ended, pos, jnp.minimum(pos + n + 1, T))
+        else:
+            live = valid.T
+            pos2 = jnp.minimum(pos + n + 1, T)
+        wpos = jnp.where(live, jnp.minimum(positions, Tbuf - 2), Tbuf - 1)
         buf2 = buf.at[rows, wpos].set(block.T)
-        pos2 = jnp.minimum(pos + n + 1, T)
-        return S2, D2, y2, pos2, buf2
+        ended2 = ended | (valid.T & (block.T == END)).any(axis=1)
+        return S2, D2, y2, pos2, buf2, ended2
 
     def cond(carry):
-        return jnp.any(carry[3] < T)
+        live = carry[3] < T
+        if early_stop:
+            live &= ~carry[5]
+        return jnp.any(live)
 
-    *_, buf = jax.lax.while_loop(cond, body, (S, D, y, pos, buf))
+    *_, buf, _ = jax.lax.while_loop(cond, body, (S, D, y, pos, buf, ended))
     return buf[:, :T]

@@ -202,11 +202,16 @@ class CaptionService:
 
             spec_k = int(getattr(args, "draft_len", 4))
 
+            spec_exact = getattr(args, "serve_exact", False)
+
             def decode(target, draft, feats):
                 # greedy-exact ids from the draft/verify block decoder +
-                # one rescore pass for the per-sequence logprobs
+                # one rescore pass for the per-sequence logprobs; the
+                # block loop ends once every row committed <E> (the
+                # rescore's mask makes the <PAD> tail logprob-neutral)
                 ids = speculative_greedy(target, draft, feats, config,
-                                         draft_len=spec_k)
+                                         draft_len=spec_k,
+                                         early_stop=not spec_exact)
                 return ids, decode_lib.sequence_logprob(target, feats, ids,
                                                         config)
         else:

@@ -100,3 +100,33 @@ def test_rejects_non_lstm_target():
     with pytest.raises(ValueError, match="LSTM"):
         speculative_greedy(params, params,
                            jnp.zeros((2, 16), jnp.float32), cfg)
+
+
+def test_early_stop_canonical_equality():
+    """early_stop=True returns the same caption (through the first <E>)
+    with a <PAD>-dominated tail; default stays full-T bit-exact."""
+    import numpy as np
+
+    from gan_image_captioning_tpu.data.vocab import END, PAD
+
+    config = _cfg()
+    gen_params = api.init_generator(jax.random.PRNGKey(0), config)
+    draft = quantize_generator(gen_params, config)
+    feats = start_token_features(gen_params["decoder"], 6)
+
+    full = np.asarray(speculative_greedy(gen_params, draft, feats, config,
+                                         draft_len=3))
+    early = np.asarray(speculative_greedy(gen_params, draft, feats, config,
+                                          draft_len=3, early_stop=True))
+
+    for f, e in zip(full, early):
+        hits = np.flatnonzero(f == END)
+        if hits.size:
+            cut = hits[0] + 1
+            np.testing.assert_array_equal(e[:cut], f[:cut])
+            # tail: the ending block may carry a few exact-greedy tokens,
+            # everything past it is <PAD>
+            blk_end = min(cut + 3, len(f))  # ≤ K more tokens from the block
+            np.testing.assert_array_equal(e[blk_end:], PAD)
+        else:
+            np.testing.assert_array_equal(e, f)
