@@ -345,7 +345,8 @@ def filter_logits(logits, temperature=1.0, top_k: int = 0, top_p: float = 1.0):
 
 def sample_decode(gen_params: dict, features, config: Config, rng,
                   seq_len: int = None, context=None, temperature: float = 1.0,
-                  top_k: int = 0, top_p: float = 1.0):
+                  top_k: int = 0, top_p: float = 1.0,
+                  early_stop: bool = False):
     """Stochastic decode → ``(ids [B, T], seq_logprob [B])``: one jitted
     scan sampling each token from the temperature/top-k/top-p-filtered
     categorical (the inference-time counterpart of the training-time
@@ -355,6 +356,12 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
     Reported log-probabilities are under the model's UNfiltered
     distribution, masked after the first ``<E>`` like the greedy path.
     ``top_k=1`` reproduces greedy argmax exactly.
+
+    ``early_stop=True`` ends the loop once every row sampled an ``<E>``:
+    tokens through each row's first ``<E>`` are drawn with the SAME keys
+    as the full run (the split chain is positional), the discarded tail
+    becomes ``<PAD>``, and the masked logprob is unchanged.  Default off
+    for bit-compat with the round-3 sampler.
     """
     seq_len = seq_len or config.seq_len
     B = features.shape[0]
@@ -371,21 +378,38 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
     rng, k0 = jax.random.split(rng)
     logits0, state = stepper.step(state, features, jnp.asarray(0, jnp.int32))
     ids0, lp0 = pick(k0, logits0)
+    ids_buf = jnp.zeros((B, seq_len), jnp.int32).at[:, 0].set(ids0)
+    lps_buf = jnp.zeros((B, seq_len), jnp.float32).at[:, 0].set(lp0)
 
-    def step(carry, t):
-        state, last_ids, rng = carry
+    def body(carry):
+        t, state, last_ids, rng, done, ids_buf, lps_buf = carry
         rng, key = jax.random.split(rng)
         logits, state = stepper.step(state, stepper.embed(last_ids), t)
         ids_t, lp = pick(key, logits)
-        return (state, ids_t, rng), (ids_t, lp)
+        if early_stop:
+            # live rows draw the SAME sample as the full run (the key
+            # chain is positional); ended rows' draws are discarded
+            out_ids = jnp.where(done, PAD, ids_t)
+            out_lp = jnp.where(done, 0.0, lp)
+        else:
+            out_ids, out_lp = ids_t, lp
+        done = done | (ids_t == END)
+        ids_buf = jax.lax.dynamic_update_slice(ids_buf, out_ids[:, None],
+                                               (0, t))
+        lps_buf = jax.lax.dynamic_update_slice(lps_buf, out_lp[:, None],
+                                               (0, t))
+        return t + 1, state, ids_t, rng, done, ids_buf, lps_buf
 
-    (_, _, _), (ids_rest, lps_rest) = jax.lax.scan(
-        step, (state, ids0, rng), jnp.arange(1, seq_len))
-    ids = jnp.concatenate([ids0[:, None], jnp.swapaxes(ids_rest, 0, 1)],
-                          axis=1)
-    lps = jnp.concatenate([lp0[:, None], jnp.swapaxes(lps_rest, 0, 1)],
-                          axis=1)
-    return ids, masked_logprob_sum(ids, lps)
+    def cond(carry):
+        keep = carry[0] < seq_len
+        if early_stop:
+            keep &= ~carry[4].all()
+        return keep
+
+    carry = (jnp.asarray(1, jnp.int32), state, ids0, rng, ids0 == END,
+             ids_buf, lps_buf)
+    *_, ids_buf, lps_buf = jax.lax.while_loop(cond, body, carry)
+    return ids_buf, masked_logprob_sum(ids_buf, lps_buf)
 
 
 # ---------------------------------------------------------------- beam search

@@ -188,10 +188,15 @@ class CaptionService:
             top_k = int(getattr(args, "top_k", 0))
             top_p = float(getattr(args, "top_p", 1.0))
 
+            sample_exact = getattr(args, "serve_exact", False)
+
             def decode(params, feats, key):
+                # early_stop: live rows draw the same tokens (positional
+                # key chain); the discarded tail is <PAD> (stripped anyway)
                 return decode_lib.sample_decode(
                     params, feats, config, key, temperature=temp,
-                    top_k=top_k, top_p=top_p)
+                    top_k=top_k, top_p=top_p,
+                    early_stop=not sample_exact)
 
             self._sample_base = jax.random.PRNGKey(
                 int(getattr(args, "sample_seed", 0)))

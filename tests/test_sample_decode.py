@@ -120,3 +120,35 @@ def test_sample_decode_jits():
         p, f, cfg, k, temperature=0.8, top_k=10, top_p=0.9))
     ids, lps = fn(params, cond["features"], jax.random.PRNGKey(0))
     assert ids.shape == (4, cfg.seq_len) and lps.shape == (4,)
+
+
+def test_sample_early_stop_prefix_identical():
+    """early_stop=True draws the SAME tokens through each row's first <E>
+    (positional key chain) and pads the discarded tail; logprobs equal."""
+    import numpy as np
+
+    from gan_image_captioning_tpu.data.vocab import END, PAD
+
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    from gan_image_captioning_tpu.models.generator import (
+        start_token_features)
+
+    feats = start_token_features(params["decoder"], 8)
+    key = jax.random.PRNGKey(42)
+
+    full_ids, full_lp = decode_lib.sample_decode(params, feats, cfg, key,
+                                              temperature=1.2)
+    es_ids, es_lp = decode_lib.sample_decode(params, feats, cfg, key,
+                                          temperature=1.2, early_stop=True)
+    full_ids, es_ids = np.asarray(full_ids), np.asarray(es_ids)
+    for f, e in zip(full_ids, es_ids):
+        hits = np.flatnonzero(f == END)
+        if hits.size:
+            cut = hits[0] + 1
+            np.testing.assert_array_equal(e[:cut], f[:cut])
+            np.testing.assert_array_equal(e[cut:], PAD)
+        else:
+            np.testing.assert_array_equal(e, f)
+    np.testing.assert_allclose(np.asarray(es_lp), np.asarray(full_lp),
+                               atol=1e-5)
