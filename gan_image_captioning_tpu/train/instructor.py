@@ -422,6 +422,18 @@ class GANInstructor:
                                               length_penalty=config
                                               .length_penalty)
                     return ids
+                ak = int(os.environ.get("GIC_EVAL_ADAPTIVE", "0"))
+                if ak > 0:
+                    # early-stopping in-run eval decode: the BLEU probe's
+                    # cost drops to ceil(longest-caption/ak) blocks
+                    # (captions strip at <E> before scoring either way)
+                    from gan_image_captioning_tpu.eval import decode as dlib
+
+                    ids, _ = dlib.greedy_with_logprobs_adaptive(
+                        gen_params, cond["features"], config,
+                        context=cond["context"], chunk=ak,
+                        allow_kernel=self.mesh is None)
+                    return ids
                 _, ids = api.generator_sample(gen_params, cond,
                                               jax.random.PRNGKey(0), 1.0,
                                               config.seq_len, True, config)

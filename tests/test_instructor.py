@@ -166,3 +166,17 @@ def test_prune_checkpoints_unit(tmp_path):
     left = sorted(os.listdir(d))
     assert left == ["adv_model.ckpt", "state_10.ckpt", "state_pre_7.ckpt"]
     assert ckpt_lib.prune_checkpoints(d, "state_", keep=0) == []
+
+
+def test_eval_quality_adaptive_matches(tmp_path, datasets, monkeypatch):
+    """GIC_EVAL_ADAPTIVE in-run eval decode scores the same NLL/BLEU as
+    the full-T decode (captions strip at <E> before scoring)."""
+    cfg = _config(str(tmp_path), pretrain_epochs=1, adv_epochs=0)
+    inst = GANInstructor(cfg, *datasets, silent=True)
+    inst._run()
+    base = inst.evaluate_quality()
+    monkeypatch.setenv("GIC_EVAL_ADAPTIVE", "4")
+    del inst._greedy_decode          # force recompile under the env
+    fast = inst.evaluate_quality()
+    assert fast["bleu4"] == base["bleu4"]
+    assert abs(fast["nll_gen"] - base["nll_gen"]) < 1e-6
