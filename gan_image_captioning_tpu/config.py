@@ -358,6 +358,10 @@ def add_tpu_args(parser):
                    help="SCST reward metric: CIDEr-D with idf fit over the "
                         "training captions (the COCO leaderboard metric) "
                         "or smoothed sentence BLEU-4")
+    g.add_argument("--scst-multi-ref", action="store_true",
+                   help="SCST rewards score against ALL of the row's "
+                        "image's reference captions (coco-caption "
+                        "pairing) instead of the row's own caption only")
     g.add_argument("--scst-lr", type=float, default=0.0,
                    help="SCST learning rate (0 = reuse --gen-lr); the "
                         "update shares the adversarial generator Adam "
@@ -588,6 +592,7 @@ class Config:
     keep_checkpoints: int = 0
     scst_epochs: int = 0
     scst_reward: str = "cider"
+    scst_multi_ref: bool = False
     scst_lr: float = 0.0
     eval_bleu_every: int = 0
     beam_size: int = 1

@@ -238,7 +238,14 @@ class Batcher:
         pad_to = self.batch_size if self.pad_final else None
         if imgs[0] is None:
             imgs = None
-        return make_batch(caps, imgs, width, pad_to)
+        batch = make_batch(caps, imgs, width, pad_to)
+        # dataset row per batch row (pad rows repeat row 0, weights mark
+        # them) — lets consumers look up per-row metadata (e.g. SCST's
+        # multi-reference reward groups rows by image)
+        index = np.full((batch["captions"].shape[0],), int(idx[0]), np.int32)
+        index[: len(idx)] = idx
+        batch["index"] = index
+        return batch
 
     def __iter__(self) -> Iterator[dict]:
         batches = list(self._index_batches())

@@ -498,7 +498,13 @@ class GANInstructor:
 
         self.log.info("SCST finetuning (%d epochs, reward=%s)"
                       % (epochs, self.config.scst_reward))
-        reward_fn = scst_lib.build_reward_fn(self.config, self.train_dataset)
+        train_refs = val_refs = None
+        if self.config.scst_multi_ref:
+            train_refs = scst_lib.build_row_references(self.train_dataset,
+                                                       True)
+            val_refs = scst_lib.build_row_references(self.dev_dataset, True)
+        reward_fn = scst_lib.build_reward_fn(self.config, self.train_dataset,
+                                             row_refs=train_refs)
         rollout, update = scst_lib.make_scst_programs(self.config)
         base_key = jax.random.PRNGKey(self.config.seed + 31)
         best = None
@@ -513,10 +519,13 @@ class GANInstructor:
                     f"scst/{epoch}", total=len(self.pre_train_loader)):
                 k1, k2 = jax.random.split(jax.random.fold_in(base_key, step))
                 sampled, greedy = rollout(self.state.gen_params, batch, k1)
-                sampled, greedy, refs = jax.device_get(
-                    (sampled, greedy, batch["captions"]))
+                sampled, greedy, refs, w, bidx = jax.device_get(
+                    (sampled, greedy, batch["captions"], batch["weights"],
+                     batch.get("index")))
                 adv = scst_lib.batch_advantage(reward_fn, sampled, greedy,
-                                               refs)
+                                               refs, row_refs=train_refs,
+                                               index=bidx)
+                adv *= w  # pad rows (zero weight) contribute no gradient
                 self.state, loss = update(self.state, batch,
                                           jax.numpy.asarray(sampled),
                                           jax.numpy.asarray(adv), k2)
@@ -528,8 +537,10 @@ class GANInstructor:
             for batch in self._device_batches(self.pre_eval_loader):
                 k = jax.random.fold_in(base_key, 10**6 + n_val)
                 _, greedy = rollout(self.state.gen_params, batch, k)
-                greedy, refs = jax.device_get((greedy, batch["captions"]))
-                val_r += scst_lib.batch_reward(reward_fn, greedy, refs)
+                greedy, refs, bidx = jax.device_get(
+                    (greedy, batch["captions"], batch.get("index")))
+                val_r += scst_lib.batch_reward(reward_fn, greedy, refs,
+                                               row_refs=val_refs, index=bidx)
                 n_val += 1
             val_r /= max(n_val, 1)
             train_loss = float(np.mean(jax.device_get(losses))) \

@@ -96,14 +96,37 @@ def make_scst_programs(config: Config):
     return jax.jit(rollout), jax.jit(update)
 
 
-def build_reward_fn(config: Config, train_dataset):
+def build_row_references(dataset, multi_ref: bool) -> List[List[list]]:
+    """Per-dataset-row reference sets (stripped token lists).
+
+    ``multi_ref`` groups rows by ``dataset.image_key`` — row i's reward is
+    scored against ALL of its image's captions (the coco-caption pairing;
+    the dataset is flattened per-caption).  Without it each row pairs with
+    its own caption only.  Uses ``caption_ids`` when the dataset offers it
+    (skips image decode on conditional data).
+    """
+    get = getattr(dataset, "caption_ids", None)
+    if get is None:
+        get = lambda i: dataset.sample(i)[0]  # noqa: E731
+    caps = [strip_caption(get(i)) for i in range(len(dataset))]
+    if not multi_ref:
+        return [[c] for c in caps]
+    key_of = getattr(dataset, "image_key", None)
+    if key_of is None:
+        return [[c] for c in caps]
+    groups: dict = {}
+    for i in range(len(dataset)):
+        groups.setdefault(key_of(i), []).append(caps[i])
+    return [groups[key_of(i)] for i in range(len(dataset))]
+
+
+def build_reward_fn(config: Config, train_dataset, row_refs=None):
     """Resolve ``--scst-reward`` into ``reward(cand_ids_row, refs) ->
     float`` over STRIPPED token lists.
 
-    For CIDEr the idf corpus is the training set's captions (one document
-    per item, single-reference — the loader's per-row caption is the only
-    pairing the batch carries; coco-caption fits idf the same way over
-    its reference sets).
+    For CIDEr the idf corpus is the training set's reference sets (one
+    document per image under ``--scst-multi-ref``, else one per row —
+    coco-caption fits idf over its reference sets the same way).
     """
     if config.scst_reward == "bleu":
         from gan_image_captioning_tpu.eval.bleu import sentence_bleu
@@ -111,34 +134,53 @@ def build_reward_fn(config: Config, train_dataset):
         return lambda cand, refs: sentence_bleu(cand, refs)
     from gan_image_captioning_tpu.eval.cider import CiderScorer
 
-    corpus: List[List[list]] = []
-    for i in range(len(train_dataset)):
-        ids, _ = train_dataset.sample(i)
-        corpus.append([strip_caption(ids)])
+    if row_refs is None:
+        row_refs = build_row_references(train_dataset,
+                                        config.scst_multi_ref)
+    # one idf document per distinct reference set (per image)
+    if config.scst_multi_ref:
+        seen, corpus = set(), []
+        for refs in row_refs:
+            key = tuple(tuple(r) for r in refs)
+            if key not in seen:
+                seen.add(key)
+                corpus.append(refs)
+    else:
+        corpus = row_refs
     scorer = CiderScorer(corpus)
     return scorer.score
 
 
 def batch_advantage(reward_fn, sampled_ids: np.ndarray,
-                    greedy_ids: np.ndarray,
-                    ref_rows: np.ndarray) -> np.ndarray:
-    """Self-critical advantage per row: r(sampled) - r(greedy), each
-    scored against the row's reference caption."""
+                    greedy_ids: np.ndarray, ref_rows: np.ndarray,
+                    row_refs=None, index=None) -> np.ndarray:
+    """Self-critical advantage per row: r(sampled) - r(greedy).
+
+    References: the row's image's full set when ``row_refs``/``index``
+    are given (multi-ref), else the row's own caption from the batch.
+    """
     B = sampled_ids.shape[0]
     adv = np.zeros((B,), np.float32)
     for i in range(B):
-        refs = [strip_caption(ref_rows[i])]
+        if row_refs is not None and index is not None:
+            refs = row_refs[int(index[i])]
+        else:
+            refs = [strip_caption(ref_rows[i])]
         r = reward_fn(strip_caption(sampled_ids[i]), refs)
         b = reward_fn(strip_caption(greedy_ids[i]), refs)
         adv[i] = r - b
     return adv
 
 
-def batch_reward(reward_fn, ids: np.ndarray, ref_rows: np.ndarray) -> float:
+def batch_reward(reward_fn, ids: np.ndarray, ref_rows: np.ndarray,
+                 row_refs=None, index=None) -> float:
     """Mean metric reward of decoded rows vs their references (val sweeps)."""
     B = ids.shape[0]
     tot = 0.0
     for i in range(B):
-        tot += reward_fn(strip_caption(ids[i]),
-                         [strip_caption(ref_rows[i])])
+        if row_refs is not None and index is not None:
+            refs = row_refs[int(index[i])]
+        else:
+            refs = [strip_caption(ref_rows[i])]
+        tot += reward_fn(strip_caption(ids[i]), refs)
     return tot / max(B, 1)

@@ -131,3 +131,58 @@ def test_scst_bleu_reward_phase(tmp_path):
     inst = GANInstructor(cfg, train, val, silent=True)
     inst._run()
     assert os.path.isdir(os.path.join(cfg.model_dir, "scst_model.ckpt"))
+
+
+def test_batch_index_maps_rows():
+    """Batches carry the dataset row per batch row; pad rows repeat row 0
+    with zero weight (shuffled epochs stay consistent)."""
+    from gan_image_captioning_tpu.data.loader import Batcher
+
+    ds = SyntheticCaptions("train", num_items=10)
+    loader = Batcher(ds, batch_size=4, seq_len=9, shuffle=True, seed=3,
+                     num_workers=1)
+    seen = []
+    for batch in loader:
+        assert batch["index"].shape == (4,)
+        for j in range(4):
+            if batch["weights"][j] == 0:
+                continue
+            want, _ = ds.sample(int(batch["index"][j]))
+            got = batch["captions"][j]
+            np.testing.assert_array_equal(got[1: 1 + len(want)], want)
+            seen.append(int(batch["index"][j]))
+    assert sorted(seen) == list(range(10))
+
+
+def test_multi_ref_row_references_mini_coco():
+    """--scst-multi-ref groups references by image: on mini-COCO (5
+    captions per image) every row's reference set has all 5 captions."""
+    from gan_image_captioning_tpu.data.coco import CocoCaptions
+    from gan_image_captioning_tpu.train.scst import build_row_references
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "mini_coco")
+    cj = os.path.join(root, "dataset_coco.json")
+    ds = CocoCaptions(cj, root, "train", 48, captions_per_image=5,
+                      conditional=False)
+    single = build_row_references(ds, multi_ref=False)
+    multi = build_row_references(ds, multi_ref=True)
+    assert all(len(r) == 1 for r in single)
+    assert all(len(r) == 5 for r in multi)
+    # the row's own caption is inside its image's set
+    for i in range(0, len(ds), 7):
+        assert single[i][0] in multi[i]
+
+
+def test_scst_multi_ref_phase(tmp_path):
+    """--scst-multi-ref end-to-end on the synthetic set (1 caption per
+    image — multi-ref degenerates to single-ref, the phase must run)."""
+    from gan_image_captioning_tpu.train.instructor import GANInstructor
+
+    cfg = _cfg(str(tmp_path), pretrain_epochs=1, scst_epochs=1,
+               scst_multi_ref=True, scst_lr=1e-4)
+    train = SyntheticCaptions("train", num_items=16)
+    val = SyntheticCaptions("val", num_items=8)
+    inst = GANInstructor(cfg, train, val, silent=True)
+    inst._run()
+    assert os.path.isdir(os.path.join(cfg.model_dir, "scst_model.ckpt"))
