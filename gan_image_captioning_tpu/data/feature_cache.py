@@ -88,7 +88,15 @@ class CachedFeatureDataset:
     def caption_length(self, i: int) -> int:
         return self.base.caption_length(i)
 
-    def sample(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+    def caption_ids(self, i: int) -> np.ndarray:
         get_ids = getattr(self.base, "caption_ids", None)
-        ids = get_ids(i) if get_ids else self.base.sample(i)[0]
-        return ids, self.features[i]
+        return get_ids(i) if get_ids else self.base.sample(i)[0]
+
+    def image_key(self, i: int) -> str:
+        """Forward the base dataset's grouping key — --scst-multi-ref /
+        --multi-ref must keep working under --cache-features."""
+        key_of = getattr(self.base, "image_key", None)
+        return key_of(i) if key_of else str(i)
+
+    def sample(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self.caption_ids(i), self.features[i]

@@ -56,8 +56,17 @@ def cider_d(candidates: List[Sequence],
     num_images = len(candidates)
     if num_images == 0:
         return 0.0
+    doc_freq, log_n = _fit_doc_freq(references)
 
-    # df per n: in how many images' reference sets does the n-gram appear?
+    total = 0.0
+    for cand, refs in zip(candidates, references):
+        total += _image_score(list(cand), refs, doc_freq, log_n)
+    return total / num_images
+
+
+def _fit_doc_freq(references: List[List[Sequence]]):
+    """Document frequency per n (in how many images' reference sets does
+    the n-gram appear?) + the idf log base; coco-caption guards log(1)=0."""
     doc_freq = [defaultdict(int) for _ in range(_MAX_N)]
     for refs in references:
         for n in range(1, _MAX_N + 1):
@@ -66,12 +75,7 @@ def cider_d(candidates: List[Sequence],
                 grams.update(_ngram_counts(list(ref), n).keys())
             for gram in grams:
                 doc_freq[n - 1][gram] += 1
-    log_n = math.log(max(num_images, 2))  # coco-caption guards log(1)=0
-
-    total = 0.0
-    for cand, refs in zip(candidates, references):
-        total += _image_score(list(cand), refs, doc_freq, log_n)
-    return total / num_images
+    return doc_freq, math.log(max(len(references), 2))
 
 
 def _image_score(cand: list, refs: List[Sequence],
@@ -112,16 +116,8 @@ class CiderScorer:
     """
 
     def __init__(self, corpus_references: List[List[Sequence]]):
-        self.doc_freq = [defaultdict(int) for _ in range(_MAX_N)]
         self.num_images = len(corpus_references)
-        for refs in corpus_references:
-            for n in range(1, _MAX_N + 1):
-                grams = set()
-                for ref in refs:
-                    grams.update(_ngram_counts(list(ref), n).keys())
-                for gram in grams:
-                    self.doc_freq[n - 1][gram] += 1
-        self.log_n = math.log(max(self.num_images, 2))
+        self.doc_freq, self.log_n = _fit_doc_freq(corpus_references)
 
     def score(self, candidate: Sequence, references: List[Sequence]) -> float:
         return _image_score(list(candidate), references, self.doc_freq,

@@ -119,13 +119,16 @@ class CoalescingBatcher:
         sync): padding_frac is the share of dispatched rows that were
         pad replicas — high values at steady load mean the buckets (or
         the coalescing window) are mis-sized."""
-        rd = self.rows_dispatched
+        # snapshot both counters once; a stats() call can land mid-drain
+        # (requested incremented, dispatch pending) — clamp at 0 so the
+        # transient never reads as a negative padding share
+        rd, rq = self.rows_dispatched, self.rows_requested
         return {
             "requests": self.requests,
             "device_calls": self.device_calls,
-            "rows_requested": self.rows_requested,
+            "rows_requested": rq,
             "rows_dispatched": rd,
-            "padding_frac": round(1.0 - self.rows_requested / rd, 4)
+            "padding_frac": round(max(0.0, 1.0 - rq / rd), 4)
             if rd else 0.0,
         }
 

@@ -505,7 +505,8 @@ class GANInstructor:
             val_refs = scst_lib.build_row_references(self.dev_dataset, True)
         reward_fn = scst_lib.build_reward_fn(self.config, self.train_dataset,
                                              row_refs=train_refs)
-        rollout, update = scst_lib.make_scst_programs(self.config)
+        rollout, update, greedy_only = scst_lib.make_scst_programs(
+            self.config)
         base_key = jax.random.PRNGKey(self.config.seed + 31)
         best = None
         step = 0
@@ -532,17 +533,20 @@ class GANInstructor:
                 advs.append(float(adv.mean()))
                 losses.append(loss)
                 step += 1
-            # val sweep: mean greedy reward (the quantity SCST maximizes)
-            val_r, n_val = 0.0, 0
+            # val sweep: mean greedy reward (the quantity SCST maximizes);
+            # greedy-only program, pad rows excluded from the mean
+            val_sum, val_n = 0.0, 0
             for batch in self._device_batches(self.pre_eval_loader):
-                k = jax.random.fold_in(base_key, 10**6 + n_val)
-                _, greedy = rollout(self.state.gen_params, batch, k)
-                greedy, refs, bidx = jax.device_get(
-                    (greedy, batch["captions"], batch.get("index")))
-                val_r += scst_lib.batch_reward(reward_fn, greedy, refs,
-                                               row_refs=val_refs, index=bidx)
-                n_val += 1
-            val_r /= max(n_val, 1)
+                greedy = greedy_only(self.state.gen_params, batch)
+                greedy, refs, w, bidx = jax.device_get(
+                    (greedy, batch["captions"], batch["weights"],
+                     batch.get("index")))
+                s, c = scst_lib.batch_reward(reward_fn, greedy, refs,
+                                             row_refs=val_refs, index=bidx,
+                                             weights=w)
+                val_sum += s
+                val_n += c
+            val_r = val_sum / max(val_n, 1)
             train_loss = float(np.mean(jax.device_get(losses))) \
                 if losses else 0.0
             self.writer.add_scalar("SCST_val_reward", val_r, step)

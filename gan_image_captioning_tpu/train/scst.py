@@ -53,6 +53,7 @@ def make_scst_programs(config: Config):
 
     ``rollout(gen_params, batch, rng) -> (sampled_ids, greedy_ids)``
     ``update(state, batch, sampled_ids, advantage, rng) -> (state, loss)``
+    ``greedy_only(gen_params, batch) -> greedy_ids`` (val sweeps)
     """
     lr = config.scst_lr if config.scst_lr > 0 else config.gen_lr
     tx = make_optimizer(lr, config.clip_norm, config)
@@ -66,6 +67,14 @@ def make_scst_programs(config: Config):
         greedy = decode_lib.greedy(gen_params, cond["features"], config,
                                    context=cond["context"])
         return sampled, greedy
+
+    def greedy_only(gen_params, batch):
+        # val sweeps score the greedy decode only — don't pay the
+        # stochastic rollout's second full decode there
+        cond, _ = api.generator_condition(config, gen_params, batch,
+                                          train=False)
+        return decode_lib.greedy(gen_params, cond["features"], config,
+                                 context=cond["context"])
 
     def update(state, batch, sampled_ids, advantage, rng):
         def loss_fn(gp):
@@ -93,7 +102,7 @@ def make_scst_programs(config: Config):
         )
         return state, loss
 
-    return jax.jit(rollout), jax.jit(update)
+    return jax.jit(rollout), jax.jit(update), jax.jit(greedy_only)
 
 
 def build_row_references(dataset, multi_ref: bool) -> List[List[list]]:
@@ -173,14 +182,18 @@ def batch_advantage(reward_fn, sampled_ids: np.ndarray,
 
 
 def batch_reward(reward_fn, ids: np.ndarray, ref_rows: np.ndarray,
-                 row_refs=None, index=None) -> float:
-    """Mean metric reward of decoded rows vs their references (val sweeps)."""
+                 row_refs=None, index=None, weights=None):
+    """Weighted (sum, count) of metric rewards over real rows — pad rows
+    (weight 0) are excluded so partial final batches don't skew val means."""
     B = ids.shape[0]
-    tot = 0.0
+    tot, cnt = 0.0, 0
     for i in range(B):
+        if weights is not None and weights[i] == 0:
+            continue
         if row_refs is not None and index is not None:
             refs = row_refs[int(index[i])]
         else:
             refs = [strip_caption(ref_rows[i])]
         tot += reward_fn(strip_caption(ids[i]), refs)
-    return tot / max(B, 1)
+        cnt += 1
+    return tot, cnt

@@ -154,10 +154,13 @@ def main(argv=None):
                 params, cond["features"], ids, config, cond["context"])
         elif args.adaptive_chunk > 0:
             # early-stopping greedy: same captions/logprobs, the program
-            # ends once every row emitted <E> (<PAD> tail)
+            # ends once every row emitted <E> (<PAD> tail); TP axes force
+            # the scan chunks (the kernel holds whole vocab blocks)
+            tp_mesh = mesh is not None and any(
+                n != "data" and s > 1 for n, s in mesh.shape.items())
             ids, scores = decode_lib.greedy_with_logprobs_adaptive(
                 dparams, cond["features"], config, context=cond["context"],
-                chunk=args.adaptive_chunk)
+                chunk=args.adaptive_chunk, allow_kernel=not tp_mesh)
         else:
             ids = decode_lib.greedy(dparams, cond["features"], config,
                                     context=cond["context"])

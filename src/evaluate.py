@@ -140,6 +140,8 @@ def main(argv=None):
                 disc_params, disc_spec)
 
     adaptive = int(getattr(args, "adaptive_chunk", 0))
+    tp_mesh = mesh is not None and any(
+        n != "data" and s > 1 for n, s in mesh.shape.items())
 
     def eval_batch(params, dparams, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)
@@ -161,10 +163,12 @@ def main(argv=None):
         elif adaptive > 0:
             # early-stopping program: stops once every row emitted <E>
             # (ids get a <PAD> tail — BLEU strips at <E> either way; the
-            # disc score then reads <PAD> instead of post-<E> argmax noise)
+            # disc score then reads <PAD> instead of post-<E> argmax noise).
+            # TP-sharded params force the scan chunks: the weights-resident
+            # kernel holds whole vocab blocks (same gate as serve.py)
             ids, _ = decode_lib.greedy_with_logprobs_adaptive(
                 dparams, cond["features"], config, context=cond["context"],
-                chunk=adaptive)
+                chunk=adaptive, allow_kernel=not tp_mesh)
         else:
             ids = decode_lib.greedy(dparams, cond["features"], config,
                                     context=cond["context"])

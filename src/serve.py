@@ -306,7 +306,13 @@ class CaptionService:
             buckets = [int(x) for x in spec.split(",")]
         if buckets and self.mesh is not None:
             n_data = dict(self.mesh.shape).get("data", 1)
-            buckets = [b for b in buckets if b % n_data == 0]
+            kept = [b for b in buckets if b % n_data == 0]
+            if not kept and n_data > 1:
+                raise SystemExit(
+                    f"--serve-buckets {spec}: no bucket divides the mesh "
+                    f"data axis ({n_data}) — every dispatched shape must "
+                    f"split over 'data'; use multiples of {n_data}")
+            buckets = kept
         self.batcher = CoalescingBatcher(run_decode, self.batch_size,
                                          feat_dim, bucket_sizes=buckets)
         # warm through the REAL request path so the first client request

@@ -72,7 +72,7 @@ def test_zero_advantage_is_a_no_op():
     T = cfg.seq_len
     batch = {"captions": jnp.zeros((4, T), jnp.int32).at[:, 0].set(1),
              "weights": jnp.ones((4,), jnp.float32)}
-    rollout, update = make_scst_programs(cfg)
+    rollout, update, _ = make_scst_programs(cfg)
     sampled, greedy = rollout(state.gen_params, batch, jax.random.PRNGKey(1))
     assert sampled.shape == greedy.shape == (4, T)
     new_state, loss = update(state, batch, sampled,
@@ -95,7 +95,7 @@ def test_positive_advantage_moves_params():
     T = cfg.seq_len
     batch = {"captions": jnp.zeros((4, T), jnp.int32).at[:, 0].set(1),
              "weights": jnp.ones((4,), jnp.float32)}
-    rollout, update = make_scst_programs(cfg)
+    rollout, update, _ = make_scst_programs(cfg)
     sampled, _ = rollout(state.gen_params, batch, jax.random.PRNGKey(1))
     new_state, _ = update(state, batch, sampled,
                           jnp.ones((4,), jnp.float32), jax.random.PRNGKey(2))
