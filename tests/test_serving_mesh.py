@@ -286,3 +286,30 @@ def test_transformer_slots_under_mesh():
             np.testing.assert_array_equal(ids, want_row)
     finally:
         eng.close()
+
+
+def test_evaluate_adaptive_under_meshes(tmp_path, capsys):
+    """--adaptive-chunk under a data-only mesh AND under a TP mesh (which
+    must force the scan chunks off the kernel path) matches the
+    single-device fixed-T metrics."""
+    import json
+
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.evaluate import main
+
+    cfg = _cfg(vocab_size=36)
+    params = api.init_generator(jax.random.PRNGKey(17), cfg)
+    ckpt = str(tmp_path / "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+    argv = ["--checkpoint", ckpt, "--dataset", "synthetic",
+            "--max-seq-len", "6", "--vocab-multiple", "2",
+            "--gen-embed-dim", "8", "--gen-hidden-dim", "12",
+            "--conditional-gan", "0", "--pre-eval-batch-size", "8",
+            "--num-workers", "1", "--max-batches", "2"]
+    main(argv)
+    want = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for mesh in ("data:8", "data:4,model:2"):
+        main(argv + ["--adaptive-chunk", "3", "--mesh", mesh])
+        got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert got["nll_gen"] == want["nll_gen"], mesh
+        assert got["bleu4"] == want["bleu4"], mesh
