@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from gan_image_captioning_tpu.config import Config
 from gan_image_captioning_tpu.models.transformer import (
     _dense_init, _ln_init, block_apply, causal_mask, dense, init_block,
-    layer_norm)
+    layer_norm, remat_block_apply)
 from gan_image_captioning_tpu.ops.initializers import init_param_tree
 
 
@@ -83,8 +83,8 @@ def _trunk_embedded(params, emb, config: Config, causal: bool, lengths=None):
                             causal=causal)
     else:
         for blk in params["blocks"]:
-            x = block_apply(blk, x, config.disc_num_heads, mask,
-                            cp_causal=cp_causal)
+            x = remat_block_apply(blk, x, config.disc_num_heads, mask,
+                                  cp_causal=cp_causal)
     return layer_norm(params["ln_f"], x)
 
 

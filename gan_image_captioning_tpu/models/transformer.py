@@ -119,6 +119,34 @@ def block_apply(p, x, n_heads, mask=None, context=None, context_mask=None,
     return x + dense(p["mlp"]["fc2"], jax.nn.gelu(dense(p["mlp"]["fc1"], h)))
 
 
+def _tf_remat() -> bool:
+    """GIC_TF_REMAT=1: rematerialize each transformer block's activations
+    in the backward pass (``jax.checkpoint`` per block) — residual memory
+    per block drops from every intermediate to the block input, trading
+    one extra forward.  Off by default: at the report's 4-layer/256-wide
+    geometry activations are not the constraint; this is the lever for
+    the config-5 stretch (GPT-2-small depth) and long-context variants,
+    mirroring GIC_SCAN_REMAT on the LSTM scan (measured-neutral there,
+    docs/benchmarks.md)."""
+    import os
+
+    return os.environ.get("GIC_TF_REMAT", "0") == "1"
+
+
+def remat_block_apply(p, x, n_heads, mask=None, context=None,
+                      context_mask=None, cp_causal=None):
+    """``block_apply``, optionally wrapped in ``jax.checkpoint``
+    (GIC_TF_REMAT=1).  Static Python args (n_heads, cp_causal) close over
+    the wrapped function; array/None args flow through the checkpoint."""
+    if not _tf_remat():
+        return block_apply(p, x, n_heads, mask, context, context_mask,
+                           cp_causal)
+    fn = jax.checkpoint(
+        lambda p_, x_, m_, c_, cm_: block_apply(p_, x_, n_heads, m_, c_,
+                                                cm_, cp_causal))
+    return fn(p, x, mask, context, context_mask)
+
+
 def causal_mask(t: int):
     """Lower-triangular [1, 1, T, T] attend-mask."""
     return jnp.tril(jnp.ones((t, t), bool))[None, None, :, :]
@@ -243,7 +271,7 @@ def pipeline_blocks(blocks, x, n_heads: int, causal: bool):
     def stage(params_chunk, xb):
         mask = causal_mask(xb.shape[1]) if causal else None
         for blk in params_chunk:  # list of g per-stage blocks
-            xb = block_apply(blk, xb, n_heads, mask)
+            xb = remat_block_apply(blk, xb, n_heads, mask)
         return xb
 
     return pipeline_apply(stacked, x, stage, mesh, axis_name,
@@ -345,8 +373,8 @@ def teacher_forced(dec: dict, features, captions, config: Config, rng=None,
                             causal=True)
     else:
         for blk in dec["blocks"]:
-            x = block_apply(blk, x, config.gen_num_heads, mask, context,
-                            cp_causal=cp_causal)
+            x = remat_block_apply(blk, x, config.gen_num_heads, mask,
+                                  context, cp_causal=cp_causal)
     logits = _project(dec, layer_norm(dec["ln_f"], x))
     if pretrain:
         return logits

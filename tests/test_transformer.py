@@ -174,3 +174,34 @@ def test_conditional_transformer_uses_image_grid():
     logits = api.generator_mle_outputs(params, cond, jnp.asarray(batch["captions"]),
                                        jax.random.PRNGKey(0), cfg)
     assert logits.shape == (2, cfg.seq_len, cfg.vocab_size)
+
+
+def test_tf_remat_grads_identical(monkeypatch):
+    """GIC_TF_REMAT=1 (per-block jax.checkpoint) changes memory, not math:
+    MLE loss and generator grads match the default path exactly."""
+    import numpy as np
+
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.ops.losses import cross_entropy_loss
+
+    cfg = Config(vocab_size=40, gen_embed_dim=16, gen_hidden_dim=32,
+                 gen_arch="transformer", gen_num_layers=2, gen_num_heads=2,
+                 max_seq_len=8)
+    params = api.init_generator(jax.random.PRNGKey(2), cfg)
+    caps = jax.random.randint(jax.random.PRNGKey(3), (4, cfg.seq_len), 0, 40)
+    batch = {"captions": caps, "weights": jnp.ones((4,), jnp.float32)}
+
+    def loss_fn(p):
+        cond, _ = api.generator_condition(cfg, p, batch, train=False)
+        logits = api.generator_mle_outputs(p, cond, caps,
+                                           jax.random.PRNGKey(0), cfg)
+        return cross_entropy_loss(logits, caps, None)
+
+    base_l, base_g = jax.value_and_grad(loss_fn)(params)
+    monkeypatch.setenv("GIC_TF_REMAT", "1")
+    remat_l, remat_g = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(remat_l), float(base_l), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(base_g),
+                    jax.tree_util.tree_leaves(remat_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
