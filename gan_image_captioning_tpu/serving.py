@@ -150,6 +150,16 @@ class CoalescingBatcher:
         self._stop = True
         self._q.put(None)
         self._thread.join(timeout=5)
+        # fail whatever never got dispatched — a client blocked on a
+        # pre-shutdown submit() must error now, not at its own timeout
+        exc = RuntimeError("CoalescingBatcher closed")
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(exc)
 
     def _loop(self):
         while not self._stop:
@@ -486,6 +496,17 @@ class ContinuousBatcher:
         self._stop = True
         self._wake.set()
         self._thread.join(timeout=5)
+        # resolve everything the pool will never finish: active slots and
+        # queued requests (clients must error now, not at their timeout)
+        exc = RuntimeError("ContinuousBatcher closed")
+        self._fail_active_slots(exc)
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(exc)
 
     def _fill_free_slots(self):
         for i in range(self.B):

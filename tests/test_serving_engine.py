@@ -6,6 +6,7 @@ pool; coalescing must merge concurrent requests into fewer device
 programs without changing any result.
 """
 
+import threading
 import time
 
 import jax
@@ -279,3 +280,41 @@ def test_speculative_slots_int8_draft():
             np.testing.assert_array_equal(ids, want)
     finally:
         eng.close()
+
+
+def test_close_fails_stranded_requests():
+    """close() resolves undispatched/in-flight requests with an error —
+    a client blocked on submit().result() must not hang to its timeout."""
+    import concurrent.futures
+    import pytest
+
+    config, params, feats = _setup(b=2)
+
+    block = threading.Event()
+
+    def slow_decode(f):
+        block.wait(timeout=10)
+        ids = decode_lib.greedy(params, f, config)
+        return ids, decode_lib.sequence_logprob(params, f, ids, config)
+
+    eng = CoalescingBatcher(slow_decode, batch_size=2, feat_dim=16)
+    f1 = eng.submit(feats[:1])      # dispatcher picks this up and blocks
+    time.sleep(0.2)
+    f2 = eng.submit(feats[:1])      # stays queued
+    eng._stop = True
+    block.set()
+    eng.close()
+    f1.result(timeout=10)           # was in flight: completes
+    with pytest.raises(RuntimeError):
+        f2.result(timeout=10)
+
+    cb = ContinuousBatcher(params, config, num_slots=1, chunk_steps=2)
+    f3 = cb.submit(feats[0])
+    cb.close()
+    with pytest.raises((RuntimeError, concurrent.futures.TimeoutError)):
+        # either failed by close() or (rarely) already finished — only a
+        # HANG is a bug; a completed result is fine
+        r = f3.exception(timeout=10)
+        if r is None:
+            raise concurrent.futures.TimeoutError  # completed fine
+        raise r
