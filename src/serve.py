@@ -42,6 +42,11 @@ def parse_args(argv=None):
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--port", type=int, default=0,
                         help="TCP port (0 = stdin/stdout loop)")
+    parser.add_argument("--http-port", type=int, default=0,
+                        help="HTTP port: POST / with a request JSON body "
+                        "({'n': k} | {'image': path} | {'stats': true}) "
+                        "→ JSON response; GET /stats and GET /healthz "
+                        "also served (0 = off)")
     parser.add_argument("--serve-batch-size", type=int, default=8)
     parser.add_argument("--serve-continuous", action="store_true",
                         help="slot-based continuous batching (greedy LSTM "
@@ -384,13 +389,55 @@ class CaptionService:
                 "latency_ms": round((time.perf_counter() - t0) * 1e3, 2)}
 
 
+def make_http_server(service, port: int):
+    """HTTP front end over the same dispatcher engines: POST / with a
+    request JSON body; GET /stats and GET /healthz.  ThreadingHTTPServer —
+    concurrent requests coalesce in the engines like TCP/stdin ones."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code, obj):
+            body = (json.dumps(obj) + "\n").encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/stats":
+                self._send(200, service.handle_request({"stats": True}))
+            else:
+                self._send(404, {"error": "GET /stats | /healthz, POST /"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                resp = service.handle_request(req)
+            except Exception as exc:  # malformed request
+                self._send(400, {"error": str(exc)})
+                return
+            self._send(200 if "error" not in resp else 400, resp)
+
+        def log_message(self, *a):  # quiet: the service logs via metrics
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
 def main(argv=None):
     args = parse_args(argv)
     service = CaptionService(args)
     print(json.dumps({"status": "ready",
                       "vocab_size": service.config.vocab_size}), flush=True)
 
-    if args.port:
+    if getattr(args, "http_port", 0):
+        with make_http_server(service, args.http_port) as srv:
+            srv.serve_forever()
+    elif args.port:
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
                 for line in self.rfile:

@@ -173,3 +173,58 @@ def test_speculative_continuous_service(tmp_path):
     np.testing.assert_allclose(got["logprobs"], want["logprobs"], atol=1e-3)
     st = svc.handle_request({"stats": True})
     assert st["continuous"]["tokens_per_slot_chunk"] >= 1.0
+
+
+def test_http_front_end(tmp_path):
+    """--http-port: POST / caption requests, GET /stats and /healthz."""
+    import json as _json
+    import sys
+    import threading
+    import urllib.error
+    import urllib.request
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, make_http_server, parse_args
+
+    cfg = Config(vocab_size=35, gen_embed_dim=12, gen_hidden_dim=16,
+                 max_seq_len=9)
+    params = api.init_generator(jax.random.PRNGKey(21), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+    svc = CaptionService(parse_args([
+        "--checkpoint", ckpt, "--dataset", "synthetic", "--max-seq-len", "9",
+        "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+        "--serve-batch-size", "4"]))
+    srv = make_http_server(svc, 0)          # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert _json.load(r)["status"] == "ok"
+        req = urllib.request.Request(
+            base + "/", data=_json.dumps({"n": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = _json.load(r)
+        assert len(out["captions"]) == 2 and len(out["logprobs"]) == 2
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            st = _json.load(r)
+        assert "coalescing" in st
+        # malformed body → 400 with an error payload
+        bad = urllib.request.Request(base + "/", data=b"{nope",
+                                     headers={"Content-Type":
+                                              "application/json"})
+        try:
+            urllib.request.urlopen(bad, timeout=30)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
