@@ -186,3 +186,27 @@ def test_scst_multi_ref_phase(tmp_path):
     inst = GANInstructor(cfg, train, val, silent=True)
     inst._run()
     assert os.path.isdir(os.path.join(cfg.model_dir, "scst_model.ckpt"))
+
+
+def test_scst_under_data_mesh(tmp_path):
+    """--scst-epochs under --mesh data:8: the phase runs GSPMD-sharded and
+    reports the same val reward as the single-device run (deterministic
+    rollout keys, same batch order)."""
+    import json
+
+    from gan_image_captioning_tpu.train.instructor import GANInstructor
+
+    rewards = {}
+    for tag, mesh in (("single", ""), ("dp", "data:8")):
+        cfg = _cfg(os.path.join(str(tmp_path), tag), pretrain_epochs=1,
+                   scst_epochs=1, scst_lr=1e-4, mesh=mesh,
+                   pre_train_batch_size=8, pre_eval_batch_size=8)
+        train = SyntheticCaptions("train", num_items=32)
+        val = SyntheticCaptions("val", num_items=16)
+        inst = GANInstructor(cfg, train, val, silent=True)
+        inst._run()
+        with open(os.path.join(cfg.save_dir, "metrics.jsonl")) as f:
+            vals = [json.loads(l) for l in f if "SCST_val_reward" in l]
+        assert vals, "no SCST val reward logged"
+        rewards[tag] = vals[-1]["value"]
+    assert abs(rewards["single"] - rewards["dp"]) < 1e-4, rewards
