@@ -210,3 +210,17 @@ def test_scst_under_data_mesh(tmp_path):
         assert vals, "no SCST val reward logged"
         rewards[tag] = vals[-1]["value"]
     assert abs(rewards["single"] - rewards["dp"]) < 1e-4, rewards
+
+
+def test_scst_transformer_generator(tmp_path):
+    """SCST's rollout/rescore run through the transformer stepper too."""
+    from gan_image_captioning_tpu.train.instructor import GANInstructor
+
+    cfg = _cfg(str(tmp_path), pretrain_epochs=1, scst_epochs=1,
+               scst_lr=1e-4, gen_arch="transformer", gen_num_heads=2,
+               gen_embed_dim=16, gen_hidden_dim=32)
+    train = SyntheticCaptions("train", num_items=16)
+    val = SyntheticCaptions("val", num_items=8)
+    inst = GANInstructor(cfg, train, val, silent=True)
+    inst._run()
+    assert os.path.isdir(os.path.join(cfg.model_dir, "scst_model.ckpt"))
