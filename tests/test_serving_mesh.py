@@ -313,3 +313,41 @@ def test_evaluate_adaptive_under_meshes(tmp_path, capsys):
         got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert got["nll_gen"] == want["nll_gen"], mesh
         assert got["bleu4"] == want["bleu4"], mesh
+
+
+def test_serve_buckets_filtered_under_data_mesh(tmp_path):
+    """--serve-buckets under a data mesh keeps only bucket shapes that
+    divide the data axis (every dispatched batch splits over 'data');
+    requests still serve correctly at the filtered shapes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import pytest
+
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, parse_args
+
+    cfg = _cfg(vocab_size=36)
+    params = api.init_generator(jax.random.PRNGKey(23), cfg)
+    ckpt = str(tmp_path / "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+    base = ["--checkpoint", ckpt, "--dataset", "synthetic",
+            "--max-seq-len", "6", "--vocab-multiple", "2",
+            "--gen-embed-dim", "8", "--gen-hidden-dim", "12",
+            "--conditional-gan", "0", "--serve-batch-size", "8",
+            "--num-workers", "1"]
+    svc = CaptionService(parse_args(
+        base + ["--serve-buckets", "auto", "--mesh", "data:4,model:2"]))
+    assert svc.batcher.bucket_sizes == [4, 8]   # 1,2 dropped (data axis 4)
+    resp = svc.handle_request({"n": 2})         # pads to the 4-bucket
+    assert len(resp["captions"]) == 2
+    st = svc.handle_request({"stats": True})
+    assert st["coalescing"]["rows_dispatched"] % 4 == 0
+    svc.batcher.close()
+
+    # every bucket incompatible → explicit error, not silent fallback
+    with pytest.raises(SystemExit):
+        CaptionService(parse_args(
+            base + ["--serve-buckets", "1,2", "--mesh", "data:4,model:2"]))
