@@ -160,7 +160,7 @@ def test_adaptive_matches_full_greedy():
     feats = jax.random.normal(jax.random.PRNGKey(8), (5, 16))
 
     want_ids, want_lp = decode_lib.greedy_with_logprobs(params, feats, config)
-    for chunk in (3, 8, 32):
+    for chunk in (1, 3, 8, 32):
         ids, lp = decode_lib.greedy_with_logprobs_adaptive(
             params, feats, config, chunk=chunk)
         np.testing.assert_array_equal(_canon(ids), _canon(want_ids))
