@@ -36,12 +36,66 @@ GIC_BENCH_DTYPE (float32|bfloat16), GIC_BENCH_PALLAS.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
+
+REF_BASELINE_STEPS_PER_SEC = 10.0  # grounded estimate; see module docstring
+
+
+def _relay_guard():
+    """Guard against a wedged axon TPU relay before the first backend use.
+
+    The accelerator sitecustomize registers the tunneled-TPU PJRT plugin
+    whenever ``PALLAS_AXON_POOL_IPS`` is set; a wedged relay then hangs
+    EVERY backend init (``make_c_api_client`` never returns), which would
+    hang this bench — and the driver — indefinitely.  Probe backend init in
+    a subprocess with a timeout, retrying for a few minutes (wedges can
+    clear); on persistent failure re-exec this script with the plugin
+    disabled so the driver still gets an honest (CPU-fallback, clearly
+    labeled) JSON line instead of a hang.
+    """
+    if os.environ.get("GIC_BENCH_FALLBACK"):
+        return  # we ARE the fallback child
+    if os.environ.get("GIC_BENCH_NO_PROBE") == "1":
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # no axon registration -> backend init cannot dial the relay
+    attempts = int(os.environ.get("GIC_BENCH_PROBE_ATTEMPTS", "4"))
+    for i in range(attempts):
+        timeout = 150 if i == 0 else 75  # first init over the tunnel is slow
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('RELAY_OK')"],
+                timeout=timeout, capture_output=True, text=True)
+            if r.returncode == 0 and "RELAY_OK" in r.stdout:
+                return
+            print(f"[bench] relay probe {i + 1}/{attempts} failed "
+                  f"(rc={r.returncode})", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] relay probe {i + 1}/{attempts} timed out "
+                  f"({timeout}s)", file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(45)
+    print("[bench] axon relay wedged; re-exec on CPU (honest fallback, "
+          "reduced iters)", file=sys.stderr)
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""   # skip plugin registration entirely
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GIC_BENCH_FALLBACK"] = "axon-relay-wedged"
+    # Same flagship geometry, but one CPU core: keep the run bounded.
+    env["GIC_BENCH_ITERS"] = "3"
+    env["GIC_BENCH_WARMUP"] = "1"
+    env.setdefault("GIC_BENCH_DTYPE", "float32")  # bf16 is emulated on CPU
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
+_relay_guard()
 
 import jax
 import jax.numpy as jnp
-
-REF_BASELINE_STEPS_PER_SEC = 10.0  # grounded estimate; see module docstring
 
 import os as _os_top
 
@@ -133,12 +187,21 @@ def main():
     dt = time.perf_counter() - t0
 
     steps_per_sec = ITERS / dt
-    print(json.dumps({
+    out = {
         "metric": "adv_train_steps_per_sec_chip",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REF_BASELINE_STEPS_PER_SEC, 3),
-    }))
+    }
+    fallback = _os.environ.get("GIC_BENCH_FALLBACK")
+    if fallback:
+        out["backend"] = jax.default_backend()
+        out["note"] = (
+            f"TPU unreachable at capture ({fallback}): honest CPU-fallback "
+            "measurement at the same flagship geometry, reduced iters. "
+            "On-chip band this round: 106.3-107.0 steps/s = 10.6-10.7x "
+            "(docs/benchmarks.md 'Round-3 close: final bench band').")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
