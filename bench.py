@@ -37,7 +37,6 @@ GIC_BENCH_DTYPE (float32|bfloat16), GIC_BENCH_PALLAS.
 
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -60,25 +59,12 @@ def _relay_guard():
         return  # we ARE the fallback child
     if os.environ.get("GIC_BENCH_NO_PROBE") == "1":
         return
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
-        return  # no axon registration -> backend init cannot dial the relay
+    from gan_image_captioning_tpu.utils.relay import probe_relay
+
     attempts = int(os.environ.get("GIC_BENCH_PROBE_ATTEMPTS", "4"))
-    for i in range(attempts):
-        timeout = 150 if i == 0 else 75  # first init over the tunnel is slow
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices(); print('RELAY_OK')"],
-                timeout=timeout, capture_output=True, text=True)
-            if r.returncode == 0 and "RELAY_OK" in r.stdout:
-                return
-            print(f"[bench] relay probe {i + 1}/{attempts} failed "
-                  f"(rc={r.returncode})", file=sys.stderr)
-        except subprocess.TimeoutExpired:
-            print(f"[bench] relay probe {i + 1}/{attempts} timed out "
-                  f"({timeout}s)", file=sys.stderr)
-        if i + 1 < attempts:
-            time.sleep(45)
+    if probe_relay(attempts,
+                   log=lambda m: print(f"[bench] {m}", file=sys.stderr)):
+        return
     print("[bench] axon relay wedged; re-exec on CPU (honest fallback, "
           "reduced iters)", file=sys.stderr)
     env = dict(os.environ)

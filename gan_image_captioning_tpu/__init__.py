@@ -23,6 +23,6 @@ definitions, init strategies, sampling math, CLI flags) the docstrings cite
 the reference as ``file:line``.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # kept in sync with pyproject.toml
 
 from gan_image_captioning_tpu.config import Config, build_parser, config_from_args  # noqa: F401

@@ -110,6 +110,10 @@ class CoalescingBatcher:
         self.requests = 0
         self.rows_dispatched = 0            # incl. padding rows
         self.rows_requested = 0
+        # serializes submit() vs close(): a submit that wins the lock has
+        # its item queued before close() drains; one that loses raises —
+        # no future can land after the drain and strand its client
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._stop = False
         self._thread.start()
@@ -141,13 +145,17 @@ class CoalescingBatcher:
     def submit(self, feats_rows: np.ndarray) -> Future:
         """Enqueue one request's feature rows [n, E]; resolves to
         ``(ids [n, T], logprobs [n])``."""
-        fut: Future = Future()
-        self.requests += 1
-        self._q.put((np.asarray(feats_rows), fut))
-        return fut
+        with self._submit_lock:
+            if self._stop:
+                raise RuntimeError("CoalescingBatcher closed")
+            fut: Future = Future()
+            self.requests += 1
+            self._q.put((np.asarray(feats_rows), fut))
+            return fut
 
     def close(self):
-        self._stop = True
+        with self._submit_lock:
+            self._stop = True
         self._q.put(None)
         self._thread.join(timeout=5)
         # fail whatever never got dispatched — a client blocked on a
@@ -460,6 +468,14 @@ class ContinuousBatcher:
         self.tokens_committed = 0  # spec mode: accepted+corrected tokens
         self._stop = False
         self._wake = threading.Event()
+        # submit-vs-close ordering (see CoalescingBatcher._submit_lock)
+        self._submit_lock = threading.Lock()
+        # serializes slot bookkeeping (_slot_t/_slot_fut) between the
+        # dispatcher's commit loop and close()'s _fail_active_slots — after
+        # close()'s bounded join() times out the dispatcher can still be
+        # mid-_advance, and an unguarded fail would null a future the
+        # commit loop is about to set_result on
+        self._slot_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -487,13 +503,17 @@ class ContinuousBatcher:
     def submit(self, feats_row: np.ndarray) -> Future:
         """One caption request (a single feature row [E]); resolves to
         ``(ids [T], logprob)``."""
-        fut: Future = Future()
-        self._q.put((np.asarray(feats_row), fut))
-        self._wake.set()
-        return fut
+        with self._submit_lock:
+            if self._stop:
+                raise RuntimeError("ContinuousBatcher closed")
+            fut: Future = Future()
+            self._q.put((np.asarray(feats_row), fut))
+            self._wake.set()
+            return fut
 
     def close(self):
-        self._stop = True
+        with self._submit_lock:
+            self._stop = True
         self._wake.set()
         self._thread.join(timeout=5)
         # resolve everything the pool will never finish: active slots and
@@ -509,34 +529,40 @@ class ContinuousBatcher:
                 fut.set_exception(exc)
 
     def _fill_free_slots(self):
-        for i in range(self.B):
-            if self._slot_t[i] >= 0:
-                continue
-            try:
-                feats, fut = self._q.get_nowait()
-            except queue.Empty:
-                return
-            try:
-                self._state, self._x, self._tvec = self._reset(
-                    self._state, self._x, self._tvec, i, jnp.asarray(feats))
-            except Exception as exc:
-                # a mis-shaped feature row fails ITS request only; the slot
-                # stays free and the dispatcher keeps serving
-                if not fut.done():
-                    fut.set_exception(exc)
-                continue
-            self._slot_t[i] = 0
-            self._slot_fut[i] = fut
+        with self._slot_lock:
+            for i in range(self.B):
+                if self._slot_t[i] >= 0:
+                    continue
+                try:
+                    feats, fut = self._q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    self._state, self._x, self._tvec = self._reset(
+                        self._state, self._x, self._tvec, i,
+                        jnp.asarray(feats))
+                except Exception as exc:
+                    # a mis-shaped feature row fails ITS request only; the
+                    # slot stays free and the dispatcher keeps serving
+                    if not fut.done():
+                        fut.set_exception(exc)
+                    continue
+                self._slot_t[i] = 0
+                self._slot_fut[i] = fut
 
     def _fail_active_slots(self, exc: Exception):
         """Resolve every active slot's future with ``exc`` and free the
-        slots, keeping the dispatcher thread alive for later requests."""
-        for i in range(self.B):
-            if self._slot_t[i] >= 0 and self._slot_fut[i] is not None:
-                if not self._slot_fut[i].done():
-                    self._slot_fut[i].set_exception(exc)
-                self._slot_t[i] = -1
-                self._slot_fut[i] = None
+        slots, keeping the dispatcher thread alive for later requests.
+        Callable from close() AND the dispatcher's error path concurrently;
+        _slot_lock makes the check-then-set atomic."""
+        with self._slot_lock:
+            for i in range(self.B):
+                fut = self._slot_fut[i]
+                if self._slot_t[i] >= 0 and fut is not None:
+                    if not fut.done():
+                        fut.set_exception(exc)
+                    self._slot_t[i] = -1
+                    self._slot_fut[i] = None
 
     def _loop(self):
         while not self._stop:
@@ -557,31 +583,32 @@ class ContinuousBatcher:
             self.slot_chunks += int((self._slot_t >= 0).sum())
             # one batched fetch (two per-array fetches = two RTTs)
             ids_k, lps_k, counts = jax.device_get((ids_k, lps_k, counts))
-            for i in range(self.B):
-                t = self._slot_t[i]
-                if t < 0:
-                    continue
-                k = min(int(counts[i]), self.T - t)
-                self.tokens_committed += k
-                self._ids[i, t:t + k] = ids_k[i, :k]
-                self._lps[i, t:t + k] = lps_k[i, :k]
-                done = t + k >= self.T
-                if self.early_exit and not done:
-                    ends = np.flatnonzero(ids_k[i, :k] == END)
-                    if ends.size:
-                        # keep through the first <E>; void the tail
-                        cut = t + int(ends[0]) + 1
-                        self._ids[i, cut:] = 0
-                        self._lps[i, cut:] = 0.0
-                        done = True
-                t += k
-                if done:
-                    lp = _masked_logprob_sum(self._ids[i:i + 1],
-                                             self._lps[i:i + 1])[0]
-                    self._slot_fut[i].set_result(
-                        (self._ids[i].copy(), float(lp)))
-                    self._slot_t[i] = -1
-                    self._slot_fut[i] = None
-                    self.completed += 1
-                else:
-                    self._slot_t[i] = t
+            with self._slot_lock:  # close() may be failing slots in parallel
+                for i in range(self.B):
+                    t = self._slot_t[i]
+                    if t < 0 or self._slot_fut[i] is None:
+                        continue
+                    k = min(int(counts[i]), self.T - t)
+                    self.tokens_committed += k
+                    self._ids[i, t:t + k] = ids_k[i, :k]
+                    self._lps[i, t:t + k] = lps_k[i, :k]
+                    done = t + k >= self.T
+                    if self.early_exit and not done:
+                        ends = np.flatnonzero(ids_k[i, :k] == END)
+                        if ends.size:
+                            # keep through the first <E>; void the tail
+                            cut = t + int(ends[0]) + 1
+                            self._ids[i, cut:] = 0
+                            self._lps[i, cut:] = 0.0
+                            done = True
+                    t += k
+                    if done:
+                        lp = _masked_logprob_sum(self._ids[i:i + 1],
+                                                 self._lps[i:i + 1])[0]
+                        self._slot_fut[i].set_result(
+                            (self._ids[i].copy(), float(lp)))
+                        self._slot_t[i] = -1
+                        self._slot_fut[i] = None
+                        self.completed += 1
+                    else:
+                        self._slot_t[i] = t

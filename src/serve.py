@@ -412,20 +412,31 @@ def make_http_server(service, port: int):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/healthz":
-                self._send(200, {"status": "ok"})
-            elif self.path == "/stats":
-                self._send(200, service.handle_request({"stats": True}))
-            else:
-                self._send(404, {"error": "GET /stats | /healthz, POST /"})
+            try:
+                if self.path == "/healthz":
+                    self._send(200, {"status": "ok"})
+                elif self.path == "/stats":
+                    self._send(200, service.handle_request({"stats": True}))
+                else:
+                    self._send(404,
+                               {"error": "GET /stats | /healthz, POST /"})
+            except Exception as exc:  # never abort the connection replyless
+                self._send(500, {"error": str(exc)})
 
         def do_POST(self):
+            # 400 = the CLIENT's fault (unparseable body); anything the
+            # engine raises (decode crash, queue timeout, closed batcher)
+            # is a 500 so balancers/monitoring retry and alert server-side
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+            except Exception as exc:
+                self._send(400, {"error": f"malformed request: {exc}"})
+                return
+            try:
                 resp = service.handle_request(req)
-            except Exception as exc:  # malformed request
-                self._send(400, {"error": str(exc)})
+            except Exception as exc:
+                self._send(500, {"error": str(exc)})
                 return
             self._send(200 if "error" not in resp else 400, resp)
 
@@ -441,10 +452,10 @@ def main(argv=None):
     print(json.dumps({"status": "ready",
                       "vocab_size": service.config.vocab_size}), flush=True)
 
+    servers = []
     if getattr(args, "http_port", 0):
-        with make_http_server(service, args.http_port) as srv:
-            srv.serve_forever()
-    elif args.port:
+        servers.append(make_http_server(service, args.http_port))
+    if args.port:
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
                 for line in self.rfile:
@@ -455,8 +466,16 @@ def main(argv=None):
                     self.wfile.write((json.dumps(resp) + "\n").encode())
                     self.wfile.flush()
 
-        with socketserver.ThreadingTCPServer(("127.0.0.1", args.port),
-                                             Handler) as srv:
+        servers.append(socketserver.ThreadingTCPServer(
+            ("127.0.0.1", args.port), Handler))
+    if servers:
+        # --port and --http-port compose: extra servers run in daemon
+        # threads, the last holds the foreground (both share the engines)
+        import threading
+
+        for srv in servers[:-1]:
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+        with servers[-1] as srv:
             srv.serve_forever()
     else:
         for line in sys.stdin:

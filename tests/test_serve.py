@@ -228,3 +228,73 @@ def test_http_front_end(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_error_codes_and_dual_ports(service):
+    """Server-side faults are 500 (not 400); GET handlers never abort the
+    connection replyless; --port and --http-port compose (both front ends
+    share one service)."""
+    import json as _json
+    import socket
+    import socketserver
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from src.serve import make_http_server
+
+    srv = make_http_server(service, 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    real_handle = service.handle_request
+    try:
+        # an engine fault (anything handle_request raises) is a 500
+        def boom(req):
+            raise RuntimeError("engine fault")
+        service.handle_request = boom
+        req = urllib.request.Request(
+            base + "/", data=_json.dumps({"n": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 500
+        assert "engine fault" in _json.load(e.value)["error"]
+        # GET /stats with a raising handler: a 500 RESPONSE, not a dropped
+        # connection
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(base + "/stats", timeout=30)
+        assert e.value.code == 500
+    finally:
+        service.handle_request = real_handle
+        srv.shutdown()
+        srv.server_close()
+
+    # --port + --http-port compose: mirror main()'s wiring — TCP in a
+    # daemon thread next to the HTTP server, both over the same service
+    class Handler(socketserver.StreamRequestHandler):
+        def handle(self):
+            for line in self.rfile:
+                resp = service.handle_request(_json.loads(line))
+                self.wfile.write((_json.dumps(resp) + "\n").encode())
+                self.wfile.flush()
+
+    tcp = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    http = make_http_server(service, 0)
+    threading.Thread(target=tcp.serve_forever, daemon=True).start()
+    threading.Thread(target=http.serve_forever, daemon=True).start()
+    try:
+        with socket.create_connection(("127.0.0.1",
+                                       tcp.server_address[1]), 30) as s:
+            s.sendall(b'{"n": 1}\n')
+            line = s.makefile().readline()
+        assert len(_json.loads(line)["captions"]) == 1
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http.server_address[1]}/",
+            data=_json.dumps({"n": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert len(_json.load(r)["captions"]) == 1
+    finally:
+        tcp.shutdown(); tcp.server_close()
+        http.shutdown(); http.server_close()

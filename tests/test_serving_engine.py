@@ -318,3 +318,62 @@ def test_close_fails_stranded_requests():
         if r is None:
             raise concurrent.futures.TimeoutError  # completed fine
         raise r
+
+
+def test_submit_after_close_raises_immediately():
+    """A submit() racing past close()'s queue drain would strand its
+    future until the client's own 120 s timeout — both engines must
+    reject post-close submits synchronously instead."""
+    import pytest
+
+    config, params, feats = _setup(b=2)
+
+    def decode_fn(f):
+        ids = decode_lib.greedy(params, f, config)
+        return ids, decode_lib.sequence_logprob(params, f, ids, config)
+
+    eng = CoalescingBatcher(decode_fn, batch_size=2, feat_dim=16)
+    eng.submit(feats[:1]).result(timeout=60)
+    eng.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.submit(feats[:1])
+
+    cb = ContinuousBatcher(params, config, num_slots=1, chunk_steps=2)
+    cb.submit(feats[0]).result(timeout=60)
+    cb.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        cb.submit(feats[0])
+
+
+def test_close_races_live_dispatcher_commit():
+    """close() while the dispatcher is mid-_advance: the slot lock keeps
+    _fail_active_slots and the commit loop from double-resolving (or
+    resolving through a nulled future) — the dispatcher thread must
+    survive to process nothing further, and the request must resolve
+    exactly once (result or error, never a hang or thread crash)."""
+    config, params, feats = _setup(b=2)
+
+    release = threading.Event()
+    base_advance = {}
+
+    cb = ContinuousBatcher(params, config, num_slots=1, chunk_steps=2)
+    base_advance["fn"] = cb._advance
+
+    def slow_advance(state, x, tvec):
+        release.wait(timeout=10)   # hold the dispatcher mid-chunk
+        return base_advance["fn"](state, x, tvec)
+
+    cb._advance = slow_advance
+    fut = cb.submit(feats[0])
+    time.sleep(0.3)                # dispatcher enters slow_advance
+    t = threading.Thread(target=cb.close)
+    t.start()
+    time.sleep(0.2)
+    release.set()                  # dispatcher finishes while close() runs
+    t.join(timeout=30)
+    assert not t.is_alive()
+    # exactly-once resolution: the future must be settled (result by the
+    # commit loop or error by close) — never left pending, and reading it
+    # must not surface InvalidStateError/AttributeError from the threads
+    fut.exception(timeout=10)
+    assert fut.done()
