@@ -334,6 +334,13 @@ def add_tpu_args(parser):
     g.add_argument("--resume", type=str, default="",
                    help="path to a full TrainState checkpoint to resume from "
                         "(the reference has no resume path at all)")
+    g.add_argument("--resume-schedule", type=int, default=1,
+                   help="when --resume finds a schedule sidecar "
+                        "(<ckpt>.schedule.json, written by interrupt saves "
+                        "and periodic snapshots) fast-forward the training "
+                        "schedule to the recorded phase/epoch/batch instead "
+                        "of replaying from the start (0 = params-only resume "
+                        "— the pre-sidecar behavior)")
     g.add_argument("--init-gen-ckpt", type=str, default="",
                    help="warm-start the generator params from a params "
                         "checkpoint (optimizers fresh) — e.g. an imported "
@@ -588,6 +595,7 @@ class Config:
     dtype: str = "float32"
     seed: int = 1008
     resume: str = ""
+    resume_schedule: int = 1
     checkpoint_every: int = 0
     keep_checkpoints: int = 0
     scst_epochs: int = 0

@@ -248,7 +248,18 @@ class Batcher:
         return batch
 
     def __iter__(self) -> Iterator[dict]:
-        batches = list(self._index_batches())
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[dict]:
+        """Iterate this epoch's batches starting at batch ``start_batch``.
+
+        The epoch's index order is built in full (same seeded shuffle as a
+        plain iteration — ``seed + epoch``), then the first ``start_batch``
+        batches are dropped WITHOUT being built, so a mid-epoch resume
+        (train/schedule.py) replays the identical remainder of the epoch at
+        no skipped-batch decode cost.  ``iter_from(0)`` is ``__iter__``.
+        """
+        batches = list(self._index_batches())[start_batch:]
         self.epoch += 1
         nw = min(self.num_workers, max(len(batches), 1))
         if nw <= 1:

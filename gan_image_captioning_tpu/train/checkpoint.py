@@ -173,5 +173,9 @@ def prune_checkpoints(model_dir: str, prefix: str, keep: int) -> list:
     for name in doomed:
         path = os.path.join(model_dir, name)
         shutil.rmtree(path, ignore_errors=True)
+        # schedule sidecar (train/schedule.py) travels with its checkpoint
+        sidecar = path + ".schedule.json"
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
         deleted.append(path)
     return deleted

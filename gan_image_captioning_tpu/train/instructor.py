@@ -193,12 +193,49 @@ class GANInstructor:
         self.pretrain_steps = 0
         self.adv_batch_steps = 0
         self._ss_prob = 0.0   # scheduled-sampling feedback prob (per-epoch)
+        self._scst_step = 0
+
+        # Per-phase best-val tracking as STATE (not loop locals) so an
+        # interrupt save records it and a resumed run continues the
+        # best-checkpoint selection + --early-stop-patience counters
+        # instead of resetting them (train/schedule.py).
+        self._best = {"pretrain": {"loss": None, "since": 0, "total": 0.0},
+                      "scst": {"reward": None},
+                      "adv": {"loss": None, "since": 0}}
+
+        # Schedule fast-forward (--resume with a sidecar): restore the
+        # host-side schedule position the TrainState cannot carry — phase/
+        # epoch/batch, loader shuffle-epoch counters, step mirrors, best-val
+        # trackers.  Loaders exist by now, so counters can be set directly.
+        self._schedule = None
+        if config.resume and config.resume_schedule:
+            from gan_image_captioning_tpu.train import schedule as sched_lib
+
+            self._schedule = sched_lib.load_sidecar(config.resume)
+        if self._schedule:
+            s = self._schedule
+            for name, ep in s.get("loader_epochs", {}).items():
+                loader = getattr(self, name + "_loader", None)
+                if loader is not None:
+                    loader.epoch = int(ep)
+            self.pretrain_steps = int(s.get("pretrain_steps", 0))
+            self.adv_batch_steps = int(s.get("adv_batch_steps", 0))
+            self._scst_step = int(s.get("scst_step", 0))
+            for phase, vals in (s.get("best") or {}).items():
+                if phase in self._best:
+                    self._best[phase].update(vals)
+            self.log.info(
+                "Schedule sidecar: fast-forwarding to %s epoch %d, batch %d"
+                % (s["phase"], int(s.get("epoch", 0)),
+                   int(s.get("batches_done", 0))))
 
         # Graceful interruption (SIGTERM/SIGINT → full-state checkpoint):
         # a crash in the reference loses everything except the last best-val
         # state_dict (SURVEY §5 "failure detection"); here preemption saves
         # a resumable TrainState at the next epoch boundary.
         self._interrupted = False
+        self._interrupt_saved = False
+        self._sweep_break = None
         import signal
         import threading
 
@@ -212,14 +249,56 @@ class GANInstructor:
     def _request_interrupt(self):
         self._interrupted = True
 
-    def _checkpoint_if_interrupted(self) -> bool:
-        if not self._interrupted:
-            return False
+    def _schedule_info(self, phase: str, epoch: int,
+                       batches_done: int = 0) -> dict:
+        """Host-side schedule position for a sidecar (train/schedule.py).
+
+        ``batches_done > 0`` means the save happens MID-train-sweep: the
+        in-progress train loader already incremented its shuffle-epoch
+        counter when the sweep started, so the recorded value rewinds by
+        one — the resumed iteration then replays the identical seeded
+        order and skips the applied batches.
+        """
+        loader_epochs = {
+            name: getattr(self, name + "_loader").epoch
+            for name in ("pre_train", "pre_eval", "adv_train", "adv_eval")}
+        if batches_done > 0:
+            mid = {"pretrain": "pre_train", "scst": "pre_train",
+                   "adv": "adv_train"}[phase]
+            loader_epochs[mid] -= 1
+        return {"phase": phase, "epoch": int(epoch),
+                "batches_done": int(batches_done),
+                "pretrain_steps": int(self.pretrain_steps),
+                "adv_batch_steps": int(self.adv_batch_steps),
+                "scst_step": int(self._scst_step),
+                "loader_epochs": loader_epochs,
+                "best": self._best}
+
+    def _save_resumable(self, path: str, phase: str, epoch: int,
+                        batches_done: int = 0, sync: bool = False):
+        """Full TrainState + schedule sidecar — everything ``--resume``
+        needs to continue exactly here."""
+        from gan_image_captioning_tpu.train import schedule as sched_lib
+
+        ckpt_lib.save_state(path, self.state, sync=sync)
+        sched_lib.save_sidecar(
+            path, self._schedule_info(phase, epoch, batches_done))
+
+    def _save_interrupt(self, phase: str, epoch: int, batches_done: int = 0):
         path = os.path.join(self.model_dir, "interrupt_state.ckpt")
         # sync: the process is about to exit — the save must hit disk now
-        ckpt_lib.save_state(path, self.state, sync=True)
-        self.log.info("Interrupted — resumable TrainState saved to %s "
-                      "(restart with --resume %s)" % (path, path))
+        self._save_resumable(path, phase, epoch, batches_done, sync=True)
+        self._interrupt_saved = True
+        self.log.info(
+            "Interrupted — resumable TrainState saved to %s at %s epoch %d "
+            "batch %d (restart with --resume %s; the schedule fast-forwards "
+            "from the sidecar)" % (path, phase, epoch, batches_done, path))
+
+    def _checkpoint_if_interrupted(self, phase: str = "pretrain",
+                                   epoch: int = 0) -> bool:
+        if not self._interrupted:
+            return False
+        self._save_interrupt(phase, epoch)
         return True
 
     # ----------------------------------------------------------- MLE phase
@@ -266,7 +345,7 @@ class GANInstructor:
             pass
         return loader
 
-    def genpretrain_loop(self, what: str):
+    def genpretrain_loop(self, what: str, start_batch: int = 0):
         """One sweep — reference ``genpretrain_loop`` (training.py:48-97).
 
         Metric fetches are DEFERRED to the sweep end AND batched into one
@@ -274,12 +353,24 @@ class GANInstructor:
         sync that serializes dispatch, and even deferred per-scalar
         fetches pay one transfer RTT EACH (measured ~31 ms/scalar over
         the tunnel — 15.9 steps/s; ``device_get`` issues all the copies
-        async and blocks once — 104.8 steps/s on the same loop)."""
+        async and blocks once — 104.8 steps/s on the same loop).
+
+        Train sweeps check the interrupt flag PER BATCH: a SIGTERM breaks
+        out after the in-flight step and sets ``self._sweep_break`` to the
+        batches-done count so the caller saves a mid-epoch resumable
+        checkpoint (the round-2 behavior finished the whole epoch first —
+        longer than a preemption grace window at full-COCO scale).
+        ``start_batch`` resumes a sweep at that batch with the identical
+        shuffle order (``Batcher.iter_from``)."""
         loader = self.pre_train_loader if what == "train" else self.pre_eval_loader
         ss_prob = np.float32(self._ss_prob)  # scheduled-sampling feedback p
         pending = []                         # (device loss, tag, step)
-        for batch in self._progress(self._device_batches(loader),
-                                    f"pretrain/{what}", total=len(loader)):
+        self._sweep_break = None
+        it = (loader.iter_from(start_batch) if what == "train"
+              else iter(loader))
+        for off, batch in enumerate(self._progress(
+                self._device_batches(it), f"pretrain/{what}",
+                total=len(loader) - start_batch)):
             if what == "train":
                 self.state, metrics = self.mle_step(self.state, batch,
                                                     ss_prob)
@@ -291,6 +382,9 @@ class GANInstructor:
                 tag = "GenPreTraining_val_loss"
             pending.append((metrics["gen_pretrain_loss"], tag,
                             self.pretrain_steps))
+            if what == "train" and self._interrupted:
+                self._sweep_break = start_batch + off + 1
+                break
         fetched = jax.device_get([dev for dev, _, _ in pending])
         losses = []
         for loss, (_, tag, step) in zip(fetched, pending):
@@ -301,24 +395,33 @@ class GANInstructor:
 
     def pretrain_generator(self, epochs: int):
         """Reference ``pretrain_generator`` (training.py:99-126)."""
+        from gan_image_captioning_tpu.train import schedule as sched_lib
+
+        if sched_lib.phase_completed(self._schedule, "pretrain"):
+            return 0.0  # resumed past this phase (train/schedule.py)
+        start_epoch, start_batch = sched_lib.phase_start(self._schedule,
+                                                         "pretrain")
         self.log.info("Pretraining Generator")
-        total_loss = 0.0
-        best_loss = None
-        since_best = 0
-        for epoch in range(epochs):
-            if self._checkpoint_if_interrupted():
-                break
+        best = self._best["pretrain"]
+        for epoch in range(start_epoch, epochs):
+            if self._checkpoint_if_interrupted("pretrain", epoch):
+                return best["total"] / epochs if epochs else 0
             if self.config.mle_objective == "scheduled":
                 # linear per-epoch ramp 0 → ss_max_prob (Bengio et al. 2015)
                 self._ss_prob = (self.config.ss_max_prob
                                  * epoch / max(1, epochs - 1))
-            train_epoch_loss = float(np.mean(self.genpretrain_loop("train") or [0]))
-            total_loss += train_epoch_loss
+            sb = start_batch if epoch == start_epoch else 0
+            train_epoch_loss = float(np.mean(
+                self.genpretrain_loop("train", start_batch=sb) or [0]))
+            if self._sweep_break is not None:
+                self._save_interrupt("pretrain", epoch, self._sweep_break)
+                return best["total"] / epochs if epochs else 0
+            best["total"] += train_epoch_loss
             val_epoch_loss = float(np.mean(self.genpretrain_loop("val") or [0]))
 
-            if best_loss is None or val_epoch_loss < best_loss:
-                best_loss = val_epoch_loss
-                since_best = 0
+            if best["loss"] is None or val_epoch_loss < best["loss"]:
+                best["loss"] = val_epoch_loss
+                best["since"] = 0
                 ckpt_lib.save_params(
                     os.path.join(self.model_dir, "pretrained_model.ckpt"),
                     self.state.gen_params)
@@ -328,28 +431,30 @@ class GANInstructor:
                                      "pretrained_model_ema.ckpt"),
                         self.state.ema_gen_params)
                 self.log.info("Saving Best model [Gen Loss = {}] at Epoch {}"
-                              .format(best_loss, epoch))
+                              .format(best["loss"], epoch))
             else:
-                since_best += 1
+                best["since"] += 1
             if (self.config.checkpoint_every
                     and epoch % self.config.checkpoint_every == 0):
                 # periodic full-state snapshots during PRETRAIN too (the
-                # adv loop has had them since round 2) + retention
-                ckpt_lib.save_state(
+                # adv loop has had them since round 2) + retention; the
+                # sidecar makes --resume continue at the NEXT epoch
+                self._save_resumable(
                     os.path.join(self.model_dir,
-                                 f"state_pre_{epoch}.ckpt"), self.state)
+                                 f"state_pre_{epoch}.ckpt"),
+                    "pretrain", epoch + 1)
                 ckpt_lib.prune_checkpoints(self.model_dir, "state_pre_",
                                            self.config.keep_checkpoints)
             if epoch % self.config.pre_log_step == 0:
                 self.log.info("Epoch {}: \n \t Train: {} \n\t Val: {} "
                               .format(epoch, train_epoch_loss, val_epoch_loss))
             if (self.config.early_stop_patience
-                    and since_best >= self.config.early_stop_patience):
+                    and best["since"] >= self.config.early_stop_patience):
                 self.log.info(
                     "Early stop: pretrain val loss has not improved for %d "
-                    "epochs (best %.6f)" % (since_best, best_loss))
+                    "epochs (best %.6f)" % (best["since"], best["loss"]))
                 break
-        return total_loss / epochs if epochs != 0 else 0
+        return best["total"] / epochs if epochs != 0 else 0
 
     # ---------------------------------------------------- adversarial phase
 
@@ -360,8 +465,13 @@ class GANInstructor:
             self.config.temperature, adv_epoch + batch_frac,
             self.config.adv_epochs, self.config.temp_adpt)
 
-    def adv_loop(self, what: str, adv_epoch: int):
-        """One sweep — reference ``adv_loop`` (training.py:128-188)."""
+    def adv_loop(self, what: str, adv_epoch: int, start_batch: int = 0):
+        """One sweep — reference ``adv_loop`` (training.py:128-188).
+
+        Train sweeps honor per-batch interrupts and ``start_batch`` resume
+        exactly like :meth:`genpretrain_loop`; the temperature ramp uses the
+        GLOBAL batch index, so a resumed epoch continues the reference's
+        fractional-epoch schedule (training.py:183) bit-exactly."""
         loader = self.adv_train_loader if what == "train" else self.adv_eval_loader
         num_batches = max(len(loader), 1)
         temp = float(self.state.temperature) or 1.0
@@ -370,9 +480,13 @@ class GANInstructor:
         step_counter = int(self.state.gen_steps)
         pending = []                          # (g_dev, d_dev, tags, step)
         t_sweep = time.time()
-        for batch_idx, batch in enumerate(
-                self._progress(self._device_batches(loader), f"adv/{what}",
-                               total=len(loader))):
+        self._sweep_break = None
+        it = (loader.iter_from(start_batch) if what == "train"
+              else iter(loader))
+        for off, batch in enumerate(
+                self._progress(self._device_batches(it), f"adv/{what}",
+                               total=len(loader) - start_batch)):
+            batch_idx = start_batch + off
             if what == "train":
                 temp = self._temperature(adv_epoch, (batch_idx + 1) / num_batches)
                 self.state, metrics = self.adv_step(self.state, batch, temp)
@@ -385,6 +499,9 @@ class GANInstructor:
             pending.append((metrics["gen_adv_loss"],
                             metrics["disc_adv_loss"],
                             (g_tag, d_tag), step_counter))
+            if what == "train" and self._interrupted:
+                self._sweep_break = batch_idx + 1
+                break
         # one batched fetch for the whole sweep (see genpretrain_loop)
         fetched = jax.device_get([(g, d) for g, d, _, _ in pending])
         g_losses, d_losses = [], []
@@ -494,8 +611,12 @@ class GANInstructor:
         training; best-val-reward params land in ``scst_model.ckpt``."""
         if epochs <= 0:
             return
+        from gan_image_captioning_tpu.train import schedule as sched_lib
         from gan_image_captioning_tpu.train import scst as scst_lib
 
+        if sched_lib.phase_completed(self._schedule, "scst"):
+            return  # resumed past this phase (train/schedule.py)
+        start_epoch, _ = sched_lib.phase_start(self._schedule, "scst")
         self.log.info("SCST finetuning (%d epochs, reward=%s)"
                       % (epochs, self.config.scst_reward))
         train_refs = val_refs = None
@@ -508,10 +629,12 @@ class GANInstructor:
         rollout, update, greedy_only = scst_lib.make_scst_programs(
             self.config)
         base_key = jax.random.PRNGKey(self.config.seed + 31)
-        best = None
-        step = 0
-        for epoch in range(epochs):
-            if self._checkpoint_if_interrupted():
+        best = self._best["scst"]
+        # per-batch rng folds use the global SCST step — restored on resume
+        # so a resumed run draws the identical sampling keys
+        step = self._scst_step
+        for epoch in range(start_epoch, epochs):
+            if self._checkpoint_if_interrupted("scst", epoch):
                 break
             t0 = time.time()
             advs, losses = [], []
@@ -533,6 +656,7 @@ class GANInstructor:
                 advs.append(float(adv.mean()))
                 losses.append(loss)
                 step += 1
+                self._scst_step = step
             # val sweep: mean greedy reward (the quantity SCST maximizes);
             # greedy-only program, pad rows excluded from the mean
             val_sum, val_n = 0.0, 0
@@ -551,14 +675,14 @@ class GANInstructor:
                 if losses else 0.0
             self.writer.add_scalar("SCST_val_reward", val_r, step)
             self.writer.add_scalar("SCST_train_loss", train_loss, step)
-            if best is None or val_r > best:
-                best = val_r
+            if best["reward"] is None or val_r > best["reward"]:
+                best["reward"] = val_r
                 ckpt_lib.save_params(
                     os.path.join(self.model_dir, "scst_model.ckpt"),
                     self.state.gen_params)
                 self.log.info("Saving Best SCST model [val %s = %.4f] "
                               "at Epoch %d" % (self.config.scst_reward,
-                                               best, epoch))
+                                               best["reward"], epoch))
             self.log.info(
                 "[SCST] epoch %d: val %s %.4f | mean advantage %.4f | "
                 "loss %.5f  [%.1fs]" % (
@@ -567,30 +691,59 @@ class GANInstructor:
                     time.time() - t0))
 
     def _run(self):
-        """The full schedule — reference ``_run`` (training.py:201-235)."""
+        """The full schedule — reference ``_run`` (training.py:201-235).
+
+        An interrupted run resumes seamlessly: ``--resume
+        <ckpt>`` with a schedule sidecar skips the completed phases and
+        epochs and re-enters a broken train sweep at the exact batch
+        (train/schedule.py; the sidecar is written by interrupt saves and
+        ``--checkpoint-every`` snapshots)."""
+        from gan_image_captioning_tpu.train import schedule as sched_lib
+
         self.pretrain_generator(self.config.pretrain_epochs)
+        if self._interrupted:
+            if not self._interrupt_saved:
+                # signal landed during the phase's final val sweep — save
+                # at the NEXT phase's start so no progress is lost
+                self._save_interrupt(
+                    "scst" if self.config.scst_epochs > 0 else "adv", 0)
+            ckpt_lib.wait_for_checkpoints()
+            return
 
         self.scst_finetune(self.config.scst_epochs)
+        if self._interrupted:
+            if not self._interrupt_saved:
+                self._save_interrupt("adv", 0)
+            ckpt_lib.wait_for_checkpoints()
+            return
 
+        start_epoch, start_batch = sched_lib.phase_start(self._schedule,
+                                                         "adv")
         self.log.info("Starting Adversarial Training...")
-        best_loss = None
-        since_best = 0
-        for adv_epoch in range(self.config.adv_epochs):
-            if self._checkpoint_if_interrupted():
+        best = self._best["adv"]
+        for adv_epoch in range(start_epoch, self.config.adv_epochs):
+            if self._checkpoint_if_interrupted("adv", adv_epoch):
                 break
             t_start = time.time()
             if self.config.profile_dir and adv_epoch == 0:
                 # Trace the first adversarial epoch (jax.profiler → Perfetto/
                 # TensorBoard); the reference has no profiling at all.
                 jax.profiler.start_trace(self.config.profile_dir)
-            train_g_loss, train_d_loss = self.adv_loop("train", adv_epoch)
+            sb = start_batch if adv_epoch == start_epoch else 0
+            train_g_loss, train_d_loss = self.adv_loop("train", adv_epoch,
+                                                       start_batch=sb)
+            if self._sweep_break is not None:
+                if self.config.profile_dir and adv_epoch == 0:
+                    jax.profiler.stop_trace()
+                self._save_interrupt("adv", adv_epoch, self._sweep_break)
+                break
             if self.config.profile_dir and adv_epoch == 0:
                 jax.profiler.stop_trace()
             val_g_loss, val_d_loss = self.adv_loop("val", adv_epoch)
 
-            if best_loss is None or val_g_loss < best_loss:
-                best_loss = val_g_loss
-                since_best = 0
+            if best["loss"] is None or val_g_loss < best["loss"]:
+                best["loss"] = val_g_loss
+                best["since"] = 0
                 ckpt_lib.save_params(
                     os.path.join(self.model_dir, "adv_model.ckpt"),
                     {"generator": self.state.gen_params,
@@ -600,15 +753,15 @@ class GANInstructor:
                         os.path.join(self.model_dir, "adv_model_ema.ckpt"),
                         self.state.ema_gen_params)
                 self.log.info("Saving Best model [Gen Loss = {}] at Epoch {}"
-                              .format(best_loss, adv_epoch))
+                              .format(best["loss"], adv_epoch))
             else:
-                since_best += 1
+                best["since"] += 1
 
             if (self.config.checkpoint_every
                     and adv_epoch % self.config.checkpoint_every == 0):
-                ckpt_lib.save_state(
+                self._save_resumable(
                     os.path.join(self.model_dir, f"state_{adv_epoch}.ckpt"),
-                    self.state)
+                    "adv", adv_epoch + 1)
                 ckpt_lib.prune_checkpoints(self.model_dir, "state_",
                                            self.config.keep_checkpoints)
 
@@ -635,12 +788,19 @@ class GANInstructor:
                               % (q["nll_gen"], q["bleu4"], q["self_bleu4"]))
 
             if (self.config.early_stop_patience
-                    and since_best >= self.config.early_stop_patience):
+                    and best["since"] >= self.config.early_stop_patience):
                 self.log.info(
                     "Early stop: adversarial val g_loss has not improved "
-                    "for %d epochs (best %.6f)" % (since_best, best_loss))
+                    "for %d epochs (best %.6f)" % (best["since"],
+                                                   best["loss"]))
                 break
 
+        if self._interrupted and not self._interrupt_saved:
+            # signal landed in an adv val sweep (or after the final epoch):
+            # resume at the next epoch — the completed train sweeps are kept
+            self._save_interrupt("adv", adv_epoch + 1
+                                 if self.config.adv_epochs > start_epoch
+                                 else start_epoch)
         # barrier: all async checkpoint writes must be committed before the
         # run is reported complete
         ckpt_lib.wait_for_checkpoints()

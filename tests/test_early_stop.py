@@ -38,7 +38,7 @@ def test_pretrain_early_stop_on_scripted_losses(tmp_path):
                                            0.2, 0.1, 0.1, 0.1]}
     calls = {"train": 0, "val": 0}
 
-    def fake_loop(what):
+    def fake_loop(what, start_batch=0):
         i = calls[what]
         calls[what] += 1
         return [script[what][i]]
@@ -61,7 +61,7 @@ def test_adv_early_stop_on_scripted_losses(tmp_path):
     g_vals = [0.9, 0.8, 0.85, 0.9, 0.95, 0.2, 0.2, 0.2, 0.2, 0.2]
     epochs_run = []
 
-    def fake_adv_loop(what, adv_epoch):
+    def fake_adv_loop(what, adv_epoch, start_batch=0):
         if what == "val":
             epochs_run.append(adv_epoch)
             return g_vals[adv_epoch], 1.0

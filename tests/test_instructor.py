@@ -48,18 +48,41 @@ def test_run_schedule_and_checkpoints(tmp_path, datasets):
 
 
 def test_resume_continues_counters(tmp_path, datasets):
+    """Snapshot resume with the schedule sidecar: the resumed run skips the
+    completed pretrain phase and adv epoch automatically (no hand-edited
+    --pretrain-epochs 0) and continues at adv epoch 1."""
     cfg = _config(str(tmp_path), checkpoint_every=1, adv_epochs=1)
     inst = GANInstructor(cfg, *datasets, silent=True)
     inst._run()
     ckpt = os.path.join(cfg.model_dir, "state_0.ckpt")
 
-    cfg2 = _config(str(tmp_path) + "_resumed", resume=ckpt, adv_epochs=1,
-                   pretrain_epochs=0)
+    # same pretrain_epochs as the original: the sidecar (phase=adv) skips it
+    cfg2 = _config(str(tmp_path) + "_resumed", resume=ckpt, adv_epochs=2)
     inst2 = GANInstructor(cfg2, *datasets, silent=True)
-    # counters restored from the checkpointed step (taken at adv epoch 0,
-    # before that epoch's adv_loop had run... state_0 saved AFTER epoch 0)
+    # counters restored from the checkpointed step (state_0 saved AFTER
+    # adv epoch 0); host mirrors restored from the sidecar
     start_steps = int(inst2.state.gen_steps)
     assert start_steps == int(inst.state.gen_steps)
+    assert inst2.pretrain_steps == inst.pretrain_steps
+    inst2._run()
+    # one more adv epoch (epoch 1 of 2) = 4 batches, pretrain untouched
+    assert int(inst2.state.gen_steps) == start_steps + 4
+    assert inst2.pretrain_steps == inst.pretrain_steps
+
+
+def test_resume_schedule_opt_out(tmp_path, datasets):
+    """--resume-schedule 0: params-only resume (the pre-sidecar behavior —
+    the schedule replays from the start under the user's flags)."""
+    cfg = _config(str(tmp_path), checkpoint_every=1, adv_epochs=1)
+    inst = GANInstructor(cfg, *datasets, silent=True)
+    inst._run()
+    ckpt = os.path.join(cfg.model_dir, "state_0.ckpt")
+
+    cfg2 = _config(str(tmp_path) + "_r0", resume=ckpt, resume_schedule=0,
+                   pretrain_epochs=0, adv_epochs=1)
+    inst2 = GANInstructor(cfg2, *datasets, silent=True)
+    assert inst2._schedule is None
+    start_steps = int(inst2.state.gen_steps)
     inst2._run()
     assert int(inst2.state.gen_steps) == start_steps + 4
 
@@ -140,11 +163,15 @@ def test_checkpoint_retention(tmp_path, datasets):
     inst._run()
     ckpt_lib.wait_for_checkpoints()
     names = sorted(os.listdir(cfg.model_dir))
+    # each surviving snapshot keeps exactly its ckpt dir + schedule sidecar;
+    # pruned snapshots lose both (train/schedule.py)
     assert [n for n in names if n.startswith("state_pre_")] == [
-        "state_pre_2.ckpt", "state_pre_3.ckpt"]
+        "state_pre_2.ckpt", "state_pre_2.ckpt.schedule.json",
+        "state_pre_3.ckpt", "state_pre_3.ckpt.schedule.json"]
     assert [n for n in names if n.startswith("state_")
             and not n.startswith("state_pre_")] == [
-        "state_3.ckpt", "state_4.ckpt"]
+        "state_3.ckpt", "state_3.ckpt.schedule.json",
+        "state_4.ckpt", "state_4.ckpt.schedule.json"]
     assert "pretrained_model.ckpt" in names and "adv_model.ckpt" in names
     # the newest adv snapshot is loadable (retention never corrupts)
     template = create_train_state(cfg, jax.random.PRNGKey(0))

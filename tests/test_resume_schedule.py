@@ -1,0 +1,180 @@
+"""Step-granular interrupt + resume (train/schedule.py).
+
+The gold property: a run interrupted MID-EPOCH and resumed from the saved
+checkpoint+sidecar produces BIT-IDENTICAL final parameters to the same run
+uninterrupted — the PRNG key threads through the TrainState, the sidecar
+replays the identical seeded data order past the skip point, and the
+temperature ramp uses the global batch index.  (The reference has no resume
+at all: ``training.py:116-119,223-227`` only write best-val state_dicts.)
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.data.loader import Batcher
+from gan_image_captioning_tpu.data.synthetic import SyntheticCaptions
+from gan_image_captioning_tpu.train import schedule as sched_lib
+from gan_image_captioning_tpu.train.instructor import GANInstructor
+
+
+def _config(tmp, **kw):
+    ds = SyntheticCaptions("train", num_items=32)
+    base = dict(vocab_size=ds.vocab_size, gen_embed_dim=12, gen_hidden_dim=16,
+                max_seq_len=9, disc_embed_dim=8, disc_num_rep=4,
+                disc_filter_sizes=(2, 3), disc_num_filters=(6, 6),
+                pre_train_batch_size=8, pre_eval_batch_size=8,
+                adv_train_batch_size=8, adv_eval_batch_size=8,
+                pretrain_epochs=2, adv_epochs=2, num_workers=1,
+                save_dir=os.path.join(tmp, "save"),
+                model_dir=os.path.join(tmp, "save", "models"),
+                log_file=os.path.join(tmp, "save", "log"))
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture()
+def datasets():
+    return (SyntheticCaptions("train", num_items=32),
+            SyntheticCaptions("val", num_items=16))
+
+
+def _interrupt_after(inst, step_attr: str, n_calls: int):
+    """Wrap a jitted step attribute so the n-th call requests an interrupt
+    (deterministic stand-in for a SIGTERM landing mid-sweep)."""
+    orig = getattr(inst, step_attr)
+    calls = [0]
+
+    def wrapped(*args, **kw):
+        out = orig(*args, **kw)
+        calls[0] += 1
+        if calls[0] == n_calls:
+            inst._request_interrupt()
+        return out
+
+    setattr(inst, step_attr, wrapped)
+
+
+def _leaves_equal(a, b):
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_batcher_iter_from_replays_tail(datasets):
+    train, _ = datasets
+    a = Batcher(train, 8, 11, shuffle=True, seed=3, num_workers=1)
+    b = Batcher(train, 8, 11, shuffle=True, seed=3, num_workers=1)
+    full = list(iter(a))
+    tail = list(b.iter_from(2))
+    assert len(tail) == len(full) - 2
+    for x, y in zip(full[2:], tail):
+        np.testing.assert_array_equal(x["captions"], y["captions"])
+        np.testing.assert_array_equal(x["index"], y["index"])
+    # both consumed one epoch
+    assert a.epoch == b.epoch == 1
+
+
+def test_midpretrain_interrupt_resume_bitexact(tmp_path, datasets):
+    # uninterrupted reference trajectory
+    cfg_a = _config(str(tmp_path) + "_a")
+    ia = GANInstructor(cfg_a, *datasets, silent=True)
+    ia._run()
+
+    # interrupted after 2 of 4 batches of pretrain epoch 0
+    cfg_b = _config(str(tmp_path) + "_b")
+    ib = GANInstructor(cfg_b, *datasets, silent=True)
+    _interrupt_after(ib, "mle_step", 2)
+    ib._run()
+    ckpt = os.path.join(cfg_b.model_dir, "interrupt_state.ckpt")
+    assert os.path.isdir(ckpt)
+    side = json.load(open(ckpt + ".schedule.json"))
+    assert side["phase"] == "pretrain" and side["epoch"] == 0
+    assert side["batches_done"] == 2 and side["pretrain_steps"] == 2
+    assert side["loader_epochs"]["pre_train"] == 0  # replay epoch 0's order
+    # nothing past the interrupt ran
+    assert int(ib.state.gen_steps) == 0
+
+    # resumed: same flags, schedule fast-forwards from the sidecar
+    cfg_c = _config(str(tmp_path) + "_b", resume=ckpt)
+    ic = GANInstructor(cfg_c, *datasets, silent=True)
+    assert ic.pretrain_steps == 2
+    ic._run()
+    assert ic.pretrain_steps == ia.pretrain_steps
+    assert int(ic.state.gen_steps) == int(ia.state.gen_steps)
+    _leaves_equal(ia.state.gen_params, ic.state.gen_params)
+    _leaves_equal(ia.state.disc_params, ic.state.disc_params)
+
+
+def test_midadv_interrupt_resume_bitexact(tmp_path, datasets):
+    cfg_a = _config(str(tmp_path) + "_a")
+    ia = GANInstructor(cfg_a, *datasets, silent=True)
+    ia._run()
+
+    # interrupt after 3 adv steps: mid-sweep of adv epoch 0 (4 batches/epoch)
+    cfg_b = _config(str(tmp_path) + "_b")
+    ib = GANInstructor(cfg_b, *datasets, silent=True)
+    _interrupt_after(ib, "adv_step", 3)
+    ib._run()
+    ckpt = os.path.join(cfg_b.model_dir, "interrupt_state.ckpt")
+    side = json.load(open(ckpt + ".schedule.json"))
+    assert side["phase"] == "adv" and side["epoch"] == 0
+    assert side["batches_done"] == 3
+    assert int(ib.state.gen_steps) == 3
+
+    cfg_c = _config(str(tmp_path) + "_b", resume=ckpt)
+    ic = GANInstructor(cfg_c, *datasets, silent=True)
+    ic._run()
+    assert int(ic.state.gen_steps) == int(ia.state.gen_steps)
+    # the temperature ramp continued from the global batch index
+    assert float(ic.state.temperature) == pytest.approx(
+        float(ia.state.temperature))
+    _leaves_equal(ia.state.gen_params, ic.state.gen_params)
+    _leaves_equal(ia.state.disc_params, ic.state.disc_params)
+
+
+def test_periodic_snapshot_sidecar_resume_bitexact(tmp_path, datasets):
+    """--checkpoint-every snapshots carry sidecars too: a crash (no SIGTERM,
+    no interrupt save) resumes from the newest snapshot with zero flag
+    edits and reproduces the uninterrupted trajectory."""
+    cfg_a = _config(str(tmp_path) + "_a", checkpoint_every=1, adv_epochs=3)
+    ia = GANInstructor(cfg_a, *datasets, silent=True)
+    ia._run()
+    ckpt = os.path.join(cfg_a.model_dir, "state_1.ckpt")
+    side = json.load(open(ckpt + ".schedule.json"))
+    assert side == {**side, "phase": "adv", "epoch": 2, "batches_done": 0}
+
+    cfg_b = _config(str(tmp_path) + "_b", checkpoint_every=1, adv_epochs=3,
+                    resume=ckpt)
+    ib = GANInstructor(cfg_b, *datasets, silent=True)
+    ib._run()
+    assert int(ib.state.gen_steps) == int(ia.state.gen_steps)
+    _leaves_equal(ia.state.gen_params, ib.state.gen_params)
+    _leaves_equal(ia.state.disc_params, ib.state.disc_params)
+
+
+def test_scst_phase_skipped_on_adv_resume(tmp_path, datasets):
+    """A sidecar at phase=adv skips SCST on resume (phase ordering)."""
+    info = {"phase": "adv", "epoch": 0, "batches_done": 0}
+    assert sched_lib.phase_completed(info, "pretrain")
+    assert sched_lib.phase_completed(info, "scst")
+    assert not sched_lib.phase_completed(info, "adv")
+    assert sched_lib.phase_start(info, "adv") == (0, 0)
+    assert sched_lib.phase_start(info, "pretrain") == (0, 0)
+
+
+def test_sidecar_roundtrip_and_corruption(tmp_path):
+    ckpt = os.path.join(str(tmp_path), "x.ckpt")
+    info = {"phase": "pretrain", "epoch": 1, "batches_done": 3,
+            "loader_epochs": {"pre_train": 1}}
+    path = sched_lib.save_sidecar(ckpt, info)
+    assert sched_lib.load_sidecar(ckpt)["batches_done"] == 3
+    with open(path, "w") as f:
+        f.write("{ not json")
+    assert sched_lib.load_sidecar(ckpt) is None  # degrade, never crash
+    with pytest.raises(ValueError):
+        sched_lib.save_sidecar(ckpt, {"phase": "nope"})
