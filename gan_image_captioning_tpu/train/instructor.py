@@ -266,13 +266,41 @@ class GANInstructor:
             mid = {"pretrain": "pre_train", "scst": "pre_train",
                    "adv": "adv_train"}[phase]
             loader_epochs[mid] -= 1
+        train_loader = {"pretrain": self.pre_train_loader,
+                        "scst": self.pre_train_loader,
+                        "adv": self.adv_train_loader}[phase]
         return {"phase": phase, "epoch": int(epoch),
                 "batches_done": int(batches_done),
+                "num_train_batches": len(train_loader),
                 "pretrain_steps": int(self.pretrain_steps),
                 "adv_batch_steps": int(self.adv_batch_steps),
                 "scst_step": int(self._scst_step),
                 "loader_epochs": loader_epochs,
                 "best": self._best}
+
+    def _phase_resume_point(self, phase: str, train_loader) -> tuple:
+        """``(start_epoch, start_batch)`` for ``phase``, guarding a
+        mid-sweep resume against changed loader geometry: if the epoch no
+        longer has the batch count the sidecar was written under (batch
+        size / dataset / bucket flags changed), skipping ``batches_done``
+        batches would land on the WRONG data — degrade to the next epoch
+        boundary (never double-train the applied batches)."""
+        from gan_image_captioning_tpu.train import schedule as sched_lib
+
+        epoch, batch = sched_lib.phase_start(self._schedule, phase)
+        if batch > 0:
+            n = (self._schedule or {}).get("num_train_batches")
+            if n is not None and int(n) != len(train_loader):
+                self.log.warning(
+                    "schedule sidecar recorded %s train batches/epoch but "
+                    "the loader now yields %d — resuming at the next epoch "
+                    "boundary (%d) instead of mid-sweep"
+                    % (n, len(train_loader), epoch + 1))
+                # the in-progress epoch's shuffle counter was rewound for a
+                # replay that now won't happen — re-advance past it
+                train_loader.epoch += 1
+                return epoch + 1, 0
+        return epoch, batch
 
     def _save_resumable(self, path: str, phase: str, epoch: int,
                         batches_done: int = 0, sync: bool = False):
@@ -399,8 +427,8 @@ class GANInstructor:
 
         if sched_lib.phase_completed(self._schedule, "pretrain"):
             return 0.0  # resumed past this phase (train/schedule.py)
-        start_epoch, start_batch = sched_lib.phase_start(self._schedule,
-                                                         "pretrain")
+        start_epoch, start_batch = self._phase_resume_point(
+            "pretrain", self.pre_train_loader)
         self.log.info("Pretraining Generator")
         best = self._best["pretrain"]
         for epoch in range(start_epoch, epochs):
@@ -698,8 +726,6 @@ class GANInstructor:
         epochs and re-enters a broken train sweep at the exact batch
         (train/schedule.py; the sidecar is written by interrupt saves and
         ``--checkpoint-every`` snapshots)."""
-        from gan_image_captioning_tpu.train import schedule as sched_lib
-
         self.pretrain_generator(self.config.pretrain_epochs)
         if self._interrupted:
             if not self._interrupt_saved:
@@ -717,8 +743,8 @@ class GANInstructor:
             ckpt_lib.wait_for_checkpoints()
             return
 
-        start_epoch, start_batch = sched_lib.phase_start(self._schedule,
-                                                         "adv")
+        start_epoch, start_batch = self._phase_resume_point(
+            "adv", self.adv_train_loader)
         self.log.info("Starting Adversarial Training...")
         best = self._best["adv"]
         for adv_epoch in range(start_epoch, self.config.adv_epochs):

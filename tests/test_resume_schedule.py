@@ -157,6 +157,27 @@ def test_periodic_snapshot_sidecar_resume_bitexact(tmp_path, datasets):
     _leaves_equal(ia.state.disc_params, ib.state.disc_params)
 
 
+def test_midsweep_resume_with_changed_geometry_degrades(tmp_path, datasets):
+    """A mid-sweep sidecar resumed under a DIFFERENT batch size would skip
+    the wrong batches — the guard degrades to the next epoch boundary
+    (never double-trains the applied batches)."""
+    cfg_b = _config(str(tmp_path) + "_b", pretrain_epochs=3)
+    ib = GANInstructor(cfg_b, *datasets, silent=True)
+    _interrupt_after(ib, "mle_step", 2)   # mid-epoch 0 (2 of 4 batches)
+    ib._run()
+    ckpt = os.path.join(cfg_b.model_dir, "interrupt_state.ckpt")
+
+    # resume with batch size 4 → 8 train batches/epoch now, sidecar says 4
+    cfg_c = _config(str(tmp_path) + "_b", resume=ckpt, pretrain_epochs=3,
+                    pre_train_batch_size=4)
+    ic = GANInstructor(cfg_c, *datasets, silent=True)
+    assert ic.pretrain_steps == 2
+    ic._run()
+    # epochs 1 and 2 ran at 8 batches each; the broken epoch 0 was skipped
+    assert ic.pretrain_steps == 2 + 2 * 8
+    assert int(ic.state.gen_steps) > 0  # adv phase still ran
+
+
 def test_scst_phase_skipped_on_adv_resume(tmp_path, datasets):
     """A sidecar at phase=adv skips SCST on resume (phase ordering)."""
     info = {"phase": "adv", "epoch": 0, "batches_done": 0}
