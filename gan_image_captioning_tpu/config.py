@@ -333,7 +333,11 @@ def add_tpu_args(parser):
                    help="global PRNG seed (reference main.py:14 hardcodes 1008)")
     g.add_argument("--resume", type=str, default="",
                    help="path to a full TrainState checkpoint to resume from "
-                        "(the reference has no resume path at all)")
+                        "(the reference has no resume path at all), or "
+                        "'auto' to pick the newest interrupt/snapshot "
+                        "checkpoint under this experiment name's previous "
+                        "run dirs (fresh start when none exists — the same "
+                        "command line works for first submit and requeue)")
     g.add_argument("--resume-schedule", type=int, default=1,
                    help="when --resume finds a schedule sidecar "
                         "(<ckpt>.schedule.json, written by interrupt saves "
@@ -698,6 +702,40 @@ def config_from_args(args: argparse.Namespace) -> Config:
     return config
 
 
+def resolve_auto_resume(args: argparse.Namespace) -> argparse.Namespace:
+    """``--resume auto``: turnkey preemption recovery.
+
+    Finds the newest resumable TrainState among THIS experiment name's
+    previous run dirs (``{save_dir}/{expt_name}_{n}/{model_dir}``) —
+    candidates are ``interrupt_state.ckpt`` (SIGTERM saves) and
+    ``state_*.ckpt`` / ``state_pre_*.ckpt`` (``--checkpoint-every``
+    snapshots, which cover hard crashes); newest mtime wins.  No candidate
+    → fresh start.  A requeued cluster job therefore reruns the IDENTICAL
+    command line for the first submission and every restart, and the
+    schedule sidecar (train/schedule.py) fast-forwards to the exact
+    phase/epoch/batch.  Must run BEFORE :func:`make_experiment_dirs`
+    rewrites ``save_dir``/``expt_name`` into the new run dir.
+    """
+    if getattr(args, "resume", "") != "auto":
+        return args
+    import glob
+    import re
+
+    name_re = re.compile(re.escape(args.expt_name) + r"_\d+$")
+    candidates = set()
+    for d in glob.glob(os.path.join(args.save_dir,
+                                    glob.escape(args.expt_name) + "_*")):
+        if not name_re.search(os.path.basename(d)):
+            continue
+        mdir = os.path.join(d, args.model_dir)
+        for pat in ("interrupt_state.ckpt", "state_*.ckpt",
+                    "state_pre_*.ckpt"):
+            candidates.update(glob.glob(os.path.join(mdir, pat)))
+    args.resume = (max(candidates, key=os.path.getmtime)
+                   if candidates else "")
+    return args
+
+
 def make_experiment_dirs(args: argparse.Namespace) -> argparse.Namespace:
     """Experiment-dir side effects — reference ``args.py:261-273``.
 
@@ -705,6 +743,7 @@ def make_experiment_dirs(args: argparse.Namespace) -> argparse.Namespace:
     ``{model_dir}`` subdir, and rewrites ``args.save_dir`` / ``args.model_dir``
     / ``args.log_file`` to point inside it.
     """
+    resolve_auto_resume(args)
     expt_no = 1
     while os.path.exists(os.path.join(args.save_dir, f"{args.expt_name}_{expt_no}")):
         expt_no += 1

@@ -24,4 +24,8 @@ python3 src/main.py \
     --captions-per-image 5 \
     --dtype bfloat16 \
     --eval-bleu-every 5 \
-    --checkpoint-every 10
+    --checkpoint-every 10 \
+    --resume auto
+# --resume auto: the first submission trains fresh; a preempted/requeued
+# job reruns this identical line and continues from the newest interrupt
+# or snapshot checkpoint at the exact phase/epoch/batch (schedule sidecar).

@@ -188,6 +188,64 @@ def test_scst_phase_skipped_on_adv_resume(tmp_path, datasets):
     assert sched_lib.phase_start(info, "pretrain") == (0, 0)
 
 
+def test_resolve_auto_resume_unit(tmp_path):
+    """--resume auto picks the newest interrupt/snapshot checkpoint across
+    this experiment name's run dirs; fresh start when none exists."""
+    import argparse
+    import time as _time
+
+    from gan_image_captioning_tpu.config import resolve_auto_resume
+
+    root = str(tmp_path)
+
+    def _args():
+        return argparse.Namespace(save_dir=root, expt_name="demo",
+                                  model_dir="models", resume="auto")
+
+    # nothing yet → fresh start
+    assert resolve_auto_resume(_args()).resume == ""
+
+    old = os.path.join(root, "demo_1", "models", "state_0.ckpt")
+    new = os.path.join(root, "demo_2", "models", "interrupt_state.ckpt")
+    other = os.path.join(root, "demonot_3", "models", "state_9.ckpt")
+    for d in (old, new, other):
+        os.makedirs(d)
+    _time.sleep(0.01)
+    os.utime(old, (1, 1))          # force ordering
+    os.utime(other, None)          # newest, but a DIFFERENT experiment
+    assert resolve_auto_resume(_args()).resume == new
+    # an explicit path passes through untouched
+    a = _args()
+    a.resume = "/explicit/path.ckpt"
+    assert resolve_auto_resume(a).resume == "/explicit/path.ckpt"
+
+
+def test_auto_resume_cli_end_to_end(tmp_path):
+    """Rerunning the identical command line with --resume auto continues
+    from the previous run's newest snapshot via the schedule sidecar."""
+    from src.main import main
+
+    argv = ["--dataset", "synthetic", "--synthetic-items", "32",
+            "--max-seq-len", "8", "--gen-embed-dim", "8",
+            "--gen-hidden-dim", "12", "--pre-train-batch-size", "8",
+            "--pre-eval-batch-size", "8", "--adv-train-batch-size", "8",
+            "--adv-eval-batch-size", "8", "--pretrain-epochs", "2",
+            "--adv-epochs", "1", "--checkpoint-every", "1",
+            "--save-dir", os.path.join(str(tmp_path), "save"),
+            "--expt-name", "auto", "--resume", "auto", "--device", "cpu"]
+    inst1 = main(argv)          # fresh start: no prior checkpoints
+    assert inst1.config.resume == ""
+    steps1 = int(inst1.state.gen_steps)
+
+    inst2 = main(argv)          # identical command: resumes from state_0
+    assert inst2.config.resume.endswith("state_0.ckpt")
+    assert inst2._schedule is not None
+    # pretrain skipped (sidecar phase=adv); adv continued from epoch 1:
+    # adv_epochs=1 means the schedule is already complete
+    assert int(inst2.state.gen_steps) == steps1
+    assert inst2.pretrain_steps == inst1.pretrain_steps
+
+
 def test_sidecar_roundtrip_and_corruption(tmp_path):
     ckpt = os.path.join(str(tmp_path), "x.ckpt")
     info = {"phase": "pretrain", "epoch": 1, "batches_done": 3,
