@@ -18,6 +18,8 @@ Request forms:
   {"n": k}              → k unconditional captions
   {"image": "<path>"}   → caption for one image (conditional checkpoints)
   {"stats": true}       → dispatcher counters (occupancy, padding, queue)
+  {"reload": "<ckpt>"}  → hot-swap to a new checkpoint, zero downtime
+                          (e.g. the training run's latest best-val file)
 Response: {"captions": [...], "logprobs": [...], "latency_ms": t}
 """
 
@@ -126,29 +128,12 @@ class CaptionService:
             start_token_features)
         from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
 
-        self.gen_params, _ = ckpt_lib.load_generator_checkpoint(
-            args.checkpoint, self.config)
-
         config = self.config
-        # --quantize int8: decode programs read the int8 decoder; the
-        # encoder/conditioning path stays full-precision (ops/quantize.py)
-        self.dec_params = self.gen_params
-        if config.quantize != "none":
-            from gan_image_captioning_tpu.ops.quantize import (
-                quantize_generator)
-            self.dec_params = quantize_generator(self.gen_params, config)
-        if getattr(args, "decode_mode", "auto") == "speculative":
-            # the int8 twin plays the dec_params role as the DRAFT; the
-            # full-precision gen_params stay the verify target (built
-            # before any mesh sharding so the QTensor TP specs apply)
-            if config.gen_arch != "lstm":
-                raise SystemExit("--decode-mode speculative requires the "
-                                 "LSTM generator")
-            if self.dec_params is self.gen_params:
-                from gan_image_captioning_tpu.ops.quantize import (
-                    quantize_generator)
-                self.dec_params = quantize_generator(self.gen_params, config)
-
+        self._speculative_mode = getattr(args, "decode_mode",
+                                         "auto") == "speculative"
+        if self._speculative_mode and config.gen_arch != "lstm":
+            raise SystemExit("--decode-mode speculative requires the "
+                             "LSTM generator")
         # --mesh — distributed serving.  Data axis: every decode program
         # shards its batch/slot dim over ``data`` (GSPMD inserts nothing
         # for the scan — rows are independent — so this is embarrassingly-
@@ -164,7 +149,6 @@ class CaptionService:
 
             from gan_image_captioning_tpu.parallel.mesh import (
                 inference_mesh_setup)
-            from gan_image_captioning_tpu.serving import shard_serving_params
 
             # inference_mesh_setup gates the Pallas decode path exactly as
             # the instructor/evaluate/caption do: a data-only mesh keeps
@@ -181,14 +165,14 @@ class CaptionService:
                 raise SystemExit(f"--serve-batch-size "
                                  f"{args.serve_batch_size} must divide by "
                                  f"the data axis ({n_data})")
-            shared = self.dec_params is self.gen_params
-            self.gen_params = shard_serving_params(self.gen_params,
-                                                   self.mesh)
-            self.dec_params = (self.gen_params if shared else
-                               shard_serving_params(self.dec_params,
-                                                    self.mesh))
             self._feat_sharding = NamedSharding(
                 self.mesh, P("data" if n_data > 1 else None))
+        # quantize + (mesh-)place the checkpoint params; hot reload
+        # ({"reload": path}) re-runs the same pipeline on a new checkpoint
+        raw_params, _ = ckpt_lib.load_generator_checkpoint(
+            args.checkpoint, self.config)
+        self.gen_params, self.dec_params = self._prepare_params(raw_params)
+        self.checkpoint_path = args.checkpoint
         beam = max(1, config.beam_size)
         mode = getattr(args, "decode_mode", "auto")
         if mode == "auto":
@@ -262,27 +246,19 @@ class CaptionService:
                                                       ContinuousBatcher)
 
         feat_dim = config.gen_embed_dim
-        self.continuous = None
-        if (getattr(args, "serve_continuous", False) and beam == 1
-                and mode != "sample"):
-            if mode == "speculative":
-                # slot-based speculation: the int8 twin drafts per slot,
-                # the target verifies per chunk — target-exact captions
-                if self.mesh is not None:
-                    raise SystemExit("--serve-continuous --decode-mode "
-                                     "speculative does not compose with "
-                                     "--mesh")
-                self.continuous = ContinuousBatcher(
-                    self.gen_params, config, num_slots=self.batch_size,
-                    chunk_steps=getattr(args, "draft_len", 4),
-                    early_exit=not getattr(args, "serve_exact", False),
-                    draft_params=self.dec_params)
-            else:
-                self.continuous = ContinuousBatcher(
-                    self.dec_params, config, num_slots=self.batch_size,
-                    chunk_steps=getattr(args, "serve_chunk_steps", 8),
-                    mesh=self.mesh,
-                    early_exit=not getattr(args, "serve_exact", False))
+        # continuous-engine constructor knobs, kept for hot reload (the
+        # slot engine bakes params into its jitted closures, so a reload
+        # rebuilds it — _build_continuous)
+        self._want_continuous = (getattr(args, "serve_continuous", False)
+                                 and beam == 1 and mode != "sample")
+        self._chunk_steps = getattr(args, "serve_chunk_steps", 8)
+        self._spec_chunk = getattr(args, "draft_len", 4)
+        self._early_exit = not getattr(args, "serve_exact", False)
+        if (self._want_continuous and mode == "speculative"
+                and self.mesh is not None):
+            raise SystemExit("--serve-continuous --decode-mode speculative "
+                             "does not compose with --mesh")
+        self.continuous = self._build_continuous()
 
         def place(f):
             return (f if self._feat_sharding is None
@@ -325,6 +301,9 @@ class CaptionService:
                     f"data axis ({n_data}) — every dispatched shape must "
                     f"split over 'data'; use multiples of {n_data}")
             buckets = kept
+        import threading
+
+        self._reload_lock = threading.Lock()   # serialize hot reloads
         self.batcher = CoalescingBatcher(run_decode, self.batch_size,
                                          feat_dim, bucket_sizes=buckets)
         # warm through the REAL request path so the first client request
@@ -336,6 +315,93 @@ class CaptionService:
         if self.continuous is None:
             for b in self.batcher.bucket_sizes[1:]:
                 self.handle_request({"n": b})
+
+    def _prepare_params(self, raw_gen_params: dict):
+        """Checkpoint params → serving params: int8-quantize the decode
+        copy when configured (always for the speculative draft) and place
+        both trees on the mesh.  Shared by ``__init__`` and hot reload."""
+        config = self.config
+        gen_params = raw_gen_params
+        dec_params = gen_params
+        if config.quantize != "none" or self._speculative_mode:
+            # --quantize int8: decode programs read the int8 decoder; the
+            # encoder/conditioning path stays full-precision
+            # (ops/quantize.py).  Speculative mode: the int8 twin plays
+            # the dec_params role as the DRAFT; full-precision gen_params
+            # stay the verify target (built before any mesh placement so
+            # the QTensor TP specs apply).
+            from gan_image_captioning_tpu.ops.quantize import (
+                quantize_generator)
+
+            dec_params = quantize_generator(gen_params, config)
+        if self.mesh is not None:
+            from gan_image_captioning_tpu.serving import shard_serving_params
+
+            shared = dec_params is gen_params
+            gen_params = shard_serving_params(gen_params, self.mesh)
+            dec_params = (gen_params if shared else
+                          shard_serving_params(dec_params, self.mesh))
+        return gen_params, dec_params
+
+    def _build_continuous(self):
+        """A fresh slot-pool engine over the CURRENT params (None when the
+        service runs coalescing-only)."""
+        if not self._want_continuous:
+            return None
+        from gan_image_captioning_tpu.serving import ContinuousBatcher
+
+        if self.mode == "speculative":
+            # slot-based speculation: the int8 twin drafts per slot, the
+            # target verifies per chunk — target-exact captions
+            return ContinuousBatcher(
+                self.gen_params, self.config, num_slots=self.batch_size,
+                chunk_steps=self._spec_chunk, early_exit=self._early_exit,
+                draft_params=self.dec_params)
+        return ContinuousBatcher(
+            self.dec_params, self.config, num_slots=self.batch_size,
+            chunk_steps=self._chunk_steps, mesh=self.mesh,
+            early_exit=self._early_exit)
+
+    def reload_checkpoint(self, path: str) -> dict:
+        """Hot checkpoint reload ({"reload": path}) — zero downtime.
+
+        The coalescing path threads params as jit ARGUMENTS, so swapping
+        ``self.gen_params``/``self.dec_params`` reuses the compiled
+        programs as-is.  The continuous engine bakes params into its
+        jitted closures, so a successor engine is built and warmed BEFORE
+        the atomic swap; the predecessor keeps serving its in-flight
+        slots, is drained, then closed.  A failed load (missing/corrupt
+        path, shape mismatch vs the serving config) raises before any
+        state changes — the service keeps serving the old checkpoint.
+        """
+        from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+
+        with self._reload_lock:
+            raw, _ = ckpt_lib.load_generator_checkpoint(path, self.config)
+            self.gen_params, self.dec_params = self._prepare_params(raw)
+            old = self.continuous
+            if old is not None:
+                new = self._build_continuous()
+                # warm: compile the successor's advance/reset programs now,
+                # not on the first post-swap client request
+                feats = np.asarray(self._features_unconditional(1))
+                new.submit(feats[0]).result(timeout=120)
+                self.continuous = new       # atomic ref swap
+                self._drain_and_close(old)
+            self.checkpoint_path = path
+            return {"reloaded": path}
+
+    @staticmethod
+    def _drain_and_close(engine, timeout_s: float = 60.0):
+        """Let a superseded slot engine finish its in-flight captions
+        (new submissions already go to the successor), then close it."""
+        deadline = time.perf_counter() + timeout_s
+        while time.perf_counter() < deadline:
+            s = engine.stats()
+            if s["active_slots"] == 0 and s["queue_depth"] == 0:
+                break
+            time.sleep(0.02)
+        engine.close()
 
     def _features_unconditional(self, n):
         dec = self.gen_params["decoder"]
@@ -362,9 +428,14 @@ class CaptionService:
 
         t0 = time.perf_counter()
         if req.get("stats"):
-            out = {"coalescing": self.batcher.stats()}
+            out = {"coalescing": self.batcher.stats(),
+                   "checkpoint": self.checkpoint_path}
             if self.continuous is not None:
                 out["continuous"] = self.continuous.stats()
+            return out
+        if "reload" in req:
+            out = self.reload_checkpoint(str(req["reload"]))
+            out["latency_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
             return out
         if "image" in req:
             if not self.config.cgan:

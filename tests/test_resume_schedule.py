@@ -246,6 +246,35 @@ def test_auto_resume_cli_end_to_end(tmp_path):
     assert inst2.pretrain_steps == inst1.pretrain_steps
 
 
+def test_elastic_resume_across_mesh_sizes(tmp_path, datasets):
+    """Elastic recovery: a snapshot taken under --mesh data:2 resumes under
+    --mesh data:4 (different device count) and under no mesh at all, all
+    bit-identical to the uninterrupted single-device run — checkpoints are
+    host-resident numpy, sharding is re-applied from the resumed config
+    (SURVEY §5 failure/elastic)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 virtual devices")
+
+    cfg_ref = _config(str(tmp_path) + "_ref", adv_epochs=2)
+    ref = GANInstructor(cfg_ref, *datasets, silent=True)
+    ref._run()
+
+    cfg_a = _config(str(tmp_path) + "_a", adv_epochs=2, mesh="data:2",
+                    checkpoint_every=1)
+    ia = GANInstructor(cfg_a, *datasets, silent=True)
+    ia._run()
+    ckpt = os.path.join(cfg_a.model_dir, "state_0.ckpt")  # after adv epoch 0
+
+    for tag, mesh in (("_b4", "data:4"), ("_b1", "")):
+        cfg_b = _config(str(tmp_path) + tag, adv_epochs=2, mesh=mesh,
+                        resume=ckpt)
+        ib = GANInstructor(cfg_b, *datasets, silent=True)
+        ib._run()
+        assert int(ib.state.gen_steps) == int(ref.state.gen_steps)
+        _leaves_equal(ref.state.gen_params, ib.state.gen_params)
+        _leaves_equal(ref.state.disc_params, ib.state.disc_params)
+
+
 def test_sidecar_roundtrip_and_corruption(tmp_path):
     ckpt = os.path.join(str(tmp_path), "x.ckpt")
     info = {"phase": "pretrain", "epoch": 1, "batches_done": 3,

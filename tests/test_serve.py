@@ -175,6 +175,85 @@ def test_speculative_continuous_service(tmp_path):
     assert st["continuous"]["tokens_per_slot_chunk"] >= 1.0
 
 
+def _tiny_service_ckpts(tmp_path, continuous=False):
+    """Two differently-initialized checkpoints + a service on the first."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, parse_args
+
+    cfg = Config(vocab_size=35, gen_embed_dim=12, gen_hidden_dim=16,
+                 max_seq_len=9)
+    paths = []
+    for i, seed in enumerate((0, 21)):
+        params = api.init_generator(jax.random.PRNGKey(seed), cfg)
+        p = os.path.join(str(tmp_path), f"gen{i}.ckpt")
+        ckpt_lib.save_params(p, params)
+        paths.append(p)
+    base = ["--checkpoint", paths[0], "--dataset", "synthetic",
+            "--max-seq-len", "9", "--gen-embed-dim", "12",
+            "--gen-hidden-dim", "16", "--serve-batch-size", "4"]
+    if continuous:
+        base += ["--serve-continuous", "--serve-chunk-steps", "4"]
+    svc = CaptionService(parse_args(base))
+    return svc, paths, base
+
+
+def test_hot_reload_swaps_model(tmp_path):
+    """{"reload": ckpt}: the service serves the NEW checkpoint's captions
+    with zero downtime; a bad path fails the request but not the service;
+    an independently-started service on ckpt B is the reference."""
+    from src.serve import CaptionService, parse_args
+
+    svc, (p0, p1), base = _tiny_service_ckpts(tmp_path)
+    before = svc.handle_request({"n": 3})
+    want = CaptionService(parse_args(
+        [a if a != p0 else p1 for a in base])).handle_request({"n": 3})
+
+    # a failed reload leaves the old model serving
+    bad = os.path.join(str(tmp_path), "missing.ckpt")
+    try:
+        svc.handle_request({"reload": bad})
+        assert False, "missing checkpoint must raise"
+    except FileNotFoundError:
+        pass
+    assert svc.handle_request({"n": 3})["captions"] == before["captions"]
+
+    resp = svc.handle_request({"reload": p1})
+    assert resp["reloaded"] == p1
+    after = svc.handle_request({"n": 3})
+    assert after["captions"] == want["captions"]
+    assert after["captions"] != before["captions"]  # distinct inits differ
+    np.testing.assert_allclose(after["logprobs"], want["logprobs"],
+                               atol=1e-4)
+    assert svc.handle_request({"stats": True})["checkpoint"] == p1
+
+
+def test_hot_reload_continuous_engine(tmp_path):
+    """Reload under --serve-continuous: the slot engine is rebuilt and
+    swapped; the old engine drains and closes; captions match a fresh
+    service on the new checkpoint."""
+    from src.serve import CaptionService, parse_args
+
+    svc, (p0, p1), base = _tiny_service_ckpts(tmp_path, continuous=True)
+    old_engine = svc.continuous
+    want = CaptionService(parse_args(
+        [a if a != p0 else p1 for a in base])).handle_request({"n": 4})
+    svc.handle_request({"reload": p1})
+    assert svc.continuous is not old_engine
+    # the superseded engine is closed: new submits must be refused
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        old_engine.submit(np.zeros((12,), np.float32))
+    got = svc.handle_request({"n": 4})
+    assert got["captions"] == want["captions"]
+
+
 def test_http_front_end(tmp_path):
     """--http-port: POST / caption requests, GET /stats and /healthz."""
     import json as _json
