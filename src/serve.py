@@ -76,6 +76,13 @@ def parse_args(argv=None):
                         "in a while_loop that stops once every row in the "
                         "batch has emitted <E> (0 = fixed full-T program); "
                         "the post-<E> tail is <PAD>")
+    parser.add_argument("--serve-watch", type=float, default=0.0,
+                        help="poll the serving checkpoint path every N "
+                        "seconds and hot-reload when its contents change "
+                        "(0 = off) — point --checkpoint at a training "
+                        "run's best-val file and the server tracks every "
+                        "improvement; a reload that catches a write "
+                        "mid-flight fails harmlessly and retries next poll")
     parser.add_argument("--serve-exact", action="store_true",
                         help="--serve-continuous: disable early slot "
                         "release so returned ids are bit-identical to the "
@@ -392,6 +399,62 @@ class CaptionService:
             return {"reloaded": path}
 
     @staticmethod
+    def _ckpt_fingerprint(path: str):
+        """Content fingerprint of a checkpoint directory (or file): the
+        set of (relative name, size, mtime_ns) — any rewrite changes it."""
+        if not os.path.exists(path):
+            return None
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return ((path, st.st_size, st.st_mtime_ns),)
+        out = []
+        for root, _, names in os.walk(path):
+            for n in names:
+                p = os.path.join(root, n)
+                try:
+                    st = os.stat(p)
+                except OSError:
+                    continue
+                out.append((os.path.relpath(p, path), st.st_size,
+                            st.st_mtime_ns))
+        return tuple(sorted(out))
+
+    def start_watch(self, interval_s: float):
+        """--serve-watch: a daemon thread polls the serving checkpoint's
+        content fingerprint and hot-reloads on change.  The fingerprint
+        must be STABLE across two consecutive polls before reloading (a
+        best-val save overwrites the directory in place; reloading
+        mid-write would load a torn tree — Orbax would raise and the next
+        poll retries, but waiting for stability avoids the noise)."""
+        import threading
+
+        self._watch_fp = self._ckpt_fingerprint(self.checkpoint_path)
+        self._watch_pending = None
+
+        def loop():
+            while True:
+                time.sleep(interval_s)
+                try:
+                    fp = self._ckpt_fingerprint(self.checkpoint_path)
+                    if fp is None or fp == self._watch_fp:
+                        self._watch_pending = None
+                        continue
+                    if fp != self._watch_pending:
+                        self._watch_pending = fp   # changed; await stability
+                        continue
+                    self.reload_checkpoint(self.checkpoint_path)
+                    self._watch_fp = fp
+                    self._watch_pending = None
+                    print(json.dumps({"reloaded": self.checkpoint_path,
+                                      "watch": True}), flush=True)
+                except Exception as exc:
+                    # torn write / transient IO: retry on the next poll
+                    print(json.dumps({"watch_error": str(exc)}), flush=True)
+
+        threading.Thread(target=loop, daemon=True,
+                         name="ckpt-watch").start()
+
+    @staticmethod
     def _drain_and_close(engine, timeout_s: float = 60.0):
         """Let a superseded slot engine finish its in-flight captions
         (new submissions already go to the successor), then close it."""
@@ -520,6 +583,8 @@ def make_http_server(service, port: int):
 def main(argv=None):
     args = parse_args(argv)
     service = CaptionService(args)
+    if getattr(args, "serve_watch", 0.0) > 0:
+        service.start_watch(args.serve_watch)
     print(json.dumps({"status": "ready",
                       "vocab_size": service.config.vocab_size}), flush=True)
 

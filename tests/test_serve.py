@@ -254,6 +254,31 @@ def test_hot_reload_continuous_engine(tmp_path):
     assert got["captions"] == want["captions"]
 
 
+def test_serve_watch_auto_reloads(tmp_path):
+    """--serve-watch: overwriting the serving checkpoint on disk hot-swaps
+    the model within a few poll intervals (stability-gated)."""
+    import time
+
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+
+    svc, (p0, _), _ = _tiny_service_ckpts(tmp_path)
+    before = svc.handle_request({"n": 2})["captions"]
+    svc.start_watch(0.05)
+
+    cfg = Config(vocab_size=35, gen_embed_dim=12, gen_hidden_dim=16,
+                 max_seq_len=9)
+    ckpt_lib.save_params(p0, api.init_generator(jax.random.PRNGKey(21), cfg),
+                         sync=True)
+    deadline = time.time() + 20
+    after = before
+    while after == before and time.time() < deadline:
+        time.sleep(0.1)
+        after = svc.handle_request({"n": 2})["captions"]
+    assert after != before, "watcher never reloaded the rewritten checkpoint"
+
+
 def test_http_front_end(tmp_path):
     """--http-port: POST / caption requests, GET /stats and /healthz."""
     import json as _json
