@@ -42,6 +42,15 @@ from gan_image_captioning_tpu.data.vocab import END
 from gan_image_captioning_tpu.eval import decode as decode_lib
 
 
+class EngineOverloaded(RuntimeError):
+    """Admission control: the engine's pending queue is at ``max_pending``.
+
+    Raised by ``submit()`` so the caller fails FAST instead of joining a
+    queue it would only time out of — the serve CLI maps it to HTTP 503
+    (Retry-After semantics) so load balancers shed to another replica.
+    """
+
+
 def shard_serving_params(gen_params: dict, mesh) -> dict:
     """Place generator params for serving under ``mesh``.
 
@@ -91,11 +100,14 @@ class CoalescingBatcher:
     """
 
     def __init__(self, decode_fn, batch_size: int, feat_dim: int,
-                 feat_dtype=np.float32, bucket_sizes=None):
+                 feat_dtype=np.float32, bucket_sizes=None,
+                 max_pending: int = 0):
         self._decode = decode_fn            # feats [B, E] → (ids, logprobs)
         self.batch_size = batch_size
         self.feat_dim = feat_dim
         self.feat_dtype = feat_dtype
+        self.max_pending = int(max_pending)  # 0 = unbounded
+        self.rejected = 0
         if bucket_sizes:
             bs = sorted(set(int(b) for b in bucket_sizes) | {batch_size})
             if bs[-1] != batch_size:
@@ -134,6 +146,7 @@ class CoalescingBatcher:
             "rows_dispatched": rd,
             "padding_frac": round(max(0.0, 1.0 - rq / rd), 4)
             if rd else 0.0,
+            "rejected": self.rejected,
         }
 
     def _bucket_for(self, n: int) -> int:
@@ -148,6 +161,10 @@ class CoalescingBatcher:
         with self._submit_lock:
             if self._stop:
                 raise RuntimeError("CoalescingBatcher closed")
+            if self.max_pending and self._q.qsize() >= self.max_pending:
+                self.rejected += 1
+                raise EngineOverloaded(
+                    f"coalescing queue at max_pending={self.max_pending}")
             fut: Future = Future()
             self.requests += 1
             self._q.put((np.asarray(feats_rows), fut))
@@ -245,7 +262,9 @@ class ContinuousBatcher:
 
     def __init__(self, gen_params: dict, config: Config, num_slots: int = 8,
                  chunk_steps: int = 8, mesh=None, early_exit: bool = True,
-                 draft_params: dict = None):
+                 draft_params: dict = None, max_pending: int = 0):
+        self.max_pending = int(max_pending)  # 0 = unbounded
+        self.rejected = 0
         self.config = config
         self.T = config.seq_len
         self.B = num_slots
@@ -492,6 +511,7 @@ class ContinuousBatcher:
             "active_slots": int((self._slot_t >= 0).sum()),
             "occupancy": round(self.slot_chunks / (dc * self.B), 4)
             if dc else 0.0,
+            "rejected": self.rejected,
         }
         if self._speculative and self.slot_chunks:
             # mean target-exact tokens committed per slot-chunk (1..K+1);
@@ -503,13 +523,27 @@ class ContinuousBatcher:
     def submit(self, feats_row: np.ndarray) -> Future:
         """One caption request (a single feature row [E]); resolves to
         ``(ids [T], logprob)``."""
+        return self.submit_many([feats_row])[0]
+
+    def submit_many(self, feats_rows) -> list:
+        """Admit a multi-row request ATOMICALLY: either every row gets a
+        slot-queue entry or none does (a per-row loop could be rejected
+        midway by admission control, stranding the rows already queued)."""
         with self._submit_lock:
             if self._stop:
                 raise RuntimeError("ContinuousBatcher closed")
-            fut: Future = Future()
-            self._q.put((np.asarray(feats_row), fut))
+            if (self.max_pending
+                    and self._q.qsize() + len(feats_rows) > self.max_pending):
+                self.rejected += len(feats_rows)
+                raise EngineOverloaded(
+                    f"slot queue at max_pending={self.max_pending}")
+            futs = []
+            for row in feats_rows:
+                fut: Future = Future()
+                self._q.put((np.asarray(row), fut))
+                futs.append(fut)
             self._wake.set()
-            return fut
+            return futs
 
     def close(self):
         with self._submit_lock:

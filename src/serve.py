@@ -76,6 +76,11 @@ def parse_args(argv=None):
                         "in a while_loop that stops once every row in the "
                         "batch has emitted <E> (0 = fixed full-T program); "
                         "the post-<E> tail is <PAD>")
+    parser.add_argument("--serve-max-pending", type=int, default=0,
+                        help="admission control: reject a request "
+                        "immediately (HTTP 503) when the engine's pending "
+                        "queue holds this many entries, instead of letting "
+                        "it block toward timeout (0 = unbounded)")
     parser.add_argument("--serve-watch", type=float, default=0.0,
                         help="poll the serving checkpoint path every N "
                         "seconds and hot-reload when its contents change "
@@ -261,6 +266,7 @@ class CaptionService:
         self._chunk_steps = getattr(args, "serve_chunk_steps", 8)
         self._spec_chunk = getattr(args, "draft_len", 4)
         self._early_exit = not getattr(args, "serve_exact", False)
+        self._max_pending = int(getattr(args, "serve_max_pending", 0))
         if (self._want_continuous and mode == "speculative"
                 and self.mesh is not None):
             raise SystemExit("--serve-continuous --decode-mode speculative "
@@ -312,7 +318,8 @@ class CaptionService:
 
         self._reload_lock = threading.Lock()   # serialize hot reloads
         self.batcher = CoalescingBatcher(run_decode, self.batch_size,
-                                         feat_dim, bucket_sizes=buckets)
+                                         feat_dim, bucket_sizes=buckets,
+                                         max_pending=self._max_pending)
         # warm through the REAL request path so the first client request
         # hits the compiled program (requests pad to serve_batch_size)
         self.handle_request({"n": 1})
@@ -363,11 +370,12 @@ class CaptionService:
             return ContinuousBatcher(
                 self.gen_params, self.config, num_slots=self.batch_size,
                 chunk_steps=self._spec_chunk, early_exit=self._early_exit,
-                draft_params=self.dec_params)
+                draft_params=self.dec_params,
+                max_pending=self._max_pending)
         return ContinuousBatcher(
             self.dec_params, self.config, num_slots=self.batch_size,
             chunk_steps=self._chunk_steps, mesh=self.mesh,
-            early_exit=self._early_exit)
+            early_exit=self._early_exit, max_pending=self._max_pending)
 
     def reload_checkpoint(self, path: str) -> dict:
         """Hot checkpoint reload ({"reload": path}) — zero downtime.
@@ -511,9 +519,10 @@ class CaptionService:
         feats = np.asarray(feats)
         if self.continuous is not None:
             # continuous batching: each row takes a decode slot; rows join
-            # the pool at the next chunk boundary
-            futs = [self.continuous.submit(feats[i])
-                    for i in range(feats.shape[0])]
+            # the pool at the next chunk boundary (submit_many: admission
+            # control accepts or rejects the whole request atomically)
+            futs = self.continuous.submit_many(
+                [feats[i] for i in range(feats.shape[0])])
             results = [f.result(timeout=120) for f in futs]
             ids = np.stack([r[0] for r in results])
             lps = np.asarray([r[1] for r in results])
@@ -570,7 +579,11 @@ def make_http_server(service, port: int):
             try:
                 resp = service.handle_request(req)
             except Exception as exc:
-                self._send(500, {"error": str(exc)})
+                from gan_image_captioning_tpu.serving import EngineOverloaded
+
+                # 503 = shed load (balancers retry elsewhere); 500 = bug
+                self._send(503 if isinstance(exc, EngineOverloaded) else 500,
+                           {"error": str(exc)})
                 return
             self._send(200 if "error" not in resp else 400, resp)
 

@@ -377,3 +377,47 @@ def test_close_races_live_dispatcher_commit():
     # must not surface InvalidStateError/AttributeError from the threads
     fut.exception(timeout=10)
     assert fut.done()
+
+
+def test_admission_control_rejects_fast():
+    """max_pending: a full pending queue rejects new submits immediately
+    (EngineOverloaded) instead of queueing them toward a client timeout;
+    already-admitted requests still complete."""
+    import pytest
+
+    from gan_image_captioning_tpu.serving import EngineOverloaded
+
+    config, params, feats = _setup(b=2)
+
+    block = threading.Event()
+
+    def slow_decode(f):
+        block.wait(timeout=10)
+        ids = decode_lib.greedy(params, f, config)
+        return ids, decode_lib.sequence_logprob(params, f, ids, config)
+
+    eng = CoalescingBatcher(slow_decode, batch_size=2, feat_dim=16,
+                            max_pending=2)
+    f1 = eng.submit(feats[:1])      # dispatcher picks this up and blocks
+    time.sleep(0.2)
+    f2 = eng.submit(feats[:1])      # queued (1)
+    f3 = eng.submit(feats[:1])      # queued (2) — at max_pending
+    with pytest.raises(EngineOverloaded):
+        eng.submit(feats[:1])
+    assert eng.stats()["rejected"] == 1
+    block.set()
+    for f in (f1, f2, f3):
+        f.result(timeout=20)        # admitted work completes
+    eng.close()
+
+    # continuous engine: the whole multi-row request admits atomically
+    cb = ContinuousBatcher(params, config, num_slots=1, chunk_steps=2,
+                           max_pending=2)
+    rows = [feats[0]] * 3
+    with pytest.raises(EngineOverloaded):
+        cb.submit_many(rows)        # 3 rows > max_pending=2: none queued
+    assert cb.stats()["queue_depth"] == 0 and cb.stats()["rejected"] == 3
+    futs = cb.submit_many(rows[:2])
+    for f in futs:
+        f.result(timeout=30)
+    cb.close()
