@@ -84,7 +84,8 @@ def main():
         step, state, batch = build_step(variant.strip())
         for _ in range(WARMUP):
             state, metrics = step(state, batch, 10.0)
-        float(metrics["gen_adv_loss"])                  # hard sync
+        if WARMUP > 0:
+            float(metrics["gen_adv_loss"])              # hard sync
         out = os.path.join(OUT, variant.strip())
         os.makedirs(out, exist_ok=True)
         t0 = time.perf_counter()

@@ -718,19 +718,28 @@ def resolve_auto_resume(args: argparse.Namespace) -> argparse.Namespace:
     """
     if getattr(args, "resume", "") != "auto":
         return args
-    import glob
     import re
 
-    name_re = re.compile(re.escape(args.expt_name) + r"_\d+$")
-    candidates = set()
-    for d in glob.glob(os.path.join(args.save_dir,
-                                    glob.escape(args.expt_name) + "_*")):
-        if not name_re.search(os.path.basename(d)):
+    # os.listdir + regex, NOT glob: a save_dir like 'runs[2026]/out' must
+    # not be interpreted as a character class (a silent no-match would
+    # restart training from scratch on requeue)
+    run_re = re.compile(re.escape(args.expt_name) + r"_\d+$")
+    ckpt_re = re.compile(r"(interrupt_state|state_(pre_)?\d+)\.ckpt$")
+    candidates = []
+    try:
+        run_dirs = os.listdir(args.save_dir)
+    except OSError:
+        run_dirs = []
+    for run in run_dirs:
+        if not run_re.fullmatch(run):
             continue
-        mdir = os.path.join(d, args.model_dir)
-        for pat in ("interrupt_state.ckpt", "state_*.ckpt",
-                    "state_pre_*.ckpt"):
-            candidates.update(glob.glob(os.path.join(mdir, pat)))
+        mdir = os.path.join(args.save_dir, run, args.model_dir)
+        try:
+            names = os.listdir(mdir)
+        except OSError:
+            continue
+        candidates.extend(os.path.join(mdir, n) for n in names
+                          if ckpt_re.fullmatch(n))
     args.resume = (max(candidates, key=os.path.getmtime)
                    if candidates else "")
     return args

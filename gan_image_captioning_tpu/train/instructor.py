@@ -644,7 +644,8 @@ class GANInstructor:
 
         if sched_lib.phase_completed(self._schedule, "scst"):
             return  # resumed past this phase (train/schedule.py)
-        start_epoch, _ = sched_lib.phase_start(self._schedule, "scst")
+        start_epoch, start_batch = self._phase_resume_point(
+            "scst", self.pre_train_loader)
         self.log.info("SCST finetuning (%d epochs, reward=%s)"
                       % (epochs, self.config.scst_reward))
         train_refs = val_refs = None
@@ -666,9 +667,11 @@ class GANInstructor:
                 break
             t0 = time.time()
             advs, losses = [], []
-            for batch in self._progress(
-                    self._device_batches(self.pre_train_loader),
-                    f"scst/{epoch}", total=len(self.pre_train_loader)):
+            sb = start_batch if epoch == start_epoch else 0
+            interrupted_at = None
+            for off, batch in enumerate(self._progress(
+                    self._device_batches(self.pre_train_loader.iter_from(sb)),
+                    f"scst/{epoch}", total=len(self.pre_train_loader) - sb)):
                 k1, k2 = jax.random.split(jax.random.fold_in(base_key, step))
                 sampled, greedy = rollout(self.state.gen_params, batch, k1)
                 sampled, greedy, refs, w, bidx = jax.device_get(
@@ -685,6 +688,14 @@ class GANInstructor:
                 losses.append(loss)
                 step += 1
                 self._scst_step = step
+                if self._interrupted:
+                    # per-batch save like the MLE/adv sweeps — an SCST
+                    # epoch (rollout + reward) is the most expensive kind
+                    interrupted_at = sb + off + 1
+                    break
+            if interrupted_at is not None:
+                self._save_interrupt("scst", epoch, interrupted_at)
+                break
             # val sweep: mean greedy reward (the quantity SCST maximizes);
             # greedy-only program, pad rows excluded from the mean
             val_sum, val_n = 0.0, 0

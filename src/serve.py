@@ -357,23 +357,25 @@ class CaptionService:
                           shard_serving_params(dec_params, self.mesh))
         return gen_params, dec_params
 
-    def _build_continuous(self):
-        """A fresh slot-pool engine over the CURRENT params (None when the
-        service runs coalescing-only)."""
+    def _build_continuous(self, gen_params=None, dec_params=None):
+        """A fresh slot-pool engine over the given (default: current)
+        params — None when the service runs coalescing-only."""
         if not self._want_continuous:
             return None
         from gan_image_captioning_tpu.serving import ContinuousBatcher
 
+        gen_params = self.gen_params if gen_params is None else gen_params
+        dec_params = self.dec_params if dec_params is None else dec_params
         if self.mode == "speculative":
             # slot-based speculation: the int8 twin drafts per slot, the
             # target verifies per chunk — target-exact captions
             return ContinuousBatcher(
-                self.gen_params, self.config, num_slots=self.batch_size,
+                gen_params, self.config, num_slots=self.batch_size,
                 chunk_steps=self._spec_chunk, early_exit=self._early_exit,
-                draft_params=self.dec_params,
+                draft_params=dec_params,
                 max_pending=self._max_pending)
         return ContinuousBatcher(
-            self.dec_params, self.config, num_slots=self.batch_size,
+            dec_params, self.config, num_slots=self.batch_size,
             chunk_steps=self._chunk_steps, mesh=self.mesh,
             early_exit=self._early_exit, max_pending=self._max_pending)
 
@@ -383,27 +385,45 @@ class CaptionService:
         The coalescing path threads params as jit ARGUMENTS, so swapping
         ``self.gen_params``/``self.dec_params`` reuses the compiled
         programs as-is.  The continuous engine bakes params into its
-        jitted closures, so a successor engine is built and warmed BEFORE
-        the atomic swap; the predecessor keeps serving its in-flight
-        slots, is drained, then closed.  A failed load (missing/corrupt
-        path, shape mismatch vs the serving config) raises before any
-        state changes — the service keeps serving the old checkpoint.
+        jitted closures, so a successor engine is built and warmed over
+        the NEW params while every ``self.*`` attribute still serves the
+        old checkpoint; only after the warm decode succeeds do params,
+        engine, and checkpoint_path swap together.  Any failure — load,
+        build, or warm — closes the half-built engine and raises with
+        the service state untouched.
         """
         from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
 
         with self._reload_lock:
             raw, _ = ckpt_lib.load_generator_checkpoint(path, self.config)
-            self.gen_params, self.dec_params = self._prepare_params(raw)
+            gen_params, dec_params = self._prepare_params(raw)
             old = self.continuous
+            new = None
             if old is not None:
-                new = self._build_continuous()
-                # warm: compile the successor's advance/reset programs now,
-                # not on the first post-swap client request
-                feats = np.asarray(self._features_unconditional(1))
-                new.submit(feats[0]).result(timeout=120)
-                self.continuous = new       # atomic ref swap
-                self._drain_and_close(old)
+                new = self._build_continuous(gen_params, dec_params)
+                try:
+                    # warm: compile the successor's advance/reset programs
+                    # now, not on the first post-swap client request
+                    dec = gen_params["decoder"]
+                    feats = np.asarray(self._start_features(
+                        dec if self.config.gen_arch == "lstm"
+                        else {"embed": dec["embed"]}, 1))
+                    new.submit(feats[0]).result(timeout=120)
+                except BaseException:
+                    new.close()     # don't leak its dispatcher/params
+                    raise
+            # point of no return: swap everything together
+            self.gen_params, self.dec_params = gen_params, dec_params
+            if new is not None:
+                self.continuous = new
             self.checkpoint_path = path
+            if getattr(self, "_watch_fp", None) is not None:
+                # a manual reload must not look like a disk change to the
+                # watcher (it would redundantly reload the same file)
+                self._watch_fp = self._ckpt_fingerprint(path)
+                self._watch_pending = None
+            if old is not None:
+                self._drain_and_close(old)
             return {"reloaded": path}
 
     @staticmethod
@@ -520,9 +540,19 @@ class CaptionService:
         if self.continuous is not None:
             # continuous batching: each row takes a decode slot; rows join
             # the pool at the next chunk boundary (submit_many: admission
-            # control accepts or rejects the whole request atomically)
-            futs = self.continuous.submit_many(
-                [feats[i] for i in range(feats.shape[0])])
+            # control accepts or rejects the whole request atomically).
+            # Retry once on a closed engine: a hot reload can swap+close
+            # the engine between this thread reading the reference and
+            # submitting — the retry lands on the successor.
+            rows = [feats[i] for i in range(feats.shape[0])]
+            for attempt in (0, 1):
+                engine = self.continuous
+                try:
+                    futs = engine.submit_many(rows)
+                    break
+                except RuntimeError as exc:
+                    if "closed" not in str(exc) or attempt == 1:
+                        raise
             results = [f.result(timeout=120) for f in futs]
             ids = np.stack([r[0] for r in results])
             lps = np.asarray([r[1] for r in results])

@@ -246,6 +246,59 @@ def test_auto_resume_cli_end_to_end(tmp_path):
     assert inst2.pretrain_steps == inst1.pretrain_steps
 
 
+def test_midscst_interrupt_resume_bitexact(tmp_path, datasets, monkeypatch):
+    """SCST sweeps honor per-batch interrupts too (an SCST epoch —
+    rollout + host reward — is the most expensive kind); resume replays
+    the identical (base_key, global step) folds → bit-exact."""
+    from gan_image_captioning_tpu.train import scst as scst_lib
+
+    kw = dict(pretrain_epochs=1, adv_epochs=0, scst_epochs=2,
+              scst_reward="bleu")
+    cfg_a = _config(str(tmp_path) + "_a", **kw)
+    ia = GANInstructor(cfg_a, *datasets, silent=True)
+    ia._run()
+
+    cfg_b = _config(str(tmp_path) + "_b", **kw)
+    ib = GANInstructor(cfg_b, *datasets, silent=True)
+    orig = scst_lib.batch_advantage
+    calls = [0]
+
+    def counting(*a, **k):
+        calls[0] += 1
+        if calls[0] == 2:            # mid-epoch 0 (4 batches/epoch)
+            ib._request_interrupt()
+        return orig(*a, **k)
+
+    monkeypatch.setattr(scst_lib, "batch_advantage", counting)
+    ib._run()
+    monkeypatch.setattr(scst_lib, "batch_advantage", orig)
+    ckpt = os.path.join(cfg_b.model_dir, "interrupt_state.ckpt")
+    side = json.load(open(ckpt + ".schedule.json"))
+    assert side["phase"] == "scst" and side["epoch"] == 0
+    assert side["batches_done"] == 2 and side["scst_step"] == 2
+
+    cfg_c = _config(str(tmp_path) + "_b", resume=ckpt, **kw)
+    ic = GANInstructor(cfg_c, *datasets, silent=True)
+    assert ic._scst_step == 2
+    ic._run()
+    _leaves_equal(ia.state.gen_params, ic.state.gen_params)
+
+
+def test_resolve_auto_resume_metachar_save_dir(tmp_path):
+    """A save_dir containing glob metacharacters must still find resume
+    candidates (a silent no-match would restart training from scratch)."""
+    import argparse
+
+    from gan_image_captioning_tpu.config import resolve_auto_resume
+
+    root = os.path.join(str(tmp_path), "runs[2026]", "out")
+    ckpt = os.path.join(root, "demo_1", "models", "interrupt_state.ckpt")
+    os.makedirs(ckpt)
+    args = argparse.Namespace(save_dir=root, expt_name="demo",
+                              model_dir="models", resume="auto")
+    assert resolve_auto_resume(args).resume == ckpt
+
+
 def test_elastic_resume_across_mesh_sizes(tmp_path, datasets):
     """Elastic recovery: a snapshot taken under --mesh data:8 resumes on a
     SINGLE device (and back under the mesh), bit-identical to the
