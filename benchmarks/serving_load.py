@@ -41,6 +41,11 @@ BEAM = int(os.environ.get("GIC_LOAD_BEAM", "1"))
 # GIC_LOAD_VOCAB/EMBED/HIDDEN/LAYERS/T accordingly.
 CKPT = os.environ.get("GIC_LOAD_CKPT", "")
 EXACT = os.environ.get("GIC_LOAD_EXACT", "0") == "1"
+# GIC_LOAD_MAX_PENDING=N: engine admission control — overload sheds
+# (EngineOverloaded) instead of queueing toward timeout; the harness then
+# reports goodput over ACCEPTED requests + the reject count, showing the
+# bounded-tail tradeoff vs the unbounded queue.
+MAX_PENDING = int(os.environ.get("GIC_LOAD_MAX_PENDING", "0"))
 
 
 def _flagship_config():
@@ -64,11 +69,12 @@ def run_load(engine_name: str, submit, n_req: int, rate: float,
              device_calls) -> dict:
     """Fire ``n_req`` single-caption requests with Poisson (exponential
     inter-arrival) timing at ``rate``/s; gather per-request latency."""
+    from gan_image_captioning_tpu.serving import EngineOverloaded
+
     rng = np.random.default_rng(1008)
     gaps = rng.exponential(1.0 / rate, size=n_req)
-    latencies = np.zeros(n_req)
     futs = [None] * n_req
-    t_starts = np.zeros(n_req)
+    rejected = 0
 
     t0 = time.perf_counter()
     next_t = 0.0
@@ -77,17 +83,25 @@ def run_load(engine_name: str, submit, n_req: int, rate: float,
         now = time.perf_counter() - t0
         if now < next_t:
             time.sleep(next_t - now)
-        t_starts[i] = time.perf_counter()
-        futs[i] = submit(i)
-    for i in range(n_req):
-        futs[i].result(timeout=300)
+        try:
+            futs[i] = submit(i)
+        except EngineOverloaded:
+            rejected += 1        # shed immediately (admission control)
+    accepted = n_req - rejected
+    for fut in futs:
+        if fut is not None:
+            fut.result(timeout=300)
         # latency recorded by completion callback would race; resolve here
     t_end = time.perf_counter()
     # re-derive per-request latency from future completion wall times
     # captured via add_done_callback below
-    return {"engine": engine_name, "offered_cps": round(rate, 1),
-            "achieved_cps": round(n_req / (t_end - t0), 1),
-            "device_programs": device_calls()}
+    out = {"engine": engine_name, "offered_cps": round(rate, 1),
+           "achieved_cps": round(accepted / (t_end - t0), 1),
+           "device_programs": device_calls()}
+    if rejected:
+        out["rejected"] = rejected
+        out["accepted"] = accepted
+    return out
 
 
 def main():
@@ -151,21 +165,24 @@ def main():
         def decode_fn(feats):
             return decode_lib.greedy_with_logprobs(gen_params, feats, config)
     decode_jit = jax.jit(decode_fn)
-    co = CoalescingBatcher(decode_jit, BATCH, config.gen_embed_dim)
+    co = CoalescingBatcher(decode_jit, BATCH, config.gen_embed_dim,
+                           max_pending=MAX_PENDING)
     co.submit(feat[None, :]).result(timeout=600)         # warm compile
     lat = []
     adaptive_k = int(os.environ.get("GIC_LOAD_ADAPTIVE", "0"))
     tag = ("coalescing" + (f"_beam{BEAM}" if BEAM > 1 else "")
            + (f"_adaptive{adaptive_k}" if BEAM == 1 and adaptive_k else "")
            + (f"_spec{spec_k}" if BEAM == 1 and spec_k > 0
-              and not adaptive_k else ""))
+              and not adaptive_k else "")
+           + (f"_mp{MAX_PENDING}" if MAX_PENDING else ""))
     r = run_load(tag,
                  timed_submit(lambda i: co.submit(feat[None, :]), lat),
                  N_REQ, RATE, lambda: co.device_calls)
     co.close()
     lat_ms = np.sort(np.asarray(lat)) * 1e3
-    r["p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
-    r["p99_ms"] = round(float(np.percentile(lat_ms, 99)), 2)
+    if lat_ms.size:
+        r["p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
+        r["p99_ms"] = round(float(np.percentile(lat_ms, 99)), 2)
     results.append(r)
     print(json.dumps(r), flush=True)
 
@@ -181,11 +198,13 @@ def main():
                                chunk_steps=(spec_k if draft is not None else
                                             int(os.environ.get(
                                                 "GIC_LOAD_CHUNK", "8"))),
-                               early_exit=not EXACT, draft_params=draft)
+                               early_exit=not EXACT, draft_params=draft,
+                               max_pending=MAX_PENDING)
         cb.submit(feat).result(timeout=600)              # warm compile
         lat = []
         r = run_load("continuous" + (f"_spec{spec_k}" if draft is not None
-                                     else "") + ("_exact" if EXACT else ""),
+                                     else "") + ("_exact" if EXACT else "")
+                     + (f"_mp{MAX_PENDING}" if MAX_PENDING else ""),
                      timed_submit(lambda i: cb.submit(feat), lat),
                      N_REQ, RATE, lambda: cb.device_calls)
         st = cb.stats()
@@ -194,8 +213,9 @@ def main():
             r["tokens_per_slot_chunk"] = st["tokens_per_slot_chunk"]
         cb.close()
         lat_ms = np.sort(np.asarray(lat)) * 1e3
-        r["p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
-        r["p99_ms"] = round(float(np.percentile(lat_ms, 99)), 2)
+        if lat_ms.size:
+            r["p50_ms"] = round(float(np.percentile(lat_ms, 50)), 2)
+            r["p99_ms"] = round(float(np.percentile(lat_ms, 99)), 2)
         results.append(r)
         print(json.dumps(r), flush=True)
 
