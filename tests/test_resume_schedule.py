@@ -348,3 +348,52 @@ def test_sidecar_roundtrip_and_corruption(tmp_path):
     assert sched_lib.load_sidecar(ckpt) is None  # degrade, never crash
     with pytest.raises(ValueError):
         sched_lib.save_sidecar(ckpt, {"phase": "nope"})
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_interrupt_anywhere_resume_bitexact(tmp_path, seed):
+    """Property: for random small configs and a random interrupt point
+    ANYWHERE in the schedule (any phase, any batch), interrupt + resume
+    reproduces the uninterrupted run bit-exactly."""
+    rng = np.random.default_rng(100 + seed)
+    kw = dict(pretrain_epochs=int(rng.integers(1, 3)),
+              adv_epochs=int(rng.integers(1, 3)),
+              disc_train_freq=int(rng.integers(1, 3)),
+              label_smoothing=float(rng.choice([0.0, 0.1])),
+              checkpoint_every=int(rng.choice([0, 1])),
+              length_buckets=str(rng.choice(["", "7"])))
+    train = SyntheticCaptions("train", num_items=24)
+    val = SyntheticCaptions("val", num_items=16)
+
+    cfg_a = _config(str(tmp_path) + "_a", **kw)
+    ia = GANInstructor(cfg_a, train, val, silent=True)
+    ia._run()
+
+    nb = len(ia.pre_train_loader)
+    total = kw["pretrain_epochs"] * nb + kw["adv_epochs"] * nb
+    cut = int(rng.integers(1, total))  # somewhere strictly inside
+
+    cfg_b = _config(str(tmp_path) + "_b", **kw)
+    ib = GANInstructor(cfg_b, train, val, silent=True)
+    calls = [0]
+    for attr in ("mle_step", "adv_step"):
+        orig = getattr(ib, attr)
+
+        def wrapped(*a, _orig=orig, **k):
+            out = _orig(*a, **k)
+            calls[0] += 1
+            if calls[0] == cut:
+                ib._request_interrupt()
+            return out
+
+        setattr(ib, attr, wrapped)
+    ib._run()
+    ckpt = os.path.join(cfg_b.model_dir, "interrupt_state.ckpt")
+    assert os.path.isdir(ckpt), (kw, cut)
+
+    cfg_c = _config(str(tmp_path) + "_b", resume=ckpt, **kw)
+    ic = GANInstructor(cfg_c, train, val, silent=True)
+    ic._run()
+    assert int(ic.state.gen_steps) == int(ia.state.gen_steps), (kw, cut)
+    _leaves_equal(ia.state.gen_params, ic.state.gen_params)
+    _leaves_equal(ia.state.disc_params, ic.state.disc_params)
