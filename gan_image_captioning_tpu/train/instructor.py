@@ -408,17 +408,23 @@ class GANInstructor:
                 self.state, metrics = self.mle_eval_step(self.state, batch,
                                                          ss_prob)
                 tag = "GenPreTraining_val_loss"
-            pending.append((metrics["gen_pretrain_loss"], tag,
+            pending.append((metrics["gen_pretrain_loss"],
+                            metrics.get("gen_grad_norm"), tag,
                             self.pretrain_steps))
             if what == "train" and self._interrupted:
                 self._sweep_break = start_batch + off + 1
                 break
-        fetched = jax.device_get([dev for dev, _, _ in pending])
+        fetched = jax.device_get([(dev, gn) for dev, gn, _, _ in pending])
         losses = []
-        for loss, (_, tag, step) in zip(fetched, pending):
+        for (loss, gnorm), (_, _, tag, step) in zip(fetched, pending):
             loss = float(loss)
             losses.append(loss)
             self.writer.add_scalar(tag, loss, step)
+            if gnorm is not None:
+                # pre-clip generator grad norm (train/steps.py) — the
+                # instability signal the loss curves only show after
+                self.writer.add_scalar("GenPreTraining_grad_norm",
+                                       float(gnorm), step)
         return losses
 
     def pretrain_generator(self, epochs: int):
@@ -526,20 +532,28 @@ class GANInstructor:
                 d_tag, g_tag = "Discriminator_val_loss", "Generator_val_loss"
             pending.append((metrics["gen_adv_loss"],
                             metrics["disc_adv_loss"],
+                            metrics.get("gen_grad_norm"),
+                            metrics.get("disc_grad_norm"),
                             (g_tag, d_tag), step_counter))
             if what == "train" and self._interrupted:
                 self._sweep_break = batch_idx + 1
                 break
         # one batched fetch for the whole sweep (see genpretrain_loop)
-        fetched = jax.device_get([(g, d) for g, d, _, _ in pending])
+        fetched = jax.device_get(
+            [(g, d, gn, dn) for g, d, gn, dn, _, _ in pending])
         g_losses, d_losses = [], []
-        for (g_loss, d_loss), (_, _, (g_tag, d_tag), step) in zip(fetched,
-                                                                  pending):
+        for (g_loss, d_loss, g_norm, d_norm), \
+                (_, _, _, _, (g_tag, d_tag), step) in zip(fetched, pending):
             g_loss, d_loss = float(g_loss), float(d_loss)
             g_losses.append(g_loss)
             d_losses.append(d_loss)
             self.writer.add_scalar(d_tag, d_loss, step)
             self.writer.add_scalar(g_tag, g_loss, step)
+            if g_norm is not None:
+                self.writer.add_scalar("Generator_grad_norm",
+                                       float(g_norm), step)
+                self.writer.add_scalar("Discriminator_grad_norm",
+                                       float(d_norm), step)
         if what == "train" and g_losses:
             rate = len(g_losses) / max(time.time() - t_sweep, 1e-9)
             self.writer.add_scalar("adv_steps_per_sec", rate, step_counter)

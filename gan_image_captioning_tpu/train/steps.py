@@ -238,6 +238,9 @@ def make_mle_step(config: Config):
             loss = loss_sum / accum
             new_stats = (None if stats_seq is None else
                          jax.tree_util.tree_map(lambda s: s[-1], stats_seq))
+        import optax as _optax
+
+        grad_norm = _optax.global_norm(grads)   # pre-clip global norm
         updates, new_opt = tx.update(grads, state.pretrain_opt_state,
                                      state.gen_params)
         gen_params = jax.tree_util.tree_map(
@@ -250,7 +253,8 @@ def make_mle_step(config: Config):
             ema_gen_params=_ema_update(config, state.ema_gen_params,
                                        gen_params),
         )
-        return state, {"gen_pretrain_loss": loss}
+        return state, {"gen_pretrain_loss": loss,
+                       "gen_grad_norm": grad_norm}
 
     return _maybe_jit(step, config, donate_argnums=(0,))
 
@@ -472,6 +476,14 @@ def make_adv_step(config: Config):
                                                         stats_seq)),
                    "d_real_mean": scal[2], "d_fake_mean": scal[3]}
 
+        import optax as _optax
+
+        # pre-clip global grad norms: the observability signal for GAN
+        # instability (the report's §4.3 discussion) — spikes precede the
+        # mode-collapse the BLEU/self-BLEU probes detect after the fact
+        g_grad_norm = _optax.global_norm(g_grads)
+        d_grad_norm = _optax.global_norm(d_grads)
+
         # --- D update, conditionally (disc_train_freq) ---
         def update_disc(operand):
             dp, opt, steps = operand
@@ -505,7 +517,9 @@ def make_adv_step(config: Config):
         )
         metrics = {"gen_adv_loss": g_loss, "disc_adv_loss": d_loss,
                    "d_real_mean": aux["d_real_mean"],
-                   "d_fake_mean": aux["d_fake_mean"]}
+                   "d_fake_mean": aux["d_fake_mean"],
+                   "gen_grad_norm": g_grad_norm,
+                   "disc_grad_norm": d_grad_norm}
         return state, metrics
 
     return _maybe_jit(step, config, donate_argnums=(0,))

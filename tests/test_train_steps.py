@@ -141,3 +141,24 @@ def test_adv_loop_learns_discriminator():
         temp = get_fixed_temperature(cfg.temperature, i / 30, 1.0, "exp")
         state, metrics = adv(state, batch, temp)
     assert float(metrics["d_real_mean"]) > float(metrics["d_fake_mean"]) + 0.5
+
+
+def test_grad_norm_metrics_finite_and_positive():
+    """Both fused train steps report pre-clip global grad norms (the GAN
+    instability observability signal); eval steps don't compute grads."""
+    from gan_image_captioning_tpu.train.steps import (make_adv_eval_step,
+                                                      make_adv_step,
+                                                      make_mle_step)
+
+    cfg, ds = small_config()
+    state = create_train_state(cfg, jax.random.PRNGKey(4))
+    batch = _batches(cfg, ds, 1)[0]
+    state, m = make_mle_step(cfg)(state, batch)
+    assert np.isfinite(float(m["gen_grad_norm"]))
+    assert float(m["gen_grad_norm"]) > 0
+    state, m = make_adv_step(cfg)(state, batch, 2.0)
+    assert np.isfinite(float(m["gen_grad_norm"]))
+    assert np.isfinite(float(m["disc_grad_norm"]))
+    assert float(m["disc_grad_norm"]) > 0
+    _, m = make_adv_eval_step(cfg)(state, batch, 2.0)
+    assert "gen_grad_norm" not in m
