@@ -397,3 +397,17 @@ def test_fuzz_interrupt_anywhere_resume_bitexact(tmp_path, seed):
     assert int(ic.state.gen_steps) == int(ia.state.gen_steps), (kw, cut)
     _leaves_equal(ia.state.gen_params, ic.state.gen_params)
     _leaves_equal(ia.state.disc_params, ic.state.disc_params)
+
+
+def test_iter_from_with_worker_pool_preserves_order(datasets):
+    """iter_from under num_workers>1: the reorder buffer must emit the
+    truncated batch list in order, identical to a single-worker replay."""
+    train, _ = datasets
+    a = Batcher(train, 8, 11, shuffle=True, seed=5, num_workers=1)
+    b = Batcher(train, 8, 11, shuffle=True, seed=5, num_workers=3)
+    one = list(a.iter_from(1))
+    pooled = list(b.iter_from(1))
+    assert len(one) == len(pooled)
+    for x, y in zip(one, pooled):
+        np.testing.assert_array_equal(x["captions"], y["captions"])
+        np.testing.assert_array_equal(x["index"], y["index"])
