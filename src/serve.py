@@ -590,9 +590,30 @@ def make_http_server(service, port: int):
                     self._send(200, {"status": "ok"})
                 elif self.path == "/stats":
                     self._send(200, service.handle_request({"stats": True}))
+                elif self.path == "/metrics":
+                    # Prometheus text exposition of the engine counters —
+                    # scrape-ready (gauge semantics for depths/fractions,
+                    # counter for the rest)
+                    stats = service.handle_request({"stats": True})
+                    lines = []
+                    for engine, vals in stats.items():
+                        if not isinstance(vals, dict):
+                            continue
+                        for k, v in vals.items():
+                            if isinstance(v, (int, float)):
+                                lines.append(
+                                    f'gic_serving_{k}{{engine="{engine}"}}'
+                                    f" {v}")
+                    body = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
-                    self._send(404,
-                               {"error": "GET /stats | /healthz, POST /"})
+                    self._send(404, {"error": "GET /stats | /healthz | "
+                                              "/metrics, POST /"})
             except Exception as exc:  # never abort the connection replyless
                 self._send(500, {"error": str(exc)})
 

@@ -320,6 +320,11 @@ def test_http_front_end(tmp_path):
         with urllib.request.urlopen(base + "/stats", timeout=30) as r:
             st = _json.load(r)
         assert "coalescing" in st
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            prom = r.read().decode()
+        assert 'gic_serving_requests{engine="coalescing"}' in prom
+        assert 'gic_serving_rejected{engine="coalescing"}' in prom
         # malformed body → 400 with an error payload
         bad = urllib.request.Request(base + "/", data=b"{nope",
                                      headers={"Content-Type":
