@@ -481,14 +481,17 @@ def add_tpu_args(parser):
                         "self-critical (the greedy decode's discriminator "
                         "score), 'batch_mean' = batch average reward")
     g.add_argument("--quantize", type=str, default="none",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int4"],
                    help="weight-only quantization of the DECODE path "
                         "(evaluate/caption/serve): int8 stores the decoder "
                         "— embedding, LSTM stack, vocab projection — as "
                         "symmetric per-channel int8, halving per-step HBM "
-                        "weight reads vs bf16 (ops/quantize.py). Training "
-                        "and NLL eval stay full-precision; transformer "
-                        "decoders get fake-quant (storage-fidelity only)")
+                        "weight reads vs bf16 (ops/quantize.py); int4 "
+                        "(native jnp.int4, packed on TPU) quarters them — "
+                        "measure quality per model (per-channel 4-bit is "
+                        "lossier). Training and NLL eval stay "
+                        "full-precision; transformer decoders get "
+                        "fake-quant (storage-fidelity only)")
     g.add_argument("--decode-impl", type=str, default="fused",
                    choices=["fused", "decoupled", "kernel"],
                    help="LSTM free-running decode implementation. 'fused' "

@@ -48,14 +48,22 @@ class QTensor(NamedTuple):
     scale: jnp.ndarray
 
 
-def quantize(w, channel_axis: int = -1) -> QTensor:
-    """Symmetric per-channel int8: ``scale = max|w| / 127`` along every
-    axis except ``channel_axis``; zero channels get scale 1 (q = 0)."""
+def quantize(w, channel_axis: int = -1, bits: int = 8) -> QTensor:
+    """Symmetric per-channel intN: ``scale = max|w| / qmax`` along every
+    axis except ``channel_axis``; zero channels get scale 1 (q = 0).
+
+    ``bits``: 8 (int8 payload, qmax 127) or 4 (native ``jnp.int4``
+    payload, qmax 7 — XLA bit-packs it on TPU, quartering HBM weight
+    reads vs bf16; per-channel 4-bit is lossier, measure per model)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    qmax = (1 << (bits - 1)) - 1
+    dtype = jnp.int8 if bits == 8 else jnp.int4
     w = jnp.asarray(w, jnp.float32)
     axes = tuple(a for a in range(w.ndim) if a != channel_axis % w.ndim)
     amax = jnp.max(jnp.abs(w), axis=axes, keepdims=True)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.where(amax > 0, amax / qmax, 1.0)
+    q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(dtype)
     return QTensor(q, scale)
 
 
@@ -80,14 +88,15 @@ def qmatmul(x, qt: QTensor, dtype=None, t=None):
     dtype = dtype or x.dtype
     q = qt.q
     if t is not None:
-        q = q + (jnp.asarray(t) * 0).astype(jnp.int8)
+        q = q + (jnp.asarray(t) * 0).astype(q.dtype)
     y = x @ q.astype(dtype)
     return y * qt.scale.reshape(1, -1).astype(dtype)
 
 
-def fake_quantize_tree(tree, channel_axis: int = -1, min_size: int = 4096):
+def fake_quantize_tree(tree, channel_axis: int = -1, min_size: int = 4096,
+                       bits: int = 8):
     """Quantize→dequantize every float matrix leaf with ≥ ``min_size``
-    elements (biases/small vectors stay exact).  Simulates int8 storage
+    elements (biases/small vectors stay exact).  Simulates intN storage
     for paths that keep full-precision compute (transformer decoder,
     checkpoint export)."""
 
@@ -95,13 +104,21 @@ def fake_quantize_tree(tree, channel_axis: int = -1, min_size: int = 4096):
         if (hasattr(leaf, "dtype")
                 and jnp.issubdtype(leaf.dtype, jnp.floating)
                 and leaf.ndim >= 2 and leaf.size >= min_size):
-            return dequantize(quantize(leaf, channel_axis), leaf.dtype)
+            return dequantize(quantize(leaf, channel_axis, bits=bits),
+                              leaf.dtype)
         return leaf
 
     return jax.tree_util.tree_map(fq, tree)
 
 
-def quantize_lstm_decoder(dec: dict) -> dict:
+def config_bits(config) -> int:
+    """``--quantize int8|int4`` → payload bits (int8 when quantization is
+    requested implicitly, e.g. the speculative draft under
+    ``--quantize none``)."""
+    return 4 if getattr(config, "quantize", "none") == "int4" else 8
+
+
+def quantize_lstm_decoder(dec: dict, bits: int = 8) -> dict:
     """LSTM decoder pytree → quantized form.
 
     Input (models/generator.py layout): ``{"embed": [V, E],
@@ -116,12 +133,13 @@ def quantize_lstm_decoder(dec: dict) -> dict:
     fused = lstm_lib.fuse_layer_params(dec["lstm"])
     out = {
         # per-embedding-dim scales: rows are looked up, columns scaled
-        "embed": quantize(dec["embed"], channel_axis=-1),
-        "lstm_q": [{"w": quantize(lp["w"], channel_axis=-1),
+        "embed": quantize(dec["embed"], channel_axis=-1, bits=bits),
+        "lstm_q": [{"w": quantize(lp["w"], channel_axis=-1, bits=bits),
                     "b": jnp.asarray(lp["b"], jnp.float32)}
                    for lp in fused],
         # pre-transpose to [H, V] so decode is qmatmul(h, w) directly
-        "linear": {"w": quantize(dec["linear"]["w"].T, channel_axis=-1),
+        "linear": {"w": quantize(dec["linear"]["w"].T, channel_axis=-1,
+                                 bits=bits),
                    "b": jnp.asarray(dec["linear"]["b"], jnp.float32)},
     }
     return out
@@ -131,18 +149,20 @@ def quantize_generator(gen_params: dict, config) -> dict:
     """Generator pytree → decode-quantized twin (params elsewhere —
     encoder, BN — shared by reference, not copied).
 
-    * ``gen_arch == "lstm"``: decoder replaced by the int8-resident form
-      (:func:`quantize_lstm_decoder`); steppers detect ``"lstm_q"``.
-    * transformer: decoder fake-quantized (int8 storage fidelity,
+    * ``gen_arch == "lstm"``: decoder replaced by the intN-resident form
+      (:func:`quantize_lstm_decoder`, bits from ``--quantize``);
+      steppers detect ``"lstm_q"`` and are payload-dtype agnostic.
+    * transformer: decoder fake-quantized (intN storage fidelity,
       full-precision compute — the KV-cache decode step's weight reads
       are amortized across layers and the win is smaller; measured
       before kernelizing, per the round-2 lesson).
     """
+    bits = config_bits(config)
     out = dict(gen_params)
     if "lstm" in gen_params["decoder"]:
-        out["decoder"] = quantize_lstm_decoder(gen_params["decoder"])
+        out["decoder"] = quantize_lstm_decoder(gen_params["decoder"], bits)
     else:
-        out["decoder"] = fake_quantize_tree(gen_params["decoder"])
+        out["decoder"] = fake_quantize_tree(gen_params["decoder"], bits=bits)
     return out
 
 

@@ -255,3 +255,62 @@ def test_caption_cli_quantized(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [json.loads(ln) for ln in out.read_text().splitlines()]
     assert len(lines) == 4 and all("caption" in ln for ln in lines)
+
+
+# ------------------------------------------------------------------ int4
+
+def test_int4_roundtrip_and_qmatmul():
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(33, 41) * 0.4, jnp.float32)
+    qt = q_lib.quantize(w, channel_axis=-1, bits=4)
+    assert qt.q.dtype == jnp.int4
+    # symmetric 4-bit: |error| <= scale/2 per element
+    err = np.abs(np.asarray(q_lib.dequantize(qt)) - np.asarray(w))
+    bound = np.asarray(qt.scale) / 2 + 1e-7
+    assert (err <= bound).all()
+    x = jnp.asarray(rng.randn(5, 33), jnp.float32)
+    got = np.asarray(q_lib.qmatmul(x, qt))
+    want = np.asarray(x @ q_lib.dequantize(qt))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError):
+        q_lib.quantize(w, bits=5)
+
+
+def test_int4_greedy_token_match_on_trained_model():
+    """--quantize int4 decodes through the same quantized stepper; quality
+    is measured, not assumed — the bar is deliberately lower than int8's
+    (per-channel 4-bit is lossier)."""
+    cfg = _cfg(gen_num_layers=1, quantize="int4")
+    params = _train_tiny_mle(cfg)
+    qparams = q_lib.quantize_generator(params, cfg)
+    assert qparams["decoder"]["lstm_q"][0]["w"].q.dtype == jnp.int4
+    feats = _features(cfg, params, n=8)
+    ids_fp = np.asarray(decode_lib.greedy(params, feats, cfg))
+    ids_q = np.asarray(decode_lib.greedy(qparams, feats, cfg))
+    match = (ids_fp == ids_q).mean()
+    assert match >= 0.6, f"int4 greedy token match {match:.3f} < 0.6"
+    # logprobs finite through the int4 stepper
+    slp = decode_lib.sequence_logprob(qparams, feats,
+                                      jnp.asarray(ids_q, jnp.int32), cfg)
+    assert np.isfinite(np.asarray(slp)).all()
+
+
+def test_int4_serve_cli(tmp_path):
+    """--quantize int4 through the real serve surface."""
+    import os
+
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, parse_args
+
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(5), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params, sync=True)
+    svc = CaptionService(parse_args([
+        "--checkpoint", ckpt, "--dataset", "synthetic", "--max-seq-len", "8",
+        "--gen-embed-dim", "8", "--gen-hidden-dim", "12",
+        "--serve-batch-size", "4", "--quantize", "int4"]))
+    assert svc.dec_params["decoder"]["lstm_q"][0]["w"].q.dtype == jnp.int4
+    resp = svc.handle_request({"n": 3})
+    assert len(resp["captions"]) == 3
+    assert all(np.isfinite(v) for v in resp["logprobs"])
