@@ -507,6 +507,13 @@ def add_tpu_args(parser):
                         "weight grads; the rescore adds [T,B,V] "
                         "materializations and a second forward), so fused "
                         "stays the default (benchmarks/step_cost.py).")
+    g.add_argument("--skip-nonfinite-grads", type=int, default=0,
+                   help="skip an optimizer update (params/opt-state/EMA "
+                        "unchanged; counters still advance) when that "
+                        "side's gradient global norm is non-finite — the "
+                        "production guard for long bf16 adversarial runs "
+                        "where one poisoned batch would destroy the run. "
+                        "0 = reference behavior (apply whatever came back)")
     g.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans: fail loudly at the op that "
                         "first produces a NaN (the functional-purity "
@@ -633,6 +640,7 @@ class Config:
     rollout_num: int = 0
     rollout_stride: int = 4
     rl_baseline: str = "greedy"
+    skip_nonfinite_grads: int = 0
     debug_nans: bool = False
     length_buckets: str = ""
     lr_schedule: str = "constant"

@@ -107,6 +107,19 @@ def _split_micro(batch: Dict[str, Any], k: int) -> Dict[str, Any]:
     return jax.tree_util.tree_map(r, batch)
 
 
+def _guard_nonfinite(config: Config, grad_norm, new_tree, old_tree):
+    """``--skip-nonfinite-grads``: keep ``old_tree`` when the side's grad
+    global norm is non-finite (one poisoned batch must not destroy a long
+    bf16 run).  Static no-op when disabled — the default trace is
+    unchanged."""
+    if not config.skip_nonfinite_grads:
+        return new_tree
+    ok = jnp.isfinite(grad_norm)
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(ok, n, o) if hasattr(n, "dtype") else n,
+        new_tree, old_tree)
+
+
 def _ema_update(config: Config, ema, new_params):
     """Shadow-param EMA (``--ema-decay`` > 0): ``e ← e·d + p·(1−d)``."""
     if config.ema_decay <= 0.0 or ema is None:
@@ -246,12 +259,16 @@ def make_mle_step(config: Config):
         gen_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.gen_params, updates)
         gen_params = _merge_bn_stats(gen_params, new_stats)
+        ema = _ema_update(config, state.ema_gen_params, gen_params)
+        gen_params, new_opt, ema = _guard_nonfinite(
+            config, grad_norm, (gen_params, new_opt, ema),
+            (state.gen_params, state.pretrain_opt_state,
+             state.ema_gen_params))
         state = state._replace(
             gen_params=gen_params,
             pretrain_opt_state=new_opt,
             rng=rng,
-            ema_gen_params=_ema_update(config, state.ema_gen_params,
-                                       gen_params),
+            ema_gen_params=ema,
         )
         return state, {"gen_pretrain_loss": loss,
                        "gen_grad_norm": grad_norm}
@@ -495,6 +512,9 @@ def make_adv_step(config: Config):
         disc_params, disc_opt_state, disc_steps = jax.lax.cond(
             do_d, update_disc, lambda op: op,
             (state.disc_params, state.disc_opt_state, state.disc_steps))
+        disc_params, disc_opt_state = _guard_nonfinite(
+            config, d_grad_norm, (disc_params, disc_opt_state),
+            (state.disc_params, state.disc_opt_state))
 
         # --- G update, every step (training.py:169) ---
         g_updates, gen_opt_state = gen_tx.update(
@@ -502,6 +522,10 @@ def make_adv_step(config: Config):
         gen_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.gen_params, g_updates)
         gen_params = _merge_bn_stats(gen_params, aux["new_stats"])
+        ema = _ema_update(config, state.ema_gen_params, gen_params)
+        gen_params, gen_opt_state, ema = _guard_nonfinite(
+            config, g_grad_norm, (gen_params, gen_opt_state, ema),
+            (state.gen_params, state.gen_opt_state, state.ema_gen_params))
 
         state = state._replace(
             gen_params=gen_params,
@@ -512,8 +536,7 @@ def make_adv_step(config: Config):
             disc_steps=disc_steps,
             temperature=jnp.asarray(temperature, jnp.float32),
             rng=rng,
-            ema_gen_params=_ema_update(config, state.ema_gen_params,
-                                       gen_params),
+            ema_gen_params=ema,
         )
         metrics = {"gen_adv_loss": g_loss, "disc_adv_loss": d_loss,
                    "d_real_mean": aux["d_real_mean"],

@@ -162,3 +162,50 @@ def test_grad_norm_metrics_finite_and_positive():
     assert float(m["disc_grad_norm"]) > 0
     _, m = make_adv_eval_step(cfg)(state, batch, 2.0)
     assert "gen_grad_norm" not in m
+
+
+def test_skip_nonfinite_grads_guard():
+    """--skip-nonfinite-grads: a poisoned batch (non-finite loss → NaN/inf
+    grads) leaves params/opt-state untouched instead of destroying the
+    run; clean batches still update; counters advance either way."""
+    cfg, ds = small_config()
+    cfg = cfg.replace(skip_nonfinite_grads=1)
+    state = create_train_state(cfg, jax.random.PRNGKey(7))
+    clean = _batches(cfg, ds, 1)[0]
+    poisoned = dict(clean, weights=np.full_like(
+        np.asarray(clean["weights"]), np.inf))
+
+    mle = make_mle_step(cfg)
+    adv = make_adv_step(cfg)
+    # numpy snapshots: the steps donate the state argument, so device
+    # references into the pre-step buffers are invalidated
+    before = [np.asarray(x).copy()
+              for x in jax.tree_util.tree_leaves(state.gen_params)]
+    state1, m = mle(state, poisoned)
+    assert not np.isfinite(float(m["gen_grad_norm"]))
+    for a, b in zip(before, jax.tree_util.tree_leaves(state1.gen_params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    state2, m = adv(state1, poisoned, 2.0)
+    assert int(state2.gen_steps) == 1     # counters advance on skip
+    for a, b in zip(before, jax.tree_util.tree_leaves(state2.gen_params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert np.isfinite(
+        np.asarray(jax.tree_util.tree_leaves(state2.disc_params)[0])).all()
+
+    # a clean batch after the skip still learns
+    state3, m = adv(state2, clean, 2.0)
+    assert np.isfinite(float(m["gen_adv_loss"]))
+    changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(before,
+                        jax.tree_util.tree_leaves(state3.gen_params)))
+    assert changed
+
+    # reference behavior (flag off): the poisoned update IS applied
+    cfg0 = cfg.replace(skip_nonfinite_grads=0)
+    state0 = create_train_state(cfg0, jax.random.PRNGKey(7))
+    state0, _ = make_mle_step(cfg0)(state0, poisoned)
+    leaves = [np.asarray(x) for x in
+              jax.tree_util.tree_leaves(state0.gen_params)]
+    assert any(not np.isfinite(x).all() for x in leaves)
