@@ -17,6 +17,7 @@ answered as JSON lines.  The decode program is compiled once at startup
 Request forms:
   {"n": k}              → k unconditional captions
   {"image": "<path>"}   → caption for one image (conditional checkpoints)
+  {"image": [p1, …]}    → one caption per image, one batched request
   {"stats": true}       → dispatcher counters (occupancy, padding, queue)
   {"reload": "<ckpt>"}  → hot-swap to a new checkpoint, zero downtime
                           (e.g. the training run's latest best-val file)
@@ -531,8 +532,13 @@ class CaptionService:
         if "image" in req:
             if not self.config.cgan:
                 return {"error": "checkpoint is unconditional; use {'n': k}"}
-            feats = self._features_image([req["image"]] * 1)
-            n = 1
+            paths = req["image"]
+            if isinstance(paths, str):
+                paths = [paths]
+            if not paths:
+                return {"error": "'image' must be a path or non-empty list"}
+            feats = self._features_image(list(paths))
+            n = len(paths)
         else:
             n = int(req.get("n", 1))
             feats = self._features_unconditional(n)

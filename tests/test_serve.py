@@ -51,6 +51,47 @@ def test_image_request_on_unconditional_checkpoint(service):
     assert "error" in resp
 
 
+def test_image_requests_conditional(tmp_path):
+    """Conditional serving: single path and multi-image list requests
+    through the real image-preprocess + encoder-conditioning path."""
+    import sys
+
+    import PIL.Image
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, parse_args
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(3):
+        p = os.path.join(str(tmp_path), f"im{i}.jpg")
+        PIL.Image.fromarray(
+            rng.randint(0, 255, (40, 32, 3), np.uint8)).save(p)
+        paths.append(p)
+
+    cfg = Config(vocab_size=35, gen_embed_dim=12, gen_hidden_dim=16,
+                 max_seq_len=9, conditional_gan=1, image_size=32)
+    params = api.init_generator(jax.random.PRNGKey(2), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params, sync=True)
+    svc = CaptionService(parse_args([
+        "--checkpoint", ckpt, "--dataset", "synthetic",
+        "--conditional-gan", "1", "--image-size", "32",
+        "--max-seq-len", "9", "--gen-embed-dim", "12",
+        "--gen-hidden-dim", "16", "--serve-batch-size", "4"]))
+    one = svc.handle_request({"image": paths[0]})
+    assert len(one["captions"]) == 1
+    many = svc.handle_request({"image": paths})
+    assert len(many["captions"]) == 3 and len(many["logprobs"]) == 3
+    # row 0 of the batched request matches the single-path request
+    assert many["captions"][0] == one["captions"][0]
+    assert "error" in svc.handle_request({"image": []})
+
+
 def test_speculative_mode_matches_greedy(tmp_path):
     """--decode-mode speculative serves the SAME captions/logprobs as
     greedy serving (lossless speculation through the coalescing engine)."""
