@@ -496,6 +496,124 @@ def beam_search(gen_params: dict, features, config: Config,
     return best_tokens, best_scores
 
 
+def diverse_beam_search(gen_params: dict, features, config: Config,
+                        beam_size: int = 4, num_groups: int = 2,
+                        diversity_strength: float = 0.5,
+                        seq_len: int = None, context=None,
+                        length_penalty: float = 0.0):
+    """Diverse beam search (Vijayakumar et al. 2016) →
+    ``(ids [B, G, T], scores [B, G])`` — one caption per group.
+
+    ``beam_size`` total beams split into ``num_groups`` groups of
+    ``beam_size / num_groups``; at every step the groups select
+    SEQUENTIALLY, and group ``g``'s candidate log-probs are penalized by
+    ``diversity_strength ×`` (times each token was already emitted at
+    this step by groups ``< g``) — Hamming diversity.  Vanilla beam
+    search is the ``num_groups=1`` / ``diversity_strength=0`` special
+    case (tested equivalent).  The model-agnostic stepper triple makes
+    this work for LSTM, int8 and transformer decoders alike.
+
+    No reference counterpart (the reference decodes greedily only,
+    ``generator.py:55-81``); this is the standard remedy for beam
+    search's near-duplicate outputs — useful with the report's
+    mode-collapse-prone adversarial models, where the top-K beams of a
+    collapsed model are one caption K times.
+    """
+    seq_len = seq_len or config.seq_len
+    K = beam_size
+    G = num_groups
+    if K % G:
+        raise ValueError(f"beam_size {K} must divide into num_groups {G}")
+    Kg = K // G
+    lam = jnp.asarray(diversity_strength, jnp.float32)
+    B = features.shape[0]
+    V = config.vocab_size
+    stepper = make_stepper(gen_params, config,
+                           None if context is None else
+                           jnp.repeat(context, K, axis=0))
+
+    pad_only = jnp.full((V,), NEG_INF).at[PAD].set(0.0)
+
+    def select(logp, scores, done, t0: bool):
+        """Group-sequential top-Kg: returns per-group (scores, parent
+        GLOBAL beam index, token).  ``t0`` selects from row 0 of each
+        group (all beams identical at t=0)."""
+        counts = jnp.zeros((B, V), jnp.float32)
+        out_s, out_p, out_tok = [], [], []
+        for g in range(G):
+            sl = slice(g * Kg, (g + 1) * Kg)
+            lp_g = logp[:, sl] - lam * counts[:, None, :]
+            if t0:
+                cand = lp_g[:, 0]                      # [B, V]
+                s_g, tok_g = jax.lax.top_k(cand, Kg)   # [B, Kg]
+                par_g = jnp.zeros((B, Kg), jnp.int32) + g * Kg
+            else:
+                cand = scores[:, sl, None] + lp_g      # [B, Kg, V]
+                s_g, flat = jax.lax.top_k(cand.reshape(B, Kg * V), Kg)
+                par_g = flat // V + g * Kg
+                tok_g = flat % V
+            # Hamming diversity counts: a token's penalty grows with how
+            # many earlier-group beams chose it THIS step.  Finished
+            # beams extend with PAD — exclude it so live groups aren't
+            # pushed off PAD (PAD is never a real choice anyway).
+            live_tok = jnp.where(tok_g == PAD, V, tok_g)  # V = off-table
+            counts = counts + (jax.nn.one_hot(live_tok, V + 1, dtype=jnp.float32)
+                               .sum(axis=1)[:, :V])
+            out_s.append(s_g)
+            out_p.append(par_g)
+            out_tok.append(tok_g)
+        return (jnp.concatenate(out_s, axis=1),
+                jnp.concatenate(out_p, axis=1),
+                jnp.concatenate(out_tok, axis=1))
+
+    # ---- t = 0
+    state = stepper.init_state(B * K)
+    x0 = jnp.repeat(features, K, axis=0)
+    logits0, state = stepper.step(state, x0, jnp.asarray(0, jnp.int32))
+    logp0 = jax.nn.log_softmax(logits0).reshape(B, K, V)
+    scores, _, ids0 = select(logp0, None, None, t0=True)
+    done = ids0 == END
+    tokens = jnp.full((B, K, seq_len), PAD, jnp.int32).at[:, :, 0].set(ids0)
+    lengths = jnp.ones((B, K), jnp.int32)
+
+    def body(carry):
+        t, state, scores, tokens, lengths, done, last_ids = carry
+        x = stepper.embed(last_ids.reshape(-1))
+        logits, new_state = stepper.step(state, x, t)
+        logp = jax.nn.log_softmax(logits).reshape(B, K, V)
+        logp = jnp.where(done[..., None], pad_only[None, None, :], logp)
+        new_scores, parent, token = select(logp, scores, done, t0=False)
+        gidx = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
+        new_state = stepper.gather(new_state, gidx)
+        tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, token[:, :, None], (0, 0, t))
+        parent_done = jnp.take_along_axis(done, parent, axis=1)
+        parent_len = jnp.take_along_axis(lengths, parent, axis=1)
+        new_done = parent_done | (token == END)
+        new_lengths = jnp.where(parent_done, parent_len, parent_len + 1)
+        return (t + 1, new_state, new_scores, tokens, new_lengths,
+                new_done, token)
+
+    def cond(carry):
+        return (carry[0] < seq_len) & ~carry[5].all()
+
+    carry = (jnp.asarray(1, jnp.int32), state, scores, tokens, lengths,
+             done, ids0)
+    (_, _, scores, tokens, lengths, _, _) = jax.lax.while_loop(
+        cond, body, carry)
+
+    lp = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+    final = (scores / lp).reshape(B, G, Kg)
+    best = jnp.argmax(final, axis=2)                          # [B, G]
+    tokens = tokens.reshape(B, G, Kg, seq_len)
+    best_tokens = jnp.take_along_axis(
+        tokens, best[:, :, None, None], axis=2)[:, :, 0]      # [B, G, T]
+    best_scores = jnp.take_along_axis(final, best[:, :, None],
+                                      axis=2)[:, :, 0]
+    return best_tokens, best_scores
+
+
 def sequence_logprob(gen_params: dict, features, ids, config: Config,
                      context=None):
     """Greedy-path log-probability of given token sequences under the model

@@ -54,6 +54,14 @@ def parse_args(argv=None):
     parser.add_argument("--draft-len", type=int, default=4,
                         help="speculative mode: tokens proposed per draft "
                              "block (K)")
+    parser.add_argument("--beam-groups", type=int, default=1,
+                        help="beam mode: diverse beam search with G groups "
+                             "(beam-size/G beams each, Hamming diversity "
+                             "between groups) — emits G distinct captions "
+                             "per sample (1 = vanilla beam)")
+    parser.add_argument("--diversity-strength", type=float, default=0.5,
+                        help="diverse beam: penalty per same-step token "
+                             "reuse across groups")
     parser.add_argument("--adaptive-chunk", type=int, default=0,
                         help="greedy mode: decode K-step blocks that stop "
                              "once every row emitted <E> (0 = fixed "
@@ -140,7 +148,15 @@ def main(argv=None):
 
     def decode_batch(params, dparams, batch, rng):
         cond, _ = api.generator_condition(config, params, batch, train=False)
-        if mode == "beam":
+        if mode == "beam" and args.beam_groups > 1:
+            # diverse beam: [B, G, T] ids — G distinct captions per sample
+            ids, scores = decode_lib.diverse_beam_search(
+                dparams, cond["features"], config, beam_size=beam,
+                num_groups=args.beam_groups,
+                diversity_strength=args.diversity_strength,
+                context=cond["context"],
+                length_penalty=config.length_penalty)
+        elif mode == "beam":
             ids, scores = decode_lib.beam_search(
                 dparams, cond["features"], config, beam_size=beam,
                 context=cond["context"],
@@ -202,13 +218,23 @@ def main(argv=None):
         for i in range(ids.shape[0]):
             if batch["weights"][i] == 0 or emitted >= args.num_samples:
                 break
-            caption = " ".join(ids_to_words(strip_caption(ids[i]),
-                                            ds.index_to_word))
             reference = " ".join(ids_to_words(
                 strip_caption(batch["captions"][i]), ds.index_to_word))
-            out_f.write(json.dumps({"caption": caption, "logprob":
-                                    float(scores[i]), "reference": reference})
-                        + "\n")
+            if ids.ndim == 3:
+                # diverse beam: one row per sample, G captions in it
+                caps = [" ".join(ids_to_words(strip_caption(row),
+                                              ds.index_to_word))
+                        for row in ids[i]]
+                out_f.write(json.dumps({
+                    "caption": caps[0], "captions": caps,
+                    "logprobs": [float(s) for s in scores[i]],
+                    "reference": reference}) + "\n")
+            else:
+                caption = " ".join(ids_to_words(strip_caption(ids[i]),
+                                                ds.index_to_word))
+                out_f.write(json.dumps({"caption": caption, "logprob":
+                                        float(scores[i]),
+                                        "reference": reference}) + "\n")
             emitted += 1
         if emitted >= args.num_samples:
             break

@@ -241,3 +241,56 @@ def test_beam_early_stop_exact_equivalence():
                                       np.asarray(want[0]))
         np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
                                    rtol=1e-6)
+
+
+# --------------------------------------------------------- diverse beam
+
+@pytest.mark.parametrize("arch", ["lstm", "transformer"])
+def test_diverse_beam_one_group_equals_vanilla(arch):
+    """G=1 / strength 0 IS vanilla beam search (same selection math)."""
+    cfg = cfg_for(arch)
+    params = api.init_generator(jax.random.PRNGKey(3), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(4), (3, cfg.gen_embed_dim))
+    want_ids, want_s = dec_lib.beam_search(params, feats, cfg, beam_size=4)
+    got_ids, got_s = dec_lib.diverse_beam_search(
+        params, feats, cfg, beam_size=4, num_groups=1,
+        diversity_strength=0.0)
+    np.testing.assert_array_equal(np.asarray(want_ids),
+                                  np.asarray(got_ids)[:, 0])
+    np.testing.assert_allclose(np.asarray(want_s), np.asarray(got_s)[:, 0],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_diverse_beam_groups_diverge():
+    """With a large diversity strength every group must open with a
+    DIFFERENT first token (the Hamming penalty forbids same-step reuse)."""
+    cfg = cfg_for("lstm")
+    params = api.init_generator(jax.random.PRNGKey(5), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(6), (4, cfg.gen_embed_dim))
+    ids, scores = dec_lib.diverse_beam_search(
+        params, feats, cfg, beam_size=4, num_groups=4,
+        diversity_strength=100.0)
+    ids = np.asarray(ids)                         # [B, G, T]
+    assert ids.shape == (4, 4, cfg.seq_len)
+    for b in range(4):
+        first = ids[b, :, 0]
+        assert len(set(first.tolist())) == 4, first
+    assert np.isfinite(np.asarray(scores)).all()
+    # invalid group split errors loudly
+    with pytest.raises(ValueError):
+        dec_lib.diverse_beam_search(params, feats, cfg, beam_size=4,
+                                    num_groups=3)
+
+
+def test_diverse_beam_jittable_and_int8():
+    from gan_image_captioning_tpu.ops import quantize as q_lib
+
+    cfg = cfg_for("lstm")
+    params = api.init_generator(jax.random.PRNGKey(7), cfg)
+    qparams = q_lib.quantize_generator(params, cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(8), (2, cfg.gen_embed_dim))
+    fn = jax.jit(lambda f: dec_lib.diverse_beam_search(
+        qparams, f, cfg, beam_size=4, num_groups=2))
+    ids, scores = fn(feats)
+    assert np.asarray(ids).shape == (2, 2, cfg.seq_len)
+    assert np.isfinite(np.asarray(scores)).all()
