@@ -102,6 +102,12 @@ _SLOW_PATTERNS = (
     "test_torch_import.py::test_convert_checkpoint_cli",
     "test_decoupled_decode.py::test_adv_gradients_match_across_impls",
     "test_reinforce.py::test_full_reinforce_adv_step",
+    # round-3 cont-2 durations: resume long tail — the core pass keeps
+    # mid-adv/periodic/geometry/scst resume as cheap representatives
+    "test_resume_schedule.py::test_midpretrain_interrupt_resume_bitexact",
+    "test_resume_schedule.py::test_fuzz_interrupt_anywhere_resume_bitexact",
+    "test_resume_schedule.py::test_elastic_resume_across_mesh_sizes",
+    "test_resume_schedule.py::test_auto_resume_cli_end_to_end",
 )
 
 
