@@ -343,10 +343,37 @@ def filter_logits(logits, temperature=1.0, top_k: int = 0, top_p: float = 1.0):
     return logits
 
 
+def _ngram_ban(ids_buf, t, last_ids, n: int, V: int):
+    """[B, V] mask of tokens that would complete an n-gram already present
+    in ``ids_buf[:, :t]`` ending at position ``t`` (no-repeat-ngram).
+
+    For every history position j, if the n-1 tokens before j match the
+    current suffix, ``ids_buf[:, j]`` is banned.  One fused scatter per
+    step — no [V, V] transition tables (the vocab is ~11k)."""
+    B, T = ids_buf.shape
+    pos = jnp.arange(T)
+    # match[b, j] = history at j-1 (and j-2 for n=3) equals current suffix
+    prev1 = jnp.pad(ids_buf, ((0, 0), (1, 0)))[:, :T]       # token at j-1
+    match = prev1 == last_ids[:, None]
+    if n == 3:
+        prev2 = jnp.pad(ids_buf, ((0, 0), (2, 0)))[:, :T]   # token at j-2
+        two_back = jnp.take_along_axis(
+            ids_buf, jnp.maximum(t - 2, 0)[None, None].repeat(B, 0),
+            axis=1)[:, 0]
+        match &= (prev2 == two_back[:, None]) & (pos >= 2)[None]
+    else:
+        match &= (pos >= 1)[None]
+    match &= (pos < t)[None]                                 # history only
+    banned_tok = jnp.where(match, ids_buf, V)                # V = off-table
+    return (jax.nn.one_hot(banned_tok, V + 1, dtype=jnp.bool_)
+            .any(axis=1)[:, :V])
+
+
 def sample_decode(gen_params: dict, features, config: Config, rng,
                   seq_len: int = None, context=None, temperature: float = 1.0,
                   top_k: int = 0, top_p: float = 1.0,
-                  early_stop: bool = False):
+                  early_stop: bool = False, repetition_penalty: float = 1.0,
+                  no_repeat_ngram: int = 0):
     """Stochastic decode → ``(ids [B, T], seq_logprob [B])``: one jitted
     scan sampling each token from the temperature/top-k/top-p-filtered
     categorical (the inference-time counterpart of the training-time
@@ -362,14 +389,36 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
     as the full run (the split chain is positional), the discarded tail
     becomes ``<PAD>``, and the masked logprob is unchanged.  Default off
     for bit-compat with the round-3 sampler.
+
+    Degeneracy controls (both default-off; both alter SELECTION only —
+    reported log-probs stay under the unfiltered model distribution):
+
+    * ``repetition_penalty`` γ > 1 (CTRL, Keskar et al. 2019): logits of
+      already-emitted tokens divide by γ (multiply when negative).  With
+      ``top_k=1`` this is penalized greedy.
+    * ``no_repeat_ngram`` n ∈ {2, 3}: a token completing an n-gram the
+      row already emitted drops to ``NEG_INF``.  These target the exact
+      "on on on on" degeneration the mode-collapse-prone adversarial
+      models exhibit (docs/results.md run 1).
     """
     seq_len = seq_len or config.seq_len
+    if no_repeat_ngram not in (0, 2, 3):
+        raise ValueError("no_repeat_ngram must be 0, 2 or 3")
     B = features.shape[0]
+    V = config.vocab_size
     stepper = make_stepper(gen_params, config, context)
     state = stepper.init_state(B)
+    rep_pen = jnp.asarray(repetition_penalty, jnp.float32)
 
-    def pick(key, logits):
-        filt = filter_logits(logits, temperature, top_k, top_p)
+    def pick(key, logits, seen, banned):
+        if repetition_penalty != 1.0:
+            pen = jnp.where(logits > 0, logits / rep_pen, logits * rep_pen)
+            sel = jnp.where(seen, pen, logits)
+        else:
+            sel = logits
+        if banned is not None:
+            sel = jnp.where(banned, NEG_INF, sel)
+        filt = filter_logits(sel, temperature, top_k, top_p)
         ids_t = jax.random.categorical(key, filt)
         lp = jnp.take_along_axis(jax.nn.log_softmax(logits),
                                  ids_t[:, None], axis=1)[:, 0]
@@ -377,15 +426,19 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
 
     rng, k0 = jax.random.split(rng)
     logits0, state = stepper.step(state, features, jnp.asarray(0, jnp.int32))
-    ids0, lp0 = pick(k0, logits0)
+    ids0, lp0 = pick(k0, logits0, jnp.zeros((B, V), bool), None)
     ids_buf = jnp.zeros((B, seq_len), jnp.int32).at[:, 0].set(ids0)
     lps_buf = jnp.zeros((B, seq_len), jnp.float32).at[:, 0].set(lp0)
+    seen0 = jax.nn.one_hot(ids0, V, dtype=jnp.bool_)
 
     def body(carry):
-        t, state, last_ids, rng, done, ids_buf, lps_buf = carry
+        t, state, last_ids, rng, done, ids_buf, lps_buf, seen = carry
         rng, key = jax.random.split(rng)
         logits, state = stepper.step(state, stepper.embed(last_ids), t)
-        ids_t, lp = pick(key, logits)
+        banned = (None if not no_repeat_ngram else
+                  _ngram_ban(ids_buf, t, last_ids, no_repeat_ngram, V))
+        ids_t, lp = pick(key, logits, seen, banned)
+        seen = seen | jax.nn.one_hot(ids_t, V, dtype=jnp.bool_)
         if early_stop:
             # live rows draw the SAME sample as the full run (the key
             # chain is positional); ended rows' draws are discarded
@@ -398,7 +451,7 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
                                                (0, t))
         lps_buf = jax.lax.dynamic_update_slice(lps_buf, out_lp[:, None],
                                                (0, t))
-        return t + 1, state, ids_t, rng, done, ids_buf, lps_buf
+        return t + 1, state, ids_t, rng, done, ids_buf, lps_buf, seen
 
     def cond(carry):
         keep = carry[0] < seq_len
@@ -407,8 +460,8 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
         return keep
 
     carry = (jnp.asarray(1, jnp.int32), state, ids0, rng, ids0 == END,
-             ids_buf, lps_buf)
-    *_, ids_buf, lps_buf = jax.lax.while_loop(cond, body, carry)
+             ids_buf, lps_buf, seen0)
+    *_, ids_buf, lps_buf, _ = jax.lax.while_loop(cond, body, carry)
     return ids_buf, masked_logprob_sum(ids_buf, lps_buf)
 
 

@@ -76,6 +76,14 @@ def parse_args(argv=None):
     parser.add_argument("--sample-temperature", type=float, default=1.0,
                         help="sample mode: softmax temperature (<1 sharpens, "
                              ">1 flattens)")
+    parser.add_argument("--repetition-penalty", type=float, default=1.0,
+                        help="sample mode: CTRL-style penalty on already-"
+                             "emitted tokens (>1; with --top-k 1 this is "
+                             "penalized greedy)")
+    parser.add_argument("--no-repeat-ngram", type=int, default=0,
+                        choices=[0, 2, 3],
+                        help="sample mode: forbid completing an n-gram the "
+                             "caption already contains")
     parser.add_argument("--sample-seed", type=int, default=0,
                         help="PRNG seed for sample mode")
     args = parser.parse_args(argv)
@@ -166,7 +174,9 @@ def main(argv=None):
                 dparams, cond["features"], config, rng,
                 context=cond["context"],
                 temperature=args.sample_temperature,
-                top_k=args.top_k, top_p=args.top_p)
+                top_k=args.top_k, top_p=args.top_p,
+                repetition_penalty=args.repetition_penalty,
+                no_repeat_ngram=args.no_repeat_ngram)
         elif mode == "speculative":
             from gan_image_captioning_tpu.eval.speculative import (
                 speculative_greedy)

@@ -114,6 +114,13 @@ def parse_args(argv=None):
                         help="sample mode: nucleus mass (1.0 = off)")
     parser.add_argument("--sample-temperature", type=float, default=1.0,
                         help="sample mode: softmax temperature")
+    parser.add_argument("--repetition-penalty", type=float, default=1.0,
+                        help="sample mode: CTRL-style penalty on already-"
+                             "emitted tokens (>1)")
+    parser.add_argument("--no-repeat-ngram", type=int, default=0,
+                        choices=[0, 2, 3],
+                        help="sample mode: forbid completing an n-gram the "
+                             "caption already contains")
     parser.add_argument("--sample-seed", type=int, default=0,
                         help="base PRNG seed for sample mode (each decode "
                              "program folds in a call counter)")
@@ -199,13 +206,17 @@ class CaptionService:
 
             sample_exact = getattr(args, "serve_exact", False)
 
+            rep_pen = float(getattr(args, "repetition_penalty", 1.0))
+            nrn = int(getattr(args, "no_repeat_ngram", 0))
+
             def decode(params, feats, key):
                 # early_stop: live rows draw the same tokens (positional
                 # key chain); the discarded tail is <PAD> (stripped anyway)
                 return decode_lib.sample_decode(
                     params, feats, config, key, temperature=temp,
                     top_k=top_k, top_p=top_p,
-                    early_stop=not sample_exact)
+                    early_stop=not sample_exact,
+                    repetition_penalty=rep_pen, no_repeat_ngram=nrn)
 
             self._sample_base = jax.random.PRNGKey(
                 int(getattr(args, "sample_seed", 0)))

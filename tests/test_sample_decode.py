@@ -152,3 +152,64 @@ def test_sample_early_stop_prefix_identical():
             np.testing.assert_array_equal(e, f)
     np.testing.assert_allclose(np.asarray(es_lp), np.asarray(full_lp),
                                atol=1e-5)
+
+
+def test_no_repeat_bigram_property():
+    """no_repeat_ngram=2: no emitted caption contains the same bigram
+    twice (checked up to and including the first <E>)."""
+    from gan_image_captioning_tpu.data.vocab import END
+
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(11), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(12), (6, cfg.gen_embed_dim))
+    ids, lp = decode_lib.sample_decode(params, feats, cfg,
+                                       jax.random.PRNGKey(13),
+                                       temperature=1.5, no_repeat_ngram=2)
+    assert np.isfinite(np.asarray(lp)).all()
+    for row in np.asarray(ids):
+        toks = list(row)
+        if END in toks:
+            toks = toks[: toks.index(END) + 1]
+        bigrams = list(zip(toks, toks[1:]))
+        assert len(bigrams) == len(set(bigrams)), toks
+
+
+def test_repetition_penalty_blocks_token_reuse():
+    """A huge CTRL penalty with top_k=1 (penalized greedy) forbids any
+    token from repeating within a caption (V > T here)."""
+    from gan_image_captioning_tpu.data.vocab import END
+
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(14), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(15), (5, cfg.gen_embed_dim))
+    ids, _ = decode_lib.sample_decode(params, feats, cfg,
+                                      jax.random.PRNGKey(16), top_k=1,
+                                      repetition_penalty=1e9)
+    for row in np.asarray(ids):
+        toks = list(row)
+        if END in toks:
+            toks = toks[: toks.index(END) + 1]
+        assert len(toks) == len(set(toks)), toks
+    # invalid n errors loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_lib.sample_decode(params, feats, cfg, jax.random.PRNGKey(0),
+                                 no_repeat_ngram=4)
+
+
+def test_trigram_ban_property():
+    from gan_image_captioning_tpu.data.vocab import END
+
+    cfg = _cfg(max_seq_len=12)
+    params = api.init_generator(jax.random.PRNGKey(17), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(18), (4, cfg.gen_embed_dim))
+    ids, _ = decode_lib.sample_decode(params, feats, cfg,
+                                      jax.random.PRNGKey(19), top_k=1,
+                                      no_repeat_ngram=3)
+    for row in np.asarray(ids):
+        toks = list(row)
+        if END in toks:
+            toks = toks[: toks.index(END) + 1]
+        tris = list(zip(toks, toks[1:], toks[2:]))
+        assert len(tris) == len(set(tris)), toks
