@@ -373,7 +373,7 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
                   seq_len: int = None, context=None, temperature: float = 1.0,
                   top_k: int = 0, top_p: float = 1.0,
                   early_stop: bool = False, repetition_penalty: float = 1.0,
-                  no_repeat_ngram: int = 0):
+                  no_repeat_ngram: int = 0, min_length: int = 0):
     """Stochastic decode → ``(ids [B, T], seq_logprob [B])``: one jitted
     scan sampling each token from the temperature/top-k/top-p-filtered
     categorical (the inference-time counterpart of the training-time
@@ -410,7 +410,7 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
     state = stepper.init_state(B)
     rep_pen = jnp.asarray(repetition_penalty, jnp.float32)
 
-    def pick(key, logits, seen, banned):
+    def pick(key, logits, seen, banned, t=None):
         if repetition_penalty != 1.0:
             pen = jnp.where(logits > 0, logits / rep_pen, logits * rep_pen)
             sel = jnp.where(seen, pen, logits)
@@ -418,6 +418,11 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
             sel = logits
         if banned is not None:
             sel = jnp.where(banned, NEG_INF, sel)
+        if min_length > 0:
+            # selection-only: <E> forbidden until min_length tokens stand
+            ban_end = (jnp.asarray(0 if t is None else t) < min_length)
+            sel = sel.at[:, END].set(
+                jnp.where(ban_end, NEG_INF, sel[:, END]))
         filt = filter_logits(sel, temperature, top_k, top_p)
         ids_t = jax.random.categorical(key, filt)
         lp = jnp.take_along_axis(jax.nn.log_softmax(logits),
@@ -437,7 +442,7 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
         logits, state = stepper.step(state, stepper.embed(last_ids), t)
         banned = (None if not no_repeat_ngram else
                   _ngram_ban(ids_buf, t, last_ids, no_repeat_ngram, V))
-        ids_t, lp = pick(key, logits, seen, banned)
+        ids_t, lp = pick(key, logits, seen, banned, t)
         seen = seen | jax.nn.one_hot(ids_t, V, dtype=jnp.bool_)
         if early_stop:
             # live rows draw the SAME sample as the full run (the key
@@ -469,7 +474,8 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
 
 def beam_search(gen_params: dict, features, config: Config,
                 beam_size: int = 4, seq_len: int = None, context=None,
-                length_penalty: float = 0.0, early_stop: bool = True):
+                length_penalty: float = 0.0, early_stop: bool = True,
+                min_length: int = 0):
     """Batched beam search → ``(ids [B, T], scores [B])``.
 
     One jittable program: a while_loop over steps, each advancing all B*K
@@ -494,6 +500,8 @@ def beam_search(gen_params: dict, features, config: Config,
     x0 = jnp.repeat(features, K, axis=0)                     # [B*K, E]
     logits0, state = stepper.step(state, x0, jnp.asarray(0, jnp.int32))
     logp0 = jax.nn.log_softmax(logits0.reshape(B, K, V)[:, 0])  # [B, V]
+    if min_length > 0:
+        logp0 = logp0.at[:, END].set(NEG_INF)
     scores, ids0 = jax.lax.top_k(logp0, K)                   # [B, K]
     done = ids0 == END
     tokens = jnp.full((B, K, seq_len), PAD, jnp.int32)
@@ -508,6 +516,11 @@ def beam_search(gen_params: dict, features, config: Config,
         x = stepper.embed(last_ids.reshape(-1))              # [B*K, E]
         logits, new_state = stepper.step(state, x, t)
         logp = jax.nn.log_softmax(logits).reshape(B, K, V)
+        if min_length > 0:
+            # selection-only <E> ban until min_length tokens stand (done
+            # beams continue with PAD regardless — pad_only wins below)
+            logp = logp.at[:, :, END].set(
+                jnp.where(t < min_length, NEG_INF, logp[:, :, END]))
         logp = jnp.where(done[..., None], pad_only[None, None, :], logp)
         cand = scores[..., None] + logp                      # [B, K, V]
         flat = cand.reshape(B, K * V)
@@ -553,7 +566,7 @@ def diverse_beam_search(gen_params: dict, features, config: Config,
                         beam_size: int = 4, num_groups: int = 2,
                         diversity_strength: float = 0.5,
                         seq_len: int = None, context=None,
-                        length_penalty: float = 0.0):
+                        length_penalty: float = 0.0, min_length: int = 0):
     """Diverse beam search (Vijayakumar et al. 2016) →
     ``(ids [B, G, T], scores [B, G])`` — one caption per group.
 
@@ -624,6 +637,8 @@ def diverse_beam_search(gen_params: dict, features, config: Config,
     x0 = jnp.repeat(features, K, axis=0)
     logits0, state = stepper.step(state, x0, jnp.asarray(0, jnp.int32))
     logp0 = jax.nn.log_softmax(logits0).reshape(B, K, V)
+    if min_length > 0:
+        logp0 = logp0.at[:, :, END].set(NEG_INF)
     scores, _, ids0 = select(logp0, None, None, t0=True)
     done = ids0 == END
     tokens = jnp.full((B, K, seq_len), PAD, jnp.int32).at[:, :, 0].set(ids0)
@@ -634,6 +649,9 @@ def diverse_beam_search(gen_params: dict, features, config: Config,
         x = stepper.embed(last_ids.reshape(-1))
         logits, new_state = stepper.step(state, x, t)
         logp = jax.nn.log_softmax(logits).reshape(B, K, V)
+        if min_length > 0:
+            logp = logp.at[:, :, END].set(
+                jnp.where(t < min_length, NEG_INF, logp[:, :, END]))
         logp = jnp.where(done[..., None], pad_only[None, None, :], logp)
         new_scores, parent, token = select(logp, scores, done, t0=False)
         gidx = (jnp.arange(B)[:, None] * K + parent).reshape(-1)

@@ -84,6 +84,9 @@ def parse_args(argv=None):
                         choices=[0, 2, 3],
                         help="sample mode: forbid completing an n-gram the "
                              "caption already contains")
+    parser.add_argument("--min-length", type=int, default=0,
+                        help="beam/sample modes: forbid <E> until this many "
+                             "tokens stand (selection-only)")
     parser.add_argument("--sample-seed", type=int, default=0,
                         help="PRNG seed for sample mode")
     args = parser.parse_args(argv)
@@ -163,12 +166,14 @@ def main(argv=None):
                 num_groups=args.beam_groups,
                 diversity_strength=args.diversity_strength,
                 context=cond["context"],
-                length_penalty=config.length_penalty)
+                length_penalty=config.length_penalty,
+                min_length=args.min_length)
         elif mode == "beam":
             ids, scores = decode_lib.beam_search(
                 dparams, cond["features"], config, beam_size=beam,
                 context=cond["context"],
-                length_penalty=config.length_penalty)
+                length_penalty=config.length_penalty,
+                min_length=args.min_length)
         elif mode == "sample":
             ids, scores = decode_lib.sample_decode(
                 dparams, cond["features"], config, rng,
@@ -176,7 +181,8 @@ def main(argv=None):
                 temperature=args.sample_temperature,
                 top_k=args.top_k, top_p=args.top_p,
                 repetition_penalty=args.repetition_penalty,
-                no_repeat_ngram=args.no_repeat_ngram)
+                no_repeat_ngram=args.no_repeat_ngram,
+                min_length=args.min_length)
         elif mode == "speculative":
             from gan_image_captioning_tpu.eval.speculative import (
                 speculative_greedy)

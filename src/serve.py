@@ -121,6 +121,9 @@ def parse_args(argv=None):
                         choices=[0, 2, 3],
                         help="sample mode: forbid completing an n-gram the "
                              "caption already contains")
+    parser.add_argument("--min-length", type=int, default=0,
+                        help="beam/sample modes: forbid <E> until this many "
+                             "tokens stand (selection-only)")
     parser.add_argument("--sample-seed", type=int, default=0,
                         help="base PRNG seed for sample mode (each decode "
                              "program folds in a call counter)")
@@ -216,7 +219,8 @@ class CaptionService:
                     params, feats, config, key, temperature=temp,
                     top_k=top_k, top_p=top_p,
                     early_stop=not sample_exact,
-                    repetition_penalty=rep_pen, no_repeat_ngram=nrn)
+                    repetition_penalty=rep_pen, no_repeat_ngram=nrn,
+                    min_length=int(getattr(args, "min_length", 0)))
 
             self._sample_base = jax.random.PRNGKey(
                 int(getattr(args, "sample_seed", 0)))
@@ -242,11 +246,14 @@ class CaptionService:
         else:
             adaptive = int(getattr(args, "serve_adaptive_chunk", 0))
 
+            min_len = int(getattr(args, "min_length", 0))
+
             def decode(params, feats):
                 if beam > 1:
                     return decode_lib.beam_search(
                         params, feats, config, beam_size=beam,
-                        length_penalty=config.length_penalty)
+                        length_penalty=config.length_penalty,
+                        min_length=min_len)
                 if adaptive > 0:
                     # early-stopping program: K-step blocks until every
                     # row has emitted <E> (tail = <PAD>)

@@ -294,3 +294,24 @@ def test_diverse_beam_jittable_and_int8():
     ids, scores = fn(feats)
     assert np.asarray(ids).shape == (2, 2, cfg.seq_len)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_min_length_blocks_early_end():
+    """min_length: no <E> before position min_length in beam, diverse beam
+    and sampled decodes; the min_length=0 default path is untouched."""
+    from gan_image_captioning_tpu.data.vocab import END
+
+    cfg = cfg_for("lstm")
+    params = api.init_generator(jax.random.PRNGKey(9), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(10), (4, cfg.gen_embed_dim))
+    m = 4
+    ids_b, _ = dec_lib.beam_search(params, feats, cfg, beam_size=3,
+                                   min_length=m)
+    ids_d, _ = dec_lib.diverse_beam_search(params, feats, cfg, beam_size=4,
+                                           num_groups=2, min_length=m)
+    ids_s, _ = dec_lib.sample_decode(params, feats, cfg,
+                                     jax.random.PRNGKey(11), min_length=m)
+    for ids in (np.asarray(ids_b).reshape(-1, cfg.seq_len),
+                np.asarray(ids_d).reshape(-1, cfg.seq_len),
+                np.asarray(ids_s)):
+        assert not (ids[:, :m] == END).any()
