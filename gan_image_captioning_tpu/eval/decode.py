@@ -411,7 +411,7 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
     rep_pen = jnp.asarray(repetition_penalty, jnp.float32)
 
     def pick(key, logits, seen, banned, t=None):
-        if repetition_penalty != 1.0:
+        if repetition_penalty != 1.0 and seen is not None:
             pen = jnp.where(logits > 0, logits / rep_pen, logits * rep_pen)
             sel = jnp.where(seen, pen, logits)
         else:
@@ -429,12 +429,16 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
                                  ids_t[:, None], axis=1)[:, 0]
         return ids_t, lp
 
+    # the [B, V] seen mask exists only when the penalty is active — the
+    # default sampler trace (and its carry) is unchanged
+    track_seen = repetition_penalty != 1.0
+
     rng, k0 = jax.random.split(rng)
     logits0, state = stepper.step(state, features, jnp.asarray(0, jnp.int32))
-    ids0, lp0 = pick(k0, logits0, jnp.zeros((B, V), bool), None)
+    ids0, lp0 = pick(k0, logits0, None, None)
     ids_buf = jnp.zeros((B, seq_len), jnp.int32).at[:, 0].set(ids0)
     lps_buf = jnp.zeros((B, seq_len), jnp.float32).at[:, 0].set(lp0)
-    seen0 = jax.nn.one_hot(ids0, V, dtype=jnp.bool_)
+    seen0 = jax.nn.one_hot(ids0, V, dtype=jnp.bool_) if track_seen else None
 
     def body(carry):
         t, state, last_ids, rng, done, ids_buf, lps_buf, seen = carry
@@ -443,7 +447,8 @@ def sample_decode(gen_params: dict, features, config: Config, rng,
         banned = (None if not no_repeat_ngram else
                   _ngram_ban(ids_buf, t, last_ids, no_repeat_ngram, V))
         ids_t, lp = pick(key, logits, seen, banned, t)
-        seen = seen | jax.nn.one_hot(ids_t, V, dtype=jnp.bool_)
+        if track_seen:
+            seen = seen | jax.nn.one_hot(ids_t, V, dtype=jnp.bool_)
         if early_stop:
             # live rows draw the SAME sample as the full run (the key
             # chain is positional); ended rows' draws are discarded
@@ -601,9 +606,10 @@ def diverse_beam_search(gen_params: dict, features, config: Config,
     pad_only = jnp.full((V,), NEG_INF).at[PAD].set(0.0)
 
     def select(logp, scores, done, t0: bool):
-        """Group-sequential top-Kg: returns per-group (scores, parent
-        GLOBAL beam index, token).  ``t0`` selects from row 0 of each
-        group (all beams identical at t=0)."""
+        """Group-sequential top-Kg: returns per-group (penalized selection
+        scores, parent GLOBAL beam index, token, the chosen token's TRUE
+        step log-prob).  ``t0`` selects from row 0 of each group (all
+        beams identical at t=0)."""
         counts = jnp.zeros((B, V), jnp.float32)
         out_s, out_p, out_tok = [], [], []
         for g in range(G):
@@ -628,9 +634,14 @@ def diverse_beam_search(gen_params: dict, features, config: Config,
             out_s.append(s_g)
             out_p.append(par_g)
             out_tok.append(tok_g)
-        return (jnp.concatenate(out_s, axis=1),
-                jnp.concatenate(out_p, axis=1),
-                jnp.concatenate(out_tok, axis=1))
+        parent = jnp.concatenate(out_p, axis=1)
+        token = jnp.concatenate(out_tok, axis=1)
+        # the chosen token's UNPENALIZED log-prob (diversity penalties are
+        # a selection device; reported scores must stay log-probabilities)
+        step_lp = jnp.take_along_axis(
+            jnp.take_along_axis(logp, parent[..., None], axis=1),
+            token[..., None], axis=2)[..., 0]
+        return jnp.concatenate(out_s, axis=1), parent, token, step_lp
 
     # ---- t = 0
     state = stepper.init_state(B * K)
@@ -639,13 +650,14 @@ def diverse_beam_search(gen_params: dict, features, config: Config,
     logp0 = jax.nn.log_softmax(logits0).reshape(B, K, V)
     if min_length > 0:
         logp0 = logp0.at[:, :, END].set(NEG_INF)
-    scores, _, ids0 = select(logp0, None, None, t0=True)
+    scores, _, ids0, true0 = select(logp0, None, None, t0=True)
     done = ids0 == END
     tokens = jnp.full((B, K, seq_len), PAD, jnp.int32).at[:, :, 0].set(ids0)
     lengths = jnp.ones((B, K), jnp.int32)
 
     def body(carry):
-        t, state, scores, tokens, lengths, done, last_ids = carry
+        (t, state, scores, true_scores, tokens, lengths, done,
+         last_ids) = carry
         x = stepper.embed(last_ids.reshape(-1))
         logits, new_state = stepper.step(state, x, t)
         logp = jax.nn.log_softmax(logits).reshape(B, K, V)
@@ -653,7 +665,9 @@ def diverse_beam_search(gen_params: dict, features, config: Config,
             logp = logp.at[:, :, END].set(
                 jnp.where(t < min_length, NEG_INF, logp[:, :, END]))
         logp = jnp.where(done[..., None], pad_only[None, None, :], logp)
-        new_scores, parent, token = select(logp, scores, done, t0=False)
+        new_scores, parent, token, step_lp = select(logp, scores, done,
+                                                    t0=False)
+        new_true = jnp.take_along_axis(true_scores, parent, axis=1) + step_lp
         gidx = (jnp.arange(B)[:, None] * K + parent).reshape(-1)
         new_state = stepper.gather(new_state, gidx)
         tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
@@ -663,24 +677,28 @@ def diverse_beam_search(gen_params: dict, features, config: Config,
         parent_len = jnp.take_along_axis(lengths, parent, axis=1)
         new_done = parent_done | (token == END)
         new_lengths = jnp.where(parent_done, parent_len, parent_len + 1)
-        return (t + 1, new_state, new_scores, tokens, new_lengths,
+        return (t + 1, new_state, new_scores, new_true, tokens, new_lengths,
                 new_done, token)
 
     def cond(carry):
-        return (carry[0] < seq_len) & ~carry[5].all()
+        return (carry[0] < seq_len) & ~carry[6].all()
 
-    carry = (jnp.asarray(1, jnp.int32), state, scores, tokens, lengths,
-             done, ids0)
-    (_, _, scores, tokens, lengths, _, _) = jax.lax.while_loop(
+    carry = (jnp.asarray(1, jnp.int32), state, scores, true0, tokens,
+             lengths, done, ids0)
+    (_, _, scores, true_scores, tokens, lengths, _, _) = jax.lax.while_loop(
         cond, body, carry)
 
+    # rank within each group by the PENALIZED objective (the paper's
+    # selection criterion), but REPORT true length-normalized log-probs —
+    # downstream rerankers must not see diversity penalties as likelihood
     lp = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
     final = (scores / lp).reshape(B, G, Kg)
+    true_final = (true_scores / lp).reshape(B, G, Kg)
     best = jnp.argmax(final, axis=2)                          # [B, G]
     tokens = tokens.reshape(B, G, Kg, seq_len)
     best_tokens = jnp.take_along_axis(
         tokens, best[:, :, None, None], axis=2)[:, :, 0]      # [B, G, T]
-    best_scores = jnp.take_along_axis(final, best[:, :, None],
+    best_scores = jnp.take_along_axis(true_final, best[:, :, None],
                                       axis=2)[:, :, 0]
     return best_tokens, best_scores
 

@@ -32,6 +32,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from gan_image_captioning_tpu.config import Config
 from gan_image_captioning_tpu.models import api
@@ -251,9 +252,7 @@ def make_mle_step(config: Config):
             loss = loss_sum / accum
             new_stats = (None if stats_seq is None else
                          jax.tree_util.tree_map(lambda s: s[-1], stats_seq))
-        import optax as _optax
-
-        grad_norm = _optax.global_norm(grads)   # pre-clip global norm
+        grad_norm = optax.global_norm(grads)   # pre-clip global norm
         updates, new_opt = tx.update(grads, state.pretrain_opt_state,
                                      state.gen_params)
         gen_params = jax.tree_util.tree_map(
@@ -493,13 +492,11 @@ def make_adv_step(config: Config):
                                                         stats_seq)),
                    "d_real_mean": scal[2], "d_fake_mean": scal[3]}
 
-        import optax as _optax
-
         # pre-clip global grad norms: the observability signal for GAN
         # instability (the report's §4.3 discussion) — spikes precede the
         # mode-collapse the BLEU/self-BLEU probes detect after the fact
-        g_grad_norm = _optax.global_norm(g_grads)
-        d_grad_norm = _optax.global_norm(d_grads)
+        g_grad_norm = optax.global_norm(g_grads)
+        d_grad_norm = optax.global_norm(d_grads)
 
         # --- D update, conditionally (disc_train_freq) ---
         def update_disc(operand):

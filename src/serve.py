@@ -600,10 +600,11 @@ def make_http_server(service, port: int):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
-        def _send(self, code, obj):
-            body = (json.dumps(obj) + "\n").encode()
+        def _send(self, code, obj, content_type="application/json"):
+            body = (obj if isinstance(obj, bytes)
+                    else (json.dumps(obj) + "\n").encode())
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", content_type)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -628,13 +629,8 @@ def make_http_server(service, port: int):
                                 lines.append(
                                     f'gic_serving_{k}{{engine="{engine}"}}'
                                     f" {v}")
-                    body = ("\n".join(lines) + "\n").encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type",
-                                     "text/plain; version=0.0.4")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                    self._send(200, ("\n".join(lines) + "\n").encode(),
+                               content_type="text/plain; version=0.0.4")
                 else:
                     self._send(404, {"error": "GET /stats | /healthz | "
                                               "/metrics, POST /"})

@@ -282,6 +282,23 @@ def test_diverse_beam_groups_diverge():
                                     num_groups=3)
 
 
+def test_diverse_beam_scores_are_true_logprobs():
+    """Reported scores must be model log-probabilities, NOT the
+    diversity-penalized selection objective — rerankers downstream would
+    otherwise discard every diverse candidate."""
+    cfg = cfg_for("lstm")
+    params = api.init_generator(jax.random.PRNGKey(5), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(6), (3, cfg.gen_embed_dim))
+    ids, scores = dec_lib.diverse_beam_search(
+        params, feats, cfg, beam_size=4, num_groups=4,
+        diversity_strength=100.0)          # huge λ: contamination obvious
+    for g in range(4):
+        want = dec_lib.sequence_logprob(
+            params, feats, jnp.asarray(np.asarray(ids)[:, g]), cfg)
+        np.testing.assert_allclose(np.asarray(scores)[:, g],
+                                   np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
 def test_diverse_beam_jittable_and_int8():
     from gan_image_captioning_tpu.ops import quantize as q_lib
 
