@@ -56,6 +56,24 @@ def sentence_bleu(candidate: Sequence, references: List[Sequence],
     return bp * math.exp(log_p)
 
 
+def oracle_bleu4(candidate_groups: List[List[Sequence]],
+                 references: List[List[Sequence]],
+                 max_n: int = 4) -> float:
+    """Best-of-G (oracle) BLEU: per sample, the candidate with the highest
+    smoothed sentence BLEU against its references is selected, then corpus
+    BLEU is computed over the selections.
+
+    The standard way to score a DIVERSE decode set (e.g.
+    :func:`eval.decode.diverse_beam_search`'s G captions per image): a
+    high oracle with a low single-candidate BLEU means the set contains
+    good captions a reranker could surface.
+    """
+    assert len(candidate_groups) == len(references)
+    chosen = [max(group, key=lambda c: sentence_bleu(c, refs, max_n))
+              for group, refs in zip(candidate_groups, references)]
+    return corpus_bleu(chosen, references, max_n)
+
+
 def corpus_bleu(candidates: List[Sequence],
                 references: List[List[Sequence]],
                 max_n: int = 4) -> float:

@@ -70,6 +70,13 @@ def parse_args(argv=None):
                         "per image against ALL of its reference captions; "
                         "default scores each row against its own single "
                         "reference")
+    parser.add_argument("--beam-groups", type=int, default=1,
+                        help="with --beam-size > 1: diverse beam search "
+                             "with G groups; adds bleu4_oracle (best-of-G "
+                             "per sample — how good a reranker could do "
+                             "over the diverse set)")
+    parser.add_argument("--diversity-strength", type=float, default=0.5,
+                        help="diverse beam Hamming penalty")
     parser.add_argument("--adaptive-chunk", type=int, default=0,
                         help="greedy decode in K-step blocks that stop "
                         "once every row in the batch emitted <E> "
@@ -161,7 +168,18 @@ def main(argv=None):
         mask = (None if w is None
                 else jnp.broadcast_to(w[:, None], batch["captions"].shape))
         nll = cross_entropy_loss(logits, batch["captions"], mask)
-        if config.beam_size > 1:
+        ids_groups = None
+        if config.beam_size > 1 and args.beam_groups > 1:
+            # diverse beam: group 0 feeds the headline metrics; all G
+            # groups feed bleu4_oracle on the host
+            ids_groups, _ = decode_lib.diverse_beam_search(
+                dparams, cond["features"], config,
+                beam_size=config.beam_size, num_groups=args.beam_groups,
+                diversity_strength=args.diversity_strength,
+                context=cond["context"],
+                length_penalty=config.length_penalty)
+            ids = ids_groups[:, 0]
+        elif config.beam_size > 1:
             ids, _ = decode_lib.beam_search(dparams, cond["features"], config,
                                             beam_size=config.beam_size,
                                             context=cond["context"],
@@ -188,7 +206,7 @@ def main(argv=None):
                 disc_params, batch["captions"], config, train=False)))
         else:
             d_gen = d_real = jnp.float32(0.0)
-        return nll, ids, d_gen, d_real
+        return nll, ids, d_gen, d_real, ids_groups
 
     fn = eval_batch if config.no_jit else jax.jit(eval_batch)
     loader = Batcher(ds, config.pre_eval_batch_size, config.seq_len,
@@ -212,13 +230,28 @@ def main(argv=None):
     # one batched fetch: per-batch float()/asarray() syncs serialize
     # dispatch and pay a transfer RTT per array (docs/benchmarks.md r3)
     fetched = jax.device_get(pending)
-    nlls = [float(nll) for nll, _, _, _ in fetched]
-    gen_b = [np.asarray(ids) for _, ids, _, _ in fetched]
-    d_gen_scores = [float(d) for _, _, d, _ in fetched]
-    d_real_scores = [float(d) for _, _, _, d in fetched]
+    nlls = [float(nll) for nll, _, _, _, _ in fetched]
+    gen_b = [np.asarray(ids) for _, ids, _, _, _ in fetched]
+    d_gen_scores = [float(d) for _, _, d, _, _ in fetched]
+    d_real_scores = [float(d) for _, _, _, d, _ in fetched]
     bleu = bleu4_from_batches(gen_b, real_b, w_b)
     result = {"nll_gen": round(float(np.mean(nlls)), 4),
               "bleu4": round(bleu, 5), "num_samples": n}
+    if args.beam_groups > 1 and config.beam_size > 1:
+        # oracle (best-of-G) BLEU over the diverse candidate sets
+        from gan_image_captioning_tpu.eval.bleu import oracle_bleu4
+        from gan_image_captioning_tpu.eval.metrics import strip_caption
+
+        cand_groups, refs_o = [], []
+        for (_, _, _, _, g3), real_ids, w in zip(fetched, real_b, w_b):
+            g3 = np.asarray(g3)
+            for j in range(g3.shape[0]):
+                if w is not None and w[j] == 0:
+                    continue
+                cand_groups.append([strip_caption(g3[j, k])
+                                    for k in range(g3.shape[1])])
+                refs_o.append([strip_caption(real_ids[j])])
+        result["bleu4_oracle"] = round(oracle_bleu4(cand_groups, refs_o), 5)
     if disc_params is not None:
         result["disc_score_generated"] = round(float(np.mean(d_gen_scores)), 4)
         result["disc_score_real"] = round(float(np.mean(d_real_scores)), 4)

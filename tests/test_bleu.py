@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 import numpy as np
 
 from gan_image_captioning_tpu.eval.bleu import corpus_bleu
@@ -61,3 +63,15 @@ def test_bleu4_from_batches_skips_pad_rows():
     # with the mismatching row masked out, BLEU is perfect
     assert bleu4_from_batches(gen, real, w_first) == 1.0
     assert bleu4_from_batches(gen, real, w_all) < 1.0
+
+
+def test_oracle_bleu4_picks_best_candidate():
+    from gan_image_captioning_tpu.eval.bleu import corpus_bleu, oracle_bleu4
+
+    ref = [list("the cat sat on the mat".split())]
+    good = list("the cat sat on the mat".split())
+    bad = list("zebra zebra zebra".split())
+    assert oracle_bleu4([[bad, good]], [ref]) == pytest.approx(
+        corpus_bleu([good], [ref]))
+    assert oracle_bleu4([[bad]], [ref]) == pytest.approx(
+        corpus_bleu([bad], [ref]))
