@@ -477,10 +477,10 @@ class CaptionService:
 
         self._watch_fp = self._ckpt_fingerprint(self.checkpoint_path)
         self._watch_pending = None
+        self._watch_stop = threading.Event()   # stop_watch() / tests
 
         def loop():
-            while True:
-                time.sleep(interval_s)
+            while not self._watch_stop.wait(interval_s):
                 try:
                     fp = self._ckpt_fingerprint(self.checkpoint_path)
                     if fp is None or fp == self._watch_fp:
@@ -500,6 +500,11 @@ class CaptionService:
 
         threading.Thread(target=loop, daemon=True,
                          name="ckpt-watch").start()
+
+    def stop_watch(self):
+        """End the --serve-watch polling thread (tests / shutdown)."""
+        if getattr(self, "_watch_stop", None) is not None:
+            self._watch_stop.set()
 
     @staticmethod
     def _drain_and_close(engine, timeout_s: float = 60.0):

@@ -314,9 +314,12 @@ def test_serve_watch_auto_reloads(tmp_path):
                          sync=True)
     deadline = time.time() + 20
     after = before
-    while after == before and time.time() < deadline:
-        time.sleep(0.1)
-        after = svc.handle_request({"n": 2})["captions"]
+    try:
+        while after == before and time.time() < deadline:
+            time.sleep(0.1)
+            after = svc.handle_request({"n": 2})["captions"]
+    finally:
+        svc.stop_watch()   # don't leave a 20 Hz poller for the whole suite
     assert after != before, "watcher never reloaded the rewritten checkpoint"
 
 
