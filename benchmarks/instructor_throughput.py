@@ -14,6 +14,9 @@ Usage:  python benchmarks/instructor_throughput.py
 Env:    GIC_PREFETCH   device_prefetch depth (default 2; 0 = sync feed)
         GIC_IT_EPOCHS  timed adversarial sweeps (default 3)
         GIC_IT_ITEMS   synthetic train items (default 6400 → 100 steps/sweep)
+        GIC_SPC        --steps-per-call K (default 1): K scanned steps per
+                       device program — amortizes the per-dispatch RTT that
+                       dominates this measurement on tunneled chips
 """
 
 import json
@@ -44,6 +47,7 @@ def main():
     prefetch = int(os.environ.get("GIC_PREFETCH", "2"))
     epochs = int(os.environ.get("GIC_IT_EPOCHS", "3"))
     items = int(os.environ.get("GIC_IT_ITEMS", "6400"))
+    spc = int(os.environ.get("GIC_SPC", "1"))
 
     tmp = tempfile.mkdtemp(prefix="gic_itp_")
     config = Config(
@@ -58,6 +62,7 @@ def main():
         dtype="bfloat16" if on_tpu else "float32",
         decode_impl="kernel" if on_tpu else "fused",
         device_prefetch=prefetch,
+        steps_per_call=spc,
         save_dir=tmp, model_dir=os.path.join(tmp, "models"),
         log_file=os.path.join(tmp, "log"),
     )
@@ -84,6 +89,7 @@ def main():
         "value": round(sps, 2),
         "unit": "steps/s",
         "device_prefetch": prefetch,
+        "steps_per_call": spc,
         "steps": epochs * steps_per_sweep,
         "backend": jax.default_backend(),
     }))

@@ -400,6 +400,13 @@ def add_tpu_args(parser):
                         "host→device uploads overlap the running step "
                         "(0 = synchronous per-batch transfer, the "
                         "reference's .to(device) behavior)")
+    g.add_argument("--steps-per-call", type=int, default=1,
+                   help="train steps fused into ONE device program via "
+                        "lax.scan over K stacked batches (MaxText-style "
+                        "multi-step): amortizes the per-dispatch host RTT "
+                        "that caps in-run throughput on remote/tunneled "
+                        "chips. Interrupt/mid-epoch-checkpoint granularity "
+                        "becomes K batches. 1 = reference per-batch stepping")
     g.add_argument("--profile-dir", type=str, default="",
                    help="if set, dump a jax.profiler trace for the first adv "
                         "epoch into this directory")
@@ -621,6 +628,7 @@ class Config:
     dataset: str = "coco"
     num_workers: int = 4
     device_prefetch: int = 2
+    steps_per_call: int = 1
     profile_dir: str = ""
     no_jit: bool = False
     vocab_multiple: int = 1

@@ -132,6 +132,42 @@ def device_prefetch(iterable, put, size: int = 2):
         stop.set()
 
 
+def stack_batches(iterable, k: int):
+    """Group ``k`` consecutive host batches into one stacked batch for
+    ``--steps-per-call`` (train/steps.py:make_multi_step): every array gains
+    a leading step axis ``[k, ...]``; one host→device upload then feeds k
+    scanned train steps.  Yields ``(stacked_batch, count)``; the epoch's tail
+    group may have ``count < k`` (it compiles its own, smaller program once).
+
+    Length-bucketed loaders emit batches of DIFFERENT widths; a group flushes
+    early when the next batch's shapes don't match (stacking needs one shape,
+    and each distinct [k, ...] shape is its own compiled program anyway).
+    """
+    buf = []
+
+    def flush():
+        stacked = {key: np.stack([b[key] for b in buf])
+                   for key in buf[0]}
+        return stacked, len(buf)
+
+    def matches(batch):
+        first = buf[0]
+        return (batch.keys() == first.keys()
+                and all(np.shape(batch[key]) == np.shape(first[key])
+                        for key in first))
+
+    for batch in iterable:
+        if buf and not matches(batch):
+            yield flush()
+            buf = []
+        buf.append(batch)
+        if len(buf) == k:
+            yield flush()
+            buf = []
+    if buf:
+        yield flush()
+
+
 class Batcher:
     """Iterable over fixed-shape batches with threaded prefetch.
 

@@ -130,13 +130,21 @@ def shard_train_state(state, mesh: Mesh):
     )
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Shard every batch array over the ``data`` axis (leading dim)."""
+def shard_batch(batch: dict, mesh: Mesh, step_axis: bool = False) -> dict:
+    """Shard every batch array over the ``data`` axis (leading dim).
+
+    ``step_axis=True`` handles ``--steps-per-call`` stacked batches
+    (data/loader.py:stack_batches): arrays carry a leading ``[K]`` step axis,
+    so the batch dim to shard is axis 1 (the scan peels the step axis off
+    before the per-step program sees its usual ``data``-sharded batch).
+    """
     data = "data" if _has_axis(mesh, "data") else None
 
     def put(x):
         x = np.asarray(x)
-        spec = P(data, *([None] * (x.ndim - 1)))
+        lead = [None] if step_axis else []
+        batch_dims = x.ndim - len(lead)
+        spec = P(*lead, data, *([None] * (batch_dims - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return {k: put(v) for k, v in batch.items()}

@@ -145,6 +145,17 @@ class GANInstructor:
         self.adv_step = make_adv_step(config)
         self.adv_eval_step = make_adv_eval_step(config)
 
+        # --steps-per-call K > 1: K train steps fused into ONE device
+        # program (lax.scan over stacked batches, train/steps.py:
+        # make_multi_step) — amortizes the per-dispatch host RTT that caps
+        # in-run throughput on remote/tunneled chips (NEXT_STEPS r3 item 5).
+        self.steps_per_call = max(1, int(config.steps_per_call))
+        if self.steps_per_call > 1:
+            from gan_image_captioning_tpu.train.steps import make_multi_step
+
+            self.mle_multi = make_multi_step(config, "mle")
+            self.adv_multi = make_multi_step(config, "adv")
+
         if (config.cache_features and config.cgan
                 and not config.trainable_backbone
                 and config.gen_arch == "lstm"):
@@ -357,6 +368,25 @@ class GANInstructor:
         return device_prefetch(iter(loader), put,
                                self.config.device_prefetch)
 
+    def _device_groups(self, it):
+        """Device-resident ``(stacked_batch, count)`` stream for
+        ``--steps-per-call`` (data/loader.py:stack_batches): K host batches
+        stack into one ``[K, ...]`` upload feeding K scanned train steps;
+        the upload itself still overlaps compute via ``device_prefetch``."""
+        from gan_image_captioning_tpu.data.loader import (device_prefetch,
+                                                          stack_batches)
+
+        if self.mesh is not None:
+            from gan_image_captioning_tpu.parallel.sharding import shard_batch
+
+            mesh = self.mesh
+            put_one = lambda b: shard_batch(b, mesh, step_axis=True)  # noqa: E731
+        else:
+            put_one = jax.device_put
+        put = lambda item: (put_one(item[0]), item[1])  # noqa: E731
+        return device_prefetch(stack_batches(it, self.steps_per_call), put,
+                               self.config.device_prefetch)
+
     def _progress(self, loader, what: str, total: Optional[int] = None):
         """tqdm batch bar (reference training.py:52,133) when available and
         attached to a tty; otherwise the plain iterator."""
@@ -392,39 +422,61 @@ class GANInstructor:
         shuffle order (``Batcher.iter_from``)."""
         loader = self.pre_train_loader if what == "train" else self.pre_eval_loader
         ss_prob = np.float32(self._ss_prob)  # scheduled-sampling feedback p
-        pending = []                         # (device loss, tag, step)
+        pending = []               # (loss[K], gnorm[K]|None, tag, step0, K)
         self._sweep_break = None
         it = (loader.iter_from(start_batch) if what == "train"
               else iter(loader))
-        for off, batch in enumerate(self._progress(
-                self._device_batches(it), f"pretrain/{what}",
-                total=len(loader) - start_batch)):
-            if what == "train":
-                self.state, metrics = self.mle_step(self.state, batch,
-                                                    ss_prob)
-                self.pretrain_steps += 1
-                tag = "GenPreTraining_train_loss"
-            else:
-                self.state, metrics = self.mle_eval_step(self.state, batch,
-                                                         ss_prob)
-                tag = "GenPreTraining_val_loss"
-            pending.append((metrics["gen_pretrain_loss"],
-                            metrics.get("gen_grad_norm"), tag,
-                            self.pretrain_steps))
-            if what == "train" and self._interrupted:
-                self._sweep_break = start_batch + off + 1
-                break
-        fetched = jax.device_get([(dev, gn) for dev, gn, _, _ in pending])
+        if what == "train" and self.steps_per_call > 1:
+            k, done = self.steps_per_call, 0
+            tag = "GenPreTraining_train_loss"
+            for stacked, count in self._progress(
+                    self._device_groups(it), f"pretrain/{what}",
+                    total=-(-(len(loader) - start_batch) // k)):
+                scalars = np.full((count,), ss_prob, np.float32)
+                self.state, metrics = self.mle_multi(self.state, stacked,
+                                                     scalars)
+                pending.append((metrics["gen_pretrain_loss"],
+                                metrics.get("gen_grad_norm"), tag,
+                                self.pretrain_steps + 1, count))
+                self.pretrain_steps += count
+                done += count
+                if self._interrupted:
+                    # interrupt granularity = one K-step group
+                    self._sweep_break = start_batch + done
+                    break
+        else:
+            for off, batch in enumerate(self._progress(
+                    self._device_batches(it), f"pretrain/{what}",
+                    total=len(loader) - start_batch)):
+                if what == "train":
+                    self.state, metrics = self.mle_step(self.state, batch,
+                                                        ss_prob)
+                    self.pretrain_steps += 1
+                    tag = "GenPreTraining_train_loss"
+                else:
+                    self.state, metrics = self.mle_eval_step(self.state,
+                                                             batch, ss_prob)
+                    tag = "GenPreTraining_val_loss"
+                pending.append((metrics["gen_pretrain_loss"],
+                                metrics.get("gen_grad_norm"), tag,
+                                self.pretrain_steps, 1))
+                if what == "train" and self._interrupted:
+                    self._sweep_break = start_batch + off + 1
+                    break
+        fetched = jax.device_get([(dev, gn) for dev, gn, _, _, _ in pending])
         losses = []
-        for (loss, gnorm), (_, _, tag, step) in zip(fetched, pending):
-            loss = float(loss)
-            losses.append(loss)
-            self.writer.add_scalar(tag, loss, step)
-            if gnorm is not None:
-                # pre-clip generator grad norm (train/steps.py) — the
-                # instability signal the loss curves only show after
-                self.writer.add_scalar("GenPreTraining_grad_norm",
-                                       float(gnorm), step)
+        for (loss, gnorm), (_, _, tag, step0, count) in zip(fetched, pending):
+            la = np.ravel(np.asarray(loss))
+            ga = None if gnorm is None else np.ravel(np.asarray(gnorm))
+            for j in range(count):
+                v = float(la[j])
+                losses.append(v)
+                self.writer.add_scalar(tag, v, step0 + j)
+                if ga is not None:
+                    # pre-clip generator grad norm (train/steps.py) — the
+                    # instability signal the loss curves only show after
+                    self.writer.add_scalar("GenPreTraining_grad_norm",
+                                           float(ga[j]), step0 + j)
         return losses
 
     def pretrain_generator(self, epochs: int):
@@ -512,48 +564,84 @@ class GANInstructor:
         # host-mirrored step counter: int(state.gen_steps) per batch would
         # be a per-step device sync (see genpretrain_loop docstring)
         step_counter = int(self.state.gen_steps)
-        pending = []                          # (g_dev, d_dev, tags, step)
+        pending = []         # (g[K], d[K], gn[K]|None, dn[K]|None, tags,
+        #                       step0, K)
         t_sweep = time.time()
         self._sweep_break = None
         it = (loader.iter_from(start_batch) if what == "train"
               else iter(loader))
-        for off, batch in enumerate(
-                self._progress(self._device_batches(it), f"adv/{what}",
-                               total=len(loader) - start_batch)):
-            batch_idx = start_batch + off
-            if what == "train":
-                temp = self._temperature(adv_epoch, (batch_idx + 1) / num_batches)
-                self.state, metrics = self.adv_step(self.state, batch, temp)
-                self.adv_batch_steps += 1
-                step_counter += 1
-                d_tag, g_tag = "Discriminator_train_loss", "Generator_train_loss"
-            else:
-                self.state, metrics = self.adv_eval_step(self.state, batch, temp)
-                d_tag, g_tag = "Discriminator_val_loss", "Generator_val_loss"
-            pending.append((metrics["gen_adv_loss"],
-                            metrics["disc_adv_loss"],
-                            metrics.get("gen_grad_norm"),
-                            metrics.get("disc_grad_norm"),
-                            (g_tag, d_tag), step_counter))
-            if what == "train" and self._interrupted:
-                self._sweep_break = batch_idx + 1
-                break
+        if what == "train" and self.steps_per_call > 1:
+            k, done = self.steps_per_call, 0
+            g_tag, d_tag = "Generator_train_loss", "Discriminator_train_loss"
+            for stacked, count in self._progress(
+                    self._device_groups(it), f"adv/{what}",
+                    total=-(-(len(loader) - start_batch) // k)):
+                base = start_batch + done
+                # per-inner-step temperatures — the identical per-batch
+                # fractional-epoch ramp (training.py:183)
+                temps = np.asarray(
+                    [self._temperature(adv_epoch, (base + j + 1) / num_batches)
+                     for j in range(count)], np.float32)
+                self.state, metrics = self.adv_multi(self.state, stacked,
+                                                     temps)
+                self.adv_batch_steps += count
+                pending.append((metrics["gen_adv_loss"],
+                                metrics["disc_adv_loss"],
+                                metrics.get("gen_grad_norm"),
+                                metrics.get("disc_grad_norm"),
+                                (g_tag, d_tag), step_counter + 1, count))
+                step_counter += count
+                done += count
+                if self._interrupted:
+                    self._sweep_break = start_batch + done
+                    break
+        else:
+            for off, batch in enumerate(
+                    self._progress(self._device_batches(it), f"adv/{what}",
+                                   total=len(loader) - start_batch)):
+                batch_idx = start_batch + off
+                if what == "train":
+                    temp = self._temperature(adv_epoch,
+                                             (batch_idx + 1) / num_batches)
+                    self.state, metrics = self.adv_step(self.state, batch,
+                                                        temp)
+                    self.adv_batch_steps += 1
+                    step_counter += 1
+                    d_tag, g_tag = ("Discriminator_train_loss",
+                                    "Generator_train_loss")
+                else:
+                    self.state, metrics = self.adv_eval_step(self.state,
+                                                             batch, temp)
+                    d_tag, g_tag = ("Discriminator_val_loss",
+                                    "Generator_val_loss")
+                pending.append((metrics["gen_adv_loss"],
+                                metrics["disc_adv_loss"],
+                                metrics.get("gen_grad_norm"),
+                                metrics.get("disc_grad_norm"),
+                                (g_tag, d_tag), step_counter, 1))
+                if what == "train" and self._interrupted:
+                    self._sweep_break = batch_idx + 1
+                    break
         # one batched fetch for the whole sweep (see genpretrain_loop)
         fetched = jax.device_get(
-            [(g, d, gn, dn) for g, d, gn, dn, _, _ in pending])
+            [(g, d, gn, dn) for g, d, gn, dn, _, _, _ in pending])
         g_losses, d_losses = [], []
         for (g_loss, d_loss, g_norm, d_norm), \
-                (_, _, _, _, (g_tag, d_tag), step) in zip(fetched, pending):
-            g_loss, d_loss = float(g_loss), float(d_loss)
-            g_losses.append(g_loss)
-            d_losses.append(d_loss)
-            self.writer.add_scalar(d_tag, d_loss, step)
-            self.writer.add_scalar(g_tag, g_loss, step)
-            if g_norm is not None:
-                self.writer.add_scalar("Generator_grad_norm",
-                                       float(g_norm), step)
-                self.writer.add_scalar("Discriminator_grad_norm",
-                                       float(d_norm), step)
+                (_, _, _, _, (g_tag, d_tag), step0, count) \
+                in zip(fetched, pending):
+            ga, da = np.ravel(np.asarray(g_loss)), np.ravel(np.asarray(d_loss))
+            gna = None if g_norm is None else np.ravel(np.asarray(g_norm))
+            dna = None if d_norm is None else np.ravel(np.asarray(d_norm))
+            for j in range(count):
+                g_losses.append(float(ga[j]))
+                d_losses.append(float(da[j]))
+                self.writer.add_scalar(d_tag, float(da[j]), step0 + j)
+                self.writer.add_scalar(g_tag, float(ga[j]), step0 + j)
+                if gna is not None:
+                    self.writer.add_scalar("Generator_grad_norm",
+                                           float(gna[j]), step0 + j)
+                    self.writer.add_scalar("Discriminator_grad_norm",
+                                           float(dna[j]), step0 + j)
         if what == "train" and g_losses:
             rate = len(g_losses) / max(time.time() - t_sweep, 1e-9)
             self.writer.add_scalar("adv_steps_per_sec", rate, step_counter)

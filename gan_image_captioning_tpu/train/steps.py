@@ -211,13 +211,16 @@ def mle_loss(config: Config, gen_params, batch, rng, train: bool,
     return loss, (new_stats, logits)
 
 
-def make_mle_step(config: Config):
+def make_mle_step(config: Config, _raw: bool = False):
     """Jitted pretrain step: loss → grads → clip(5.0) → Adam(pretrain_lr)
     (reference ``training.py:88,194-199`` with ``args.py:123-126,190-193``).
 
     ``--grad-accum k`` scans k microbatches through the loss/grad body and
     applies ONE clipped Adam update on the mean grads (one traced body —
-    compile time does not grow with k)."""
+    compile time does not grow with k).
+
+    ``_raw=True`` returns the untraced step function (no jit/donation) for
+    composition inside :func:`make_multi_step`'s scan."""
     tx = make_optimizer(config.pretrain_lr, config.clip_norm, config)
     accum = max(1, int(config.grad_accum))
 
@@ -272,6 +275,8 @@ def make_mle_step(config: Config):
         return state, {"gen_pretrain_loss": loss,
                        "gen_grad_norm": grad_norm}
 
+    if _raw:
+        return step
     return _maybe_jit(step, config, donate_argnums=(0,))
 
 
@@ -417,7 +422,7 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
     return g_loss, d_loss, aux
 
 
-def make_adv_step(config: Config):
+def make_adv_step(config: Config, _raw: bool = False):
     """The single fused adversarial update.
 
     One compiled program per batch: G-sample + 3 D passes + d-grads + g-grads
@@ -542,7 +547,46 @@ def make_adv_step(config: Config):
                    "disc_grad_norm": d_grad_norm}
         return state, metrics
 
+    if _raw:
+        return step
     return _maybe_jit(step, config, donate_argnums=(0,))
+
+
+def make_multi_step(config: Config, kind: str):
+    """``--steps-per-call K``: K consecutive train steps fused into ONE
+    compiled device program via ``lax.scan`` over stacked batches.
+
+    The reference dispatches one eager graph per batch (``training.py:53,136``);
+    even this framework's per-batch jitted steps pay one host→device dispatch
+    round-trip each, which caps in-run throughput on remote/tunneled chips
+    (~15 steps/s measured over the axon tunnel vs ~104 for back-to-back
+    device-resident stepping — docs/benchmarks.md).  Scanning K steps per
+    call amortizes that RTT by K while keeping the math identical: the scan
+    body IS the single-step function, so each inner step consumes exactly the
+    same batch, per-step scalar (scheduled-sampling prob / Gumbel
+    temperature) and PRNG stream as K separate calls would.
+
+    ``kind``: ``"mle"`` (scalars = sample_prob per step) or ``"adv"``
+    (scalars = temperature per step).  Call as
+    ``multi(state, stacked_batch, scalars)`` where every array in
+    ``stacked_batch`` is ``[K, ...]`` (leading step axis) and ``scalars`` is
+    ``[K]``; returns ``(state, metrics)`` with each metric ``[K]``-stacked.
+    """
+    if kind == "mle":
+        step = make_mle_step(config, _raw=True)
+    elif kind == "adv":
+        step = make_adv_step(config, _raw=True)
+    else:
+        raise ValueError(f"unknown multi-step kind: {kind!r}")
+
+    def multi(state: TrainState, batches: Dict[str, Any], scalars):
+        def body(st, xs):
+            b, s = xs
+            return step(st, b, s)
+
+        return jax.lax.scan(body, state, (batches, scalars))
+
+    return _maybe_jit(multi, config, donate_argnums=(0,))
 
 
 def make_adv_eval_step(config: Config):
