@@ -108,6 +108,11 @@ _SLOW_PATTERNS = (
     "test_resume_schedule.py::test_fuzz_interrupt_anywhere_resume_bitexact",
     "test_resume_schedule.py::test_elastic_resume_across_mesh_sizes",
     "test_resume_schedule.py::test_auto_resume_cli_end_to_end",
+    # round-3 cont-3: instructor-level steps-per-call trajectories — the
+    # core pass keeps the scan==sequential unit equivalences
+    "test_multi_step.py::test_instructor_steps_per_call_matches",
+    "test_multi_step.py::test_interrupt_resume_under_steps_per_call",
+    "test_multi_step.py::test_multi_adv_transformer_matches_sequential",
 )
 
 
