@@ -34,8 +34,13 @@ from gan_image_captioning_tpu.config import (apply_device_flag,
 
 def parse_args(argv=None):
     parser = build_parser()
-    parser.add_argument("--checkpoint", type=str, required=True,
+    parser.add_argument("--checkpoint", type=str, default="",
                         help="path to pretrained_model.ckpt or adv_model.ckpt")
+    parser.add_argument("--exported", type=str, default="",
+                        help="decode from an AOT .gic artifact "
+                             "(src/export_model.py) instead of a checkpoint "
+                             "— no model code or tracing; vocab comes from "
+                             "the artifact")
     parser.add_argument("--split", type=str, default="val",
                         choices=["train", "val", "test"])
     parser.add_argument("--num-samples", type=int, default=32,
@@ -90,8 +95,62 @@ def parse_args(argv=None):
     parser.add_argument("--sample-seed", type=int, default=0,
                         help="PRNG seed for sample mode")
     args = parser.parse_args(argv)
+    if not args.checkpoint and not args.exported:
+        parser.error("one of --checkpoint or --exported is required")
     apply_device_flag(args)
     return args
+
+
+def _run_exported(args):
+    """Decode via an AOT artifact (gan_image_captioning_tpu/export_api.py):
+    the compiled program + params + vocab all come from the .gic file —
+    no checkpoint templates, no tracing.  Conditional artifacts pull
+    images from ``--dataset``; unconditional ones need no dataset at all."""
+    from gan_image_captioning_tpu import export_api
+    from gan_image_captioning_tpu.eval.metrics import strip_caption  # noqa: F401
+
+    cap = export_api.load_artifact(args.exported)
+    meta = cap.meta
+    fixed_b = None if meta.get("symbolic_batch") else meta["export_batch_size"]
+    out_f = open(args.output, "w") if args.output else sys.stdout
+    emitted = 0
+    if meta.get("conditional"):
+        from src.main import build_datasets
+
+        train_ds, val_ds = build_datasets(args)
+        ds = {"train": train_ds, "val": val_ds, "test": val_ds}[args.split]
+        from gan_image_captioning_tpu.data.loader import Batcher
+
+        batch_size = fixed_b or min(args.num_samples, 32)
+        loader = Batcher(ds, batch_size, meta["seq_len"], shuffle=False,
+                         num_workers=1)
+        batches = ({"anchor": b["images"], "weights": b["weights"]}
+                   for b in loader)
+    else:
+        batch_size = fixed_b or min(args.num_samples, 32)
+
+        def _uncond():
+            left = args.num_samples
+            while left > 0:
+                yield {"anchor": np.zeros((batch_size,), np.int32),
+                       "weights": (np.arange(batch_size) < left).astype(int)}
+                left -= batch_size
+        batches = _uncond()
+    for batch in batches:
+        captions, scores = cap.captions(batch["anchor"])
+        for i, caption in enumerate(captions):
+            if batch["weights"][i] == 0 or emitted >= args.num_samples:
+                break
+            score = scores[i]
+            score = float(score[0]) if np.ndim(score) else float(score)
+            out_f.write(json.dumps({"caption": caption,
+                                    "logprob": score}) + "\n")
+            emitted += 1
+        if emitted >= args.num_samples:
+            break
+    if args.output:
+        out_f.close()
+        print(f"wrote {emitted} captions to {args.output}")
 
 
 def main(argv=None):
@@ -100,6 +159,9 @@ def main(argv=None):
     from gan_image_captioning_tpu.utils.runtime import setup
 
     setup()
+
+    if args.exported:
+        return _run_exported(args)
 
     from src.main import build_datasets, inject_vocab_size
 

@@ -1,0 +1,162 @@
+"""AOT export (gan_image_captioning_tpu/export_api.py): the serialized
+StableHLO decode program + bundled params must reproduce the direct decode
+exactly after a save→load round trip, including with a symbolic batch
+dimension, beam mode, conditional conditioning and the transformer arch.
+The reference has no deployment path at all (inference commented out,
+``main.py:49``)."""
+
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gan_image_captioning_tpu import export_api
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.models import api
+
+
+def _cfg(**kw):
+    base = dict(vocab_size=35, gen_embed_dim=12, gen_hidden_dim=16,
+                max_seq_len=9)
+    base.update(kw)
+    return Config(**base)
+
+
+def _roundtrip(tmp_path, cfg, params, anchor, **export_kw):
+    exported = export_api.export_caption_program(params, cfg, **export_kw)
+    path = os.path.join(str(tmp_path), "m.gic")
+    export_api.save_artifact(path, exported, params,
+                             {"mode": export_kw.get("mode", "greedy")})
+    return export_api.load_artifact(path)
+
+
+def test_greedy_roundtrip_matches_direct(tmp_path):
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(0), cfg)
+    anchor = np.zeros((4,), np.int32)
+    fn = export_api.build_caption_fn(cfg)
+    ids_ref, sc_ref = fn(params, anchor)
+
+    cap = _roundtrip(tmp_path, cfg, params, anchor, batch_size=4)
+    ids, sc = cap(anchor)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(sc_ref), rtol=1e-6)
+
+
+def test_symbolic_batch_serves_any_size(tmp_path):
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(1), cfg)
+    cap = _roundtrip(tmp_path, cfg, params, None, batch_size=4,
+                     symbolic_batch=True)
+    fn = export_api.build_caption_fn(cfg)
+    for b in (2, 5, 8):
+        anchor = np.zeros((b,), np.int32)
+        ids, _ = cap(anchor)
+        ids_ref, _ = fn(params, anchor)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+
+
+def test_beam_roundtrip_matches_direct(tmp_path):
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(2), cfg)
+    anchor = np.zeros((3,), np.int32)
+    fn = export_api.build_caption_fn(cfg, mode="beam", beam_size=3)
+    ids_ref, sc_ref = fn(params, anchor)
+
+    cap = _roundtrip(tmp_path, cfg, params, anchor, mode="beam",
+                     beam_size=3, batch_size=3)
+    ids, sc = cap(anchor)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(sc_ref), rtol=1e-5)
+
+
+def test_conditional_export(tmp_path):
+    cfg = _cfg(conditional_gan=1, image_size=32)
+    params = api.init_generator(jax.random.PRNGKey(3), cfg)
+    images = np.random.RandomState(0).randn(2, 3, 32, 32).astype(np.float32)
+    fn = export_api.build_caption_fn(cfg)
+    ids_ref, _ = fn(params, images)
+
+    cap = _roundtrip(tmp_path, cfg, params, images, batch_size=2)
+    ids, _ = cap(images)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+
+
+def test_transformer_export(tmp_path):
+    cfg = _cfg(gen_arch="transformer", gen_embed_dim=16, gen_hidden_dim=32,
+               gen_num_layers=2, gen_num_heads=2)
+    params = api.init_generator(jax.random.PRNGKey(4), cfg)
+    anchor = np.zeros((4,), np.int32)
+    fn = export_api.build_caption_fn(cfg)
+    ids_ref, _ = fn(params, anchor)
+
+    cap = _roundtrip(tmp_path, cfg, params, anchor, batch_size=4)
+    ids, _ = cap(anchor)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+
+
+def test_param_flatten_roundtrip():
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(5), cfg)
+    flat = export_api._flatten_params(params)
+    rebuilt = export_api._unflatten_params(flat, params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(rebuilt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # missing leaf → clear error
+    flat.pop(sorted(flat)[0])
+    with pytest.raises(KeyError):
+        export_api._unflatten_params(flat, params)
+
+
+def test_newer_format_rejected(tmp_path):
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(6), cfg)
+    exported = export_api.export_caption_program(params, cfg, batch_size=2)
+    path = os.path.join(str(tmp_path), "m.gic")
+    export_api.save_artifact(path, exported, params,
+                             {"format_version": export_api.FORMAT_VERSION + 1})
+    with pytest.raises(ValueError, match="newer"):
+        export_api.load_artifact(path)
+
+
+def test_export_cli_and_exported_caption_cli(tmp_path):
+    """End-to-end: export a checkpoint via the CLI (with --check), then
+    decode from the artifact via `caption.py --exported` — captions match
+    the checkpoint-driven caption CLI."""
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.caption import main as caption_main
+    from src.export_model import main as export_main
+
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(7), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+
+    dims = ["--dataset", "synthetic", "--max-seq-len", "9",
+            "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+            "--num-workers", "1"]
+    artifact = os.path.join(str(tmp_path), "model.gic")
+    export_main(["--checkpoint", ckpt, "--output", artifact,
+                 "--symbolic-batch", "--check", *dims])
+    assert os.path.isfile(artifact)
+
+    out_a = os.path.join(str(tmp_path), "a.jsonl")
+    caption_main(["--exported", artifact, "--num-samples", "4",
+                  "--output", out_a, *dims])
+    lines = [json.loads(l) for l in open(out_a)]
+    assert len(lines) == 4
+    assert all("caption" in l and "logprob" in l for l in lines)
+
+    # unconditional greedy is deterministic: artifact captions == ckpt ones
+    out_b = os.path.join(str(tmp_path), "b.jsonl")
+    caption_main(["--checkpoint", ckpt, "--num-samples", "4",
+                  "--output", out_b, "--pre-eval-batch-size", "8", *dims])
+    caps_a = [json.loads(l)["caption"] for l in open(out_a)]
+    caps_b = [json.loads(l)["caption"] for l in open(out_b)]
+    assert caps_a == caps_b
