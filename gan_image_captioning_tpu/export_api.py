@@ -85,8 +85,17 @@ def _unflatten_params(flat: Dict[str, np.ndarray], template) -> Any:
 # ------------------------------------------------------------------- building
 
 def build_caption_fn(config, mode: str = "greedy", beam_size: int = 1,
-                     length_penalty: float = 0.0):
+                     length_penalty: float = 0.0, anchor_kind: str = "auto"):
     """The export target: ``fn(gen_params, anchor) -> (ids, scores)``.
+
+    ``anchor_kind``:
+
+    * ``"auto"`` — anchor is images (conditional) or an int32 ``[B]``
+      batch-size placeholder (unconditional); conditioning runs INSIDE
+      the exported program (self-contained captioning).
+    * ``"features"`` — anchor is the ``[B, E]`` feature/start-token batch
+      the serving engines coalesce; conditioning stays outside.  This is
+      the program ``serve.py --exported`` plugs into its dispatchers.
 
     Always takes the scan/stepper decode path (``allow_kernel=False``) —
     the weights-resident Pallas kernel is a runtime optimization that does
@@ -98,6 +107,18 @@ def build_caption_fn(config, mode: str = "greedy", beam_size: int = 1,
     from gan_image_captioning_tpu.eval import decode as decode_lib
     from gan_image_captioning_tpu.models import api
 
+    def decode(gen_params, features, context):
+        if mode == "beam":
+            return decode_lib.beam_search(
+                gen_params, features, config, beam_size=beam_size,
+                context=context, length_penalty=length_penalty)
+        return decode_lib.greedy_with_logprobs(
+            gen_params, features, config, context=context,
+            allow_kernel=False)
+
+    if anchor_kind == "features":
+        return lambda gen_params, anchor: decode(gen_params, anchor, None)
+
     def fn(gen_params, anchor):
         if config.cgan:
             batch = {"captions": jnp.zeros((anchor.shape[0], 1), jnp.int32),
@@ -106,14 +127,7 @@ def build_caption_fn(config, mode: str = "greedy", beam_size: int = 1,
             batch = {"captions": anchor[:, None].astype(jnp.int32)}
         cond, _ = api.generator_condition(config, gen_params, batch,
                                           train=False)
-        if mode == "beam":
-            return decode_lib.beam_search(
-                gen_params, cond["features"], config, beam_size=beam_size,
-                context=cond["context"], length_penalty=length_penalty)
-        ids, scores = decode_lib.greedy_with_logprobs(
-            gen_params, cond["features"], config, context=cond["context"],
-            allow_kernel=False)
-        return ids, scores
+        return decode(gen_params, cond["features"], cond["context"])
 
     return fn
 
@@ -122,7 +136,8 @@ def export_caption_program(gen_params, config, mode: str = "greedy",
                            beam_size: int = 1, batch_size: int = 8,
                            symbolic_batch: bool = False,
                            platforms: Optional[Tuple[str, ...]] = None,
-                           length_penalty: float = 0.0):
+                           length_penalty: float = 0.0,
+                           anchor_kind: str = "auto"):
     """jax.export the decode program → ``jax.export.Exported``.
 
     ``symbolic_batch=True`` exports with a symbolic leading dim ``b`` so
@@ -133,9 +148,13 @@ def export_caption_program(gen_params, config, mode: str = "greedy",
     import jax
     from jax import export as jax_export
 
-    fn = build_caption_fn(config, mode, beam_size, length_penalty)
+    fn = build_caption_fn(config, mode, beam_size, length_penalty,
+                          anchor_kind)
 
-    if config.cgan:
+    if anchor_kind == "features":
+        anchor_shape = (batch_size, config.gen_embed_dim)
+        anchor_dtype = jax.numpy.float32
+    elif config.cgan:
         anchor_shape = (batch_size, 3, config.image_size, config.image_size)
         anchor_dtype = jax.numpy.float32
     else:

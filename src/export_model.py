@@ -43,6 +43,14 @@ def parse_args(argv=None):
     parser.add_argument("--symbolic-batch", action="store_true",
                         help="export with a symbolic leading dim: one "
                              "artifact serves ANY batch size")
+    parser.add_argument("--anchor", type=str, default="auto",
+                        choices=["auto", "features"],
+                        help="'auto' = self-contained captioning program "
+                             "(anchor = images or a batch-size placeholder; "
+                             "conditioning runs inside the artifact); "
+                             "'features' = the [B, E] feature-batch program "
+                             "the serving engines dispatch — export this "
+                             "for `serve.py --exported`")
     parser.add_argument("--platforms", type=str, default="",
                         help="comma-separated lowering targets, e.g. "
                              "'cpu,tpu' (default: current backend only)")
@@ -79,16 +87,19 @@ def main(argv=None):
         gen_params, config, mode=args.decode_mode, beam_size=beam,
         batch_size=args.export_batch_size,
         symbolic_batch=args.symbolic_batch, platforms=platforms,
-        length_penalty=config.length_penalty)
+        length_penalty=config.length_penalty, anchor_kind=args.anchor)
 
     i2w = getattr(train_ds, "index_to_word", None)
     meta = {
         "mode": args.decode_mode,
+        "anchor": args.anchor,
         "beam_size": beam if args.decode_mode == "beam" else 1,
         "conditional": bool(config.cgan),
         "gen_arch": config.gen_arch,
+        "encoder_arch": config.encoder_arch if config.cgan else None,
         "vocab_size": config.vocab_size,
         "seq_len": config.seq_len,
+        "feat_dim": config.gen_embed_dim,
         "image_size": config.image_size if config.cgan else None,
         "symbolic_batch": bool(args.symbolic_batch),
         "export_batch_size": args.export_batch_size,
@@ -101,14 +112,16 @@ def main(argv=None):
 
     if args.check:
         cap = export_api.load_artifact(args.output)
-        if config.cgan:
+        if args.anchor == "features":
+            anchor = np.zeros((2, config.gen_embed_dim), np.float32)
+        elif config.cgan:
             anchor = np.zeros((2, 3, config.image_size, config.image_size),
                               np.float32)
         else:
             anchor = np.zeros((2,), np.int32)
         ids, scores = cap(anchor)
         fn = export_api.build_caption_fn(config, args.decode_mode, beam,
-                                         config.length_penalty)
+                                         config.length_penalty, args.anchor)
         ids_ref, _ = fn(gen_params, anchor)
         np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
         print("check ok: exported ids == direct decode")

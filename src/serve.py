@@ -49,7 +49,14 @@ from gan_image_captioning_tpu.config import (apply_device_flag,
 
 def parse_args(argv=None):
     parser = build_parser()
-    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, default="")
+    parser.add_argument("--exported", type=str, default="",
+                        help="serve an AOT .gic artifact (src/export_model.py "
+                             "--anchor features --symbolic-batch) instead of "
+                             "a checkpoint: the coalescing engine dispatches "
+                             "the DESERIALIZED compiled program — no model "
+                             "tracing at startup; vocab comes from the "
+                             "artifact")
     parser.add_argument("--port", type=int, default=0,
                         help="TCP port (0 = stdin/stdout loop)")
     parser.add_argument("--http-port", type=int, default=0,
@@ -128,6 +135,8 @@ def parse_args(argv=None):
                         help="base PRNG seed for sample mode (each decode "
                              "program folds in a call counter)")
     args = parser.parse_args(argv)
+    if not args.checkpoint and not args.exported:
+        parser.error("one of --checkpoint or --exported is required")
     apply_device_flag(args)
     return args
 
@@ -137,6 +146,10 @@ class CaptionService:
         from gan_image_captioning_tpu.utils.runtime import setup
 
         setup()
+        self._exported = None
+        if getattr(args, "exported", ""):
+            self._init_exported(args)
+            return
         from src.main import build_datasets, inject_vocab_size
 
         train_ds, _ = build_datasets(args)
@@ -349,6 +362,114 @@ class CaptionService:
             for b in self.batcher.bucket_sizes[1:]:
                 self.handle_request({"n": b})
 
+    def _init_exported(self, args):
+        """Serve an AOT artifact (gan_image_captioning_tpu/export_api.py):
+        the coalescing dispatcher runs the DESERIALIZED compiled decode
+        program — no model construction or tracing at startup.  Requires a
+        feature-anchored, symbolic-batch artifact (the engine dispatches
+        variable [B, E] feature batches); config geometry comes from the
+        artifact's meta, vocab from its bundled index_to_word.  Hot reload
+        ({"reload": other.gic}) swaps program+params together."""
+        import threading
+
+        from gan_image_captioning_tpu.models.generator import (
+            start_token_features)
+        from gan_image_captioning_tpu.serving import CoalescingBatcher
+
+        for bad, name in (
+                (getattr(args, "mesh", ""), "--mesh"),
+                (getattr(args, "serve_continuous", False),
+                 "--serve-continuous"),
+                (getattr(args, "quantize", "none") not in ("", "none"),
+                 "--quantize"),
+                (getattr(args, "decode_mode", "auto") in ("sample",
+                                                          "speculative"),
+                 "--decode-mode sample/speculative"),
+                (getattr(args, "serve_watch", 0.0) > 0, "--serve-watch"),
+                (getattr(args, "serve_adaptive_chunk", 0) > 0,
+                 "--serve-adaptive-chunk")):
+            if bad:
+                raise SystemExit(f"{name} does not compose with --exported "
+                                 "(the artifact IS the decode program; "
+                                 "re-export with the options baked in or "
+                                 "serve the checkpoint directly)")
+        cap, meta = self._load_artifact(args.exported)
+        # artifact meta drives the service geometry (vocab for word
+        # mapping, cgan/image_size for the host-side conditioning path)
+        args.vocab_size = meta["vocab_size"]
+        args.max_seq_len = meta["seq_len"] - 2
+        args.gen_embed_dim = meta["feat_dim"]
+        args.conditional_gan = 1 if meta.get("conditional") else 0
+        if meta.get("image_size"):
+            args.image_size = meta["image_size"]
+        if meta.get("gen_arch"):
+            args.gen_arch = meta["gen_arch"]
+        if meta.get("encoder_arch"):
+            args.encoder_arch = meta["encoder_arch"]
+        self.config = config_from_args(args)
+        vocab = meta.get("index_to_word")
+        if vocab:
+            self.index_to_word = {i: w for i, w in enumerate(vocab)}
+        else:
+            from src.main import build_datasets
+
+            train_ds, _ = build_datasets(args)
+            self.index_to_word = train_ds.index_to_word
+        self.batch_size = args.serve_batch_size
+        self.mesh = None
+        self._feat_sharding = None
+        self._tp_serving = False
+        self._speculative_mode = False
+        self._want_continuous = False
+        self.continuous = None
+        self.mode = meta["mode"]
+        self._exported = cap
+        self.gen_params = self.dec_params = cap.params
+        self.checkpoint_path = args.exported
+        self._start_features = start_token_features
+        self._max_pending = int(getattr(args, "serve_max_pending", 0))
+        self._reload_lock = threading.Lock()
+
+        def run_decode(f):
+            # read the refs per call so a hot artifact reload takes effect
+            return self._exported.exported.call(self.dec_params, f)
+
+        buckets = None
+        spec = getattr(args, "serve_buckets", "") or ""
+        if spec == "auto":
+            buckets, b = [], 1
+            while b < self.batch_size:
+                buckets.append(b)
+                b *= 2
+        elif spec:
+            buckets = [int(x) for x in spec.split(",")]
+        self.batcher = CoalescingBatcher(run_decode, self.batch_size,
+                                         meta["feat_dim"],
+                                         bucket_sizes=buckets,
+                                         max_pending=self._max_pending)
+        self.handle_request({"n": 1})
+        for b in self.batcher.bucket_sizes[1:]:
+            self.handle_request({"n": b})
+
+    @staticmethod
+    def _load_artifact(path: str):
+        """Load + validate a serving artifact: must be feature-anchored
+        (the engines dispatch [B, E] feature batches) and symbolic-batch
+        (bucketed programs specialize per shape at call time)."""
+        from gan_image_captioning_tpu import export_api
+
+        cap = export_api.load_artifact(path)
+        meta = cap.meta
+        if meta.get("anchor") != "features":
+            raise SystemExit(
+                f"{path}: serving needs a feature-anchored artifact — "
+                "re-export with `--anchor features`")
+        if not meta.get("symbolic_batch"):
+            raise SystemExit(
+                f"{path}: serving needs a symbolic batch dimension — "
+                "re-export with `--symbolic-batch`")
+        return cap, meta
+
     def _prepare_params(self, raw_gen_params: dict):
         """Checkpoint params → serving params: int8-quantize the decode
         copy when configured (always for the speculative draft) and place
@@ -412,6 +533,28 @@ class CaptionService:
         the service state untouched.
         """
         from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+
+        if self._exported is not None:
+            # artifact-serving mode: the reload target is another .gic —
+            # program and params swap together (the dispatcher's run_decode
+            # reads self._exported/self.dec_params per call); a mismatched
+            # artifact fails the validation with the service untouched
+            cap, meta = self._load_artifact(path)
+            if meta["vocab_size"] != self.config.vocab_size or \
+                    meta["seq_len"] != self.config.seq_len or \
+                    meta["feat_dim"] != self.config.gen_embed_dim:
+                raise SystemExit(
+                    f"{path}: artifact geometry (V={meta['vocab_size']}, "
+                    f"T={meta['seq_len']}, E={meta['feat_dim']}) does not "
+                    "match the serving geometry")
+            with self._reload_lock:
+                self._exported = cap
+                self.gen_params = self.dec_params = cap.params
+                self.checkpoint_path = path
+                vocab = meta.get("index_to_word")
+                if vocab:
+                    self.index_to_word = dict(enumerate(vocab))
+            return {"reloaded": path}
 
         with self._reload_lock:
             raw, _ = ckpt_lib.load_generator_checkpoint(path, self.config)

@@ -160,3 +160,53 @@ def test_export_cli_and_exported_caption_cli(tmp_path):
     caps_a = [json.loads(l)["caption"] for l in open(out_a)]
     caps_b = [json.loads(l)["caption"] for l in open(out_b)]
     assert caps_a == caps_b
+
+
+def test_serve_exported_matches_checkpoint_serving(tmp_path):
+    """serve.py --exported: the coalescing engine dispatching the
+    deserialized AOT program returns the same captions as checkpoint-driven
+    serving; stats/chunking/reload work; mismatched artifacts are refused."""
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.export_model import main as export_main
+    from src.serve import CaptionService, parse_args
+
+    cfg = _cfg()
+    params = api.init_generator(jax.random.PRNGKey(8), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+
+    dims = ["--dataset", "synthetic", "--max-seq-len", "9",
+            "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+            "--num-workers", "1"]
+    artifact = os.path.join(str(tmp_path), "serve.gic")
+    export_main(["--checkpoint", ckpt, "--output", artifact,
+                 "--anchor", "features", "--symbolic-batch", "--check",
+                 *dims])
+
+    ref = CaptionService(parse_args(
+        ["--checkpoint", ckpt, "--serve-batch-size", "4", *dims]))
+    svc = CaptionService(parse_args(
+        ["--exported", artifact, "--serve-batch-size", "4"]))
+    try:
+        a = svc.handle_request({"n": 3})
+        b = ref.handle_request({"n": 3})
+        assert a["captions"] == b["captions"]
+        np.testing.assert_allclose(a["logprobs"], b["logprobs"], atol=1e-3)
+        # chunking beyond the batch size
+        big = svc.handle_request({"n": 6})
+        assert len(big["captions"]) == 6
+        # stats + reload (same artifact re-loaded)
+        assert svc.handle_request({"stats": True})["coalescing"]["requests"] > 0
+        out = svc.handle_request({"reload": artifact})
+        assert out["reloaded"] == artifact
+        assert svc.handle_request({"n": 1})["captions"] == a["captions"][:1]
+    finally:
+        svc.batcher.close()
+        ref.batcher.close()
+
+    # a non-serving artifact (anchor=auto) is refused with a clear message
+    auto = os.path.join(str(tmp_path), "auto.gic")
+    export_main(["--checkpoint", ckpt, "--output", auto,
+                 "--symbolic-batch", *dims])
+    with pytest.raises(SystemExit, match="anchor features"):
+        CaptionService(parse_args(["--exported", auto]))
