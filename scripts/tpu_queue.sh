@@ -63,6 +63,32 @@ log "serving load..."
 GIC_LOAD_RATE=800 GIC_LOAD_N=1000 timeout 1800 python benchmarks/serving_load.py \
   > "$OUT/serving_load.json" 2> "$OUT/serving_load.err" || log "serving_load failed"
 
+# 5b. multi-platform AOT artifact on-chip: a cpu,tpu .gic exported on the
+# CPU host must decode on the TPU (docs/benchmarks.md AOT section)
+log "AOT artifact on-chip check..."
+timeout 1800 python - > "$OUT/aot_onchip.log" 2>&1 <<'PYEOF' || log "aot check failed"
+import numpy as np, jax, time
+from gan_image_captioning_tpu.config import Config
+from gan_image_captioning_tpu.models import api
+from gan_image_captioning_tpu import export_api
+assert jax.default_backend() == "tpu"
+cfg = Config(vocab_size=512, gen_embed_dim=64, gen_hidden_dim=128, max_seq_len=12)
+params = api.init_generator(jax.random.PRNGKey(0), cfg)
+exp = export_api.export_caption_program(params, cfg, batch_size=8,
+                                        platforms=("cpu", "tpu"))
+export_api.save_artifact("/tmp/aot_tpu.gic", exp, params, {"mode": "greedy"})
+cap = export_api.load_artifact("/tmp/aot_tpu.gic")
+t0 = time.perf_counter()
+ids, sc = cap(np.zeros((8,), np.int32))
+ids = np.asarray(ids)
+fn = export_api.build_caption_fn(cfg)
+ref, _ = fn(params, np.zeros((8,), np.int32))
+match = bool((ids == np.asarray(ref)).all())
+print({"backend": "tpu", "first_call_ms": round((time.perf_counter()-t0)*1e3, 1),
+       "ids_match_direct": match})
+assert match
+PYEOF
+
 # 6. GIC_TF_REMAT memory probe at GPT-2 depth (CPU cannot answer it)
 log "remat memory probe..."
 timeout 1800 python benchmarks/remat_memory.py > "$OUT/remat_memory.json" 2> "$OUT/remat_memory.err" \
