@@ -12,6 +12,9 @@ reports achieved throughput + p50/p99 end-to-end latency per engine:
     python benchmarks/serving_load.py               # flagship geometry
     GIC_LOAD_RATE=2000 GIC_LOAD_N=2000 ...          # offered load override
     GIC_LOAD_BEAM=4 ...                             # beam through coalescing
+    GIC_LOAD_EXPORTED=1 ...                         # coalescing dispatches the
+                                                    # serialize->deserialize AOT
+                                                    # program (serve --exported)
 
 Prints one JSON line per engine:
   {"engine": "...", "offered_cps": R, "achieved_cps": X,
@@ -161,16 +164,33 @@ def main():
                                      early_stop=not EXACT)
             return ids, decode_lib.sequence_logprob(gen_params, feats, ids,
                                                     config)
+    elif os.environ.get("GIC_LOAD_EXPORTED", "0") == "1":
+        # AOT-artifact path (serve.py --exported): round-trip the program
+        # through serialize→deserialize so the measured dispatcher runs
+        # exactly what a .gic-loaded server runs
+        from jax import export as jax_export
+
+        from gan_image_captioning_tpu import export_api
+
+        exp = export_api.export_caption_program(
+            gen_params, config, batch_size=BATCH, symbolic_batch=True,
+            anchor_kind="features")
+        exp = jax_export.deserialize(bytearray(exp.serialize()))
+
+        def decode_fn(feats):
+            return exp.call(gen_params, feats)
     else:
         def decode_fn(feats):
             return decode_lib.greedy_with_logprobs(gen_params, feats, config)
-    decode_jit = jax.jit(decode_fn)
+    exported_leg = os.environ.get("GIC_LOAD_EXPORTED", "0") == "1"
+    decode_jit = decode_fn if exported_leg else jax.jit(decode_fn)
     co = CoalescingBatcher(decode_jit, BATCH, config.gen_embed_dim,
                            max_pending=MAX_PENDING)
     co.submit(feat[None, :]).result(timeout=600)         # warm compile
     lat = []
     adaptive_k = int(os.environ.get("GIC_LOAD_ADAPTIVE", "0"))
     tag = ("coalescing" + (f"_beam{BEAM}" if BEAM > 1 else "")
+           + ("_exported" if exported_leg else "")
            + (f"_adaptive{adaptive_k}" if BEAM == 1 and adaptive_k else "")
            + (f"_spec{spec_k}" if BEAM == 1 and spec_k > 0
               and not adaptive_k else "")
@@ -187,7 +207,7 @@ def main():
     print(json.dumps(r), flush=True)
 
     # ---- continuous (slot pool, chunked kernel advance; greedy only) ----
-    if BEAM == 1:
+    if BEAM == 1 and not exported_leg:
         draft = None
         if spec_k > 0:
             from gan_image_captioning_tpu.ops.quantize import (
