@@ -477,6 +477,7 @@ class ContinuousBatcher:
         self._slot_t = np.full((self.B,), -1, np.int32)   # -1 = free
         self._slot_fut: list = [None] * self.B
         self._slot_row: list = [None] * self.B
+        self._slot_cb: list = [None] * self.B   # per-slot streaming hook
         self._ids = np.zeros((self.B, self.T), np.int32)
         self._lps = np.zeros((self.B, self.T), np.float32)
 
@@ -520,15 +521,26 @@ class ContinuousBatcher:
                 self.tokens_committed / self.slot_chunks, 3)
         return out
 
-    def submit(self, feats_row: np.ndarray) -> Future:
+    def submit(self, feats_row: np.ndarray, on_tokens=None) -> Future:
         """One caption request (a single feature row [E]); resolves to
-        ``(ids [T], logprob)``."""
-        return self.submit_many([feats_row])[0]
+        ``(ids [T], logprob)``.
 
-    def submit_many(self, feats_rows) -> list:
+        ``on_tokens(ids_so_far, done)`` (optional) streams progress: the
+        dispatcher invokes it after every chunk that commits tokens for
+        this request, with the int32 ids decoded SO FAR (through the
+        first ``<E>`` under early exit) and a done flag.  It runs on the
+        dispatcher thread — keep it non-blocking (push to a queue); an
+        exception in the callback is swallowed (the future still
+        resolves normally)."""
+        return self.submit_many([feats_row], on_tokens=on_tokens)[0]
+
+    def submit_many(self, feats_rows, on_tokens=None) -> list:
         """Admit a multi-row request ATOMICALLY: either every row gets a
         slot-queue entry or none does (a per-row loop could be rejected
-        midway by admission control, stranding the rows already queued)."""
+        midway by admission control, stranding the rows already queued).
+
+        ``on_tokens(row_index, ids_so_far, done)`` (optional) streams
+        per-row progress from the dispatcher thread (see :meth:`submit`)."""
         with self._submit_lock:
             if self._stop:
                 raise RuntimeError("ContinuousBatcher closed")
@@ -538,9 +550,11 @@ class ContinuousBatcher:
                 raise EngineOverloaded(
                     f"slot queue at max_pending={self.max_pending}")
             futs = []
-            for row in feats_rows:
+            for j, row in enumerate(feats_rows):
                 fut: Future = Future()
-                self._q.put((np.asarray(row), fut))
+                cb = (None if on_tokens is None else
+                      (lambda ids, done, j=j: on_tokens(j, ids, done)))
+                self._q.put((np.asarray(row), fut, cb))
                 futs.append(fut)
             self._wake.set()
             return futs
@@ -556,7 +570,7 @@ class ContinuousBatcher:
         self._fail_active_slots(exc)
         while True:
             try:
-                _, fut = self._q.get_nowait()
+                _, fut, _ = self._q.get_nowait()
             except queue.Empty:
                 break
             if not fut.done():
@@ -568,7 +582,7 @@ class ContinuousBatcher:
                 if self._slot_t[i] >= 0:
                     continue
                 try:
-                    feats, fut = self._q.get_nowait()
+                    feats, fut, cb = self._q.get_nowait()
                 except queue.Empty:
                     return
                 try:
@@ -583,6 +597,7 @@ class ContinuousBatcher:
                     continue
                 self._slot_t[i] = 0
                 self._slot_fut[i] = fut
+                self._slot_cb[i] = cb
 
     def _fail_active_slots(self, exc: Exception):
         """Resolve every active slot's future with ``exc`` and free the
@@ -597,6 +612,7 @@ class ContinuousBatcher:
                         fut.set_exception(exc)
                     self._slot_t[i] = -1
                     self._slot_fut[i] = None
+                    self._slot_cb[i] = None
 
     def _loop(self):
         while not self._stop:
@@ -636,6 +652,19 @@ class ContinuousBatcher:
                             self._lps[i, cut:] = 0.0
                             done = True
                     t += k
+                    if self._slot_cb[i] is not None and k:
+                        # streaming hook: ids committed so far (through the
+                        # early-exit cut); callback errors never touch the
+                        # slot's future
+                        upto = min(t, self.T)
+                        ids_now = self._ids[i, :upto]
+                        ends = np.flatnonzero(ids_now == END)
+                        if ends.size:
+                            ids_now = ids_now[:int(ends[0]) + 1]
+                        try:
+                            self._slot_cb[i](ids_now.copy(), bool(done))
+                        except Exception:
+                            pass
                     if done:
                         lp = _masked_logprob_sum(self._ids[i:i + 1],
                                                  self._lps[i:i + 1])[0]
@@ -643,6 +672,7 @@ class ContinuousBatcher:
                             (self._ids[i].copy(), float(lp)))
                         self._slot_t[i] = -1
                         self._slot_fut[i] = None
+                        self._slot_cb[i] = None
                         self.completed += 1
                     else:
                         self._slot_t[i] = t

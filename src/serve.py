@@ -21,6 +21,9 @@ Request forms:
   {"stats": true}       → dispatcher counters (occupancy, padding, queue)
   {"reload": "<ckpt>"}  → hot-swap to a new checkpoint, zero downtime
                           (e.g. the training run's latest best-val file)
+  {"n": k, "stream": true} → (--serve-continuous, stdin/TCP) intermediate
+                          {"row": j, "partial": "...", "done": bool} lines
+                          per decode chunk, then the final response
 Response: {"captions": [...], "logprobs": [...], "latency_ms": t}
 """
 
@@ -680,7 +683,15 @@ class CaptionService:
                                           train=False)
         return cond["features"]
 
-    def handle_request(self, req: dict) -> dict:
+    def handle_request(self, req: dict, emit=None) -> dict:
+        """One request → one response dict.
+
+        ``emit`` (optional): a callable the line-based transports pass to
+        enable STREAMING — with ``{"stream": true}`` on a
+        ``--serve-continuous`` service, every decode chunk that commits
+        tokens for this request emits an intermediate
+        ``{"row": j, "partial": "<caption so far>", "done": bool}`` line
+        before the standard final response."""
         from gan_image_captioning_tpu.eval.metrics import (ids_to_words,
                                                            strip_caption)
 
@@ -709,6 +720,10 @@ class CaptionService:
             n = int(req.get("n", 1))
             feats = self._features_unconditional(n)
         feats = np.asarray(feats)
+        stream = bool(req.get("stream"))
+        if stream and (self.continuous is None or emit is None):
+            return {"error": "streaming needs --serve-continuous and a "
+                             "line-based transport (stdin or --port TCP)"}
         if self.continuous is not None:
             # continuous batching: each row takes a decode slot; rows join
             # the pool at the next chunk boundary (submit_many: admission
@@ -717,14 +732,44 @@ class CaptionService:
             # the engine between this thread reading the reference and
             # submitting — the retry lands on the successor.
             rows = [feats[i] for i in range(feats.shape[0])]
+            events = None
+            on_tokens = None
+            if stream:
+                import queue as _queue
+
+                events = _queue.Queue()
+                on_tokens = lambda j, ids, done: events.put((j, ids, done))  # noqa: E731
             for attempt in (0, 1):
                 engine = self.continuous
                 try:
-                    futs = engine.submit_many(rows)
+                    futs = engine.submit_many(rows, on_tokens=on_tokens)
                     break
                 except RuntimeError as exc:
                     if "closed" not in str(exc) or attempt == 1:
                         raise
+            if stream:
+                # relay chunk progress until every row's future resolves;
+                # a failed slot simply stops producing events (its error
+                # surfaces from f.result below)
+                import queue as _queue
+
+                deadline = time.monotonic() + 120
+                def _emit_event(ev):
+                    j, ids_now, done = ev
+                    emit({"row": j, "done": bool(done),
+                          "partial": " ".join(ids_to_words(
+                              strip_caption(ids_now), self.index_to_word))})
+                while (any(not f.done() for f in futs)
+                       and time.monotonic() < deadline):
+                    try:
+                        _emit_event(events.get(timeout=0.1))
+                    except _queue.Empty:
+                        pass
+                while True:   # flush events landed after the last future
+                    try:
+                        _emit_event(events.get_nowait())
+                    except _queue.Empty:
+                        break
             results = [f.result(timeout=120) for f in futs]
             ids = np.stack([r[0] for r in results])
             lps = np.asarray([r[1] for r in results])
@@ -826,13 +871,17 @@ def main(argv=None):
     if args.port:
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
+                def emit(obj):
+                    self.wfile.write((json.dumps(obj) + "\n").encode())
+                    self.wfile.flush()
+
                 for line in self.rfile:
                     try:
-                        resp = service.handle_request(json.loads(line))
+                        resp = service.handle_request(json.loads(line),
+                                                      emit=emit)
                     except Exception as exc:  # malformed request
                         resp = {"error": str(exc)}
-                    self.wfile.write((json.dumps(resp) + "\n").encode())
-                    self.wfile.flush()
+                    emit(resp)
 
         servers.append(socketserver.ThreadingTCPServer(
             ("127.0.0.1", args.port), Handler))
@@ -846,15 +895,18 @@ def main(argv=None):
         with servers[-1] as srv:
             srv.serve_forever()
     else:
+        def emit(obj):
+            print(json.dumps(obj), flush=True)
+
         for line in sys.stdin:
             line = line.strip()
             if not line:
                 continue
             try:
-                resp = service.handle_request(json.loads(line))
+                resp = service.handle_request(json.loads(line), emit=emit)
             except Exception as exc:
                 resp = {"error": str(exc)}
-            print(json.dumps(resp), flush=True)
+            emit(resp)
 
 
 if __name__ == "__main__":

@@ -421,3 +421,83 @@ def test_admission_control_rejects_fast():
     for f in futs:
         f.result(timeout=30)
     cb.close()
+
+
+def test_streaming_callback_progress():
+    """on_tokens streams per-chunk progress: the sequence of ids_so_far
+    snapshots is prefix-monotone, the final snapshot equals the resolved
+    caption (through its first <E>), and with T > chunk_steps at least one
+    INTERMEDIATE (done=False) event fires.  Callback errors never touch
+    the future."""
+    from gan_image_captioning_tpu.data.vocab import END
+
+    config, params, feats = _setup(b=2)
+    eng = ContinuousBatcher(params, config, num_slots=2, chunk_steps=2)
+    try:
+        events = []
+
+        def on_tokens(j, ids, done):
+            events.append((j, np.asarray(ids).copy(), done))
+            raise RuntimeError("stream consumer bug")  # must be swallowed
+
+        futs = eng.submit_many([feats[0], feats[1]], on_tokens=on_tokens)
+        results = [f.result(timeout=30) for f in futs]
+        for j in range(2):
+            evs = [(ids, done) for (r, ids, done) in events if r == j]
+            assert evs, f"row {j} streamed nothing"
+            assert any(not done for _, done in evs) or len(evs[0][0]) >= \
+                config.seq_len, "no intermediate event despite chunk < T"
+            # prefix-monotone snapshots
+            for (a, _), (b, _) in zip(evs, evs[1:]):
+                np.testing.assert_array_equal(a, b[:len(a)])
+            assert evs[-1][1] is True
+            final_ids, _ = results[j]
+            ends = np.flatnonzero(np.asarray(final_ids) == END)
+            upto = int(ends[0]) + 1 if ends.size else len(final_ids)
+            np.testing.assert_array_equal(evs[-1][0],
+                                          np.asarray(final_ids)[:upto])
+    finally:
+        eng.close()
+
+
+def test_streaming_service_request(tmp_path):
+    """{"stream": true} through the service: intermediate partial lines
+    then the standard final response; coalescing-only service refuses."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, parse_args
+
+    cfg = Config(vocab_size=35, gen_embed_dim=16, gen_hidden_dim=32,
+                 gen_num_layers=2, max_seq_len=5)
+    params = gen_lib.init_generator_params(jax.random.PRNGKey(4), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+    args = parse_args([
+        "--checkpoint", ckpt, "--dataset", "synthetic", "--max-seq-len", "5",
+        "--gen-embed-dim", "16", "--gen-hidden-dim", "32",
+        "--gen-num-layers", "2", "--serve-batch-size", "2",
+        "--serve-continuous", "--serve-chunk-steps", "2"])
+    svc = CaptionService(args)
+    try:
+        lines = []
+        resp = svc.handle_request({"n": 2, "stream": True},
+                                  emit=lines.append)
+        assert len(resp["captions"]) == 2
+        partials = [l for l in lines if "partial" in l]
+        assert partials, "no streamed lines"
+        assert {l["row"] for l in partials} == {0, 1}
+        # each row's final streamed partial IS the final caption (both are
+        # words of the stripped ids through the first <E>)
+        for j in range(2):
+            row_parts = [l for l in partials if l["row"] == j]
+            assert row_parts[-1]["done"] is True
+            assert row_parts[-1]["partial"] == resp["captions"][j]
+        # no emit channel → clear refusal
+        assert "error" in svc.handle_request({"n": 1, "stream": True})
+    finally:
+        svc.continuous.close()
+        svc.batcher.close()
