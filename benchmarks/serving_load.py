@@ -141,6 +141,7 @@ def main():
     # ---- coalescing (full-T batch programs; greedy, beam, or
     # GIC_LOAD_SPEC=K speculative int8-draft blocks) -----------------------
     spec_k = int(os.environ.get("GIC_LOAD_SPEC", "0"))
+    exported_leg = False
     if BEAM > 1:
         def decode_fn(feats):
             return decode_lib.beam_search(gen_params, feats, config,
@@ -179,10 +180,10 @@ def main():
 
         def decode_fn(feats):
             return exp.call(gen_params, feats)
+        exported_leg = True
     else:
         def decode_fn(feats):
             return decode_lib.greedy_with_logprobs(gen_params, feats, config)
-    exported_leg = os.environ.get("GIC_LOAD_EXPORTED", "0") == "1"
     decode_jit = decode_fn if exported_leg else jax.jit(decode_fn)
     co = CoalescingBatcher(decode_jit, BATCH, config.gen_embed_dim,
                            max_pending=MAX_PENDING)

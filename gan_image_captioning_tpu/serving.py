@@ -532,7 +532,9 @@ class ContinuousBatcher:
         dispatcher thread — keep it non-blocking (push to a queue); an
         exception in the callback is swallowed (the future still
         resolves normally)."""
-        return self.submit_many([feats_row], on_tokens=on_tokens)[0]
+        wrapped = (None if on_tokens is None
+                   else (lambda j, ids, done: on_tokens(ids, done)))
+        return self.submit_many([feats_row], on_tokens=wrapped)[0]
 
     def submit_many(self, feats_rows, on_tokens=None) -> list:
         """Admit a multi-row request ATOMICALLY: either every row gets a

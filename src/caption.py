@@ -107,7 +107,6 @@ def _run_exported(args):
     no checkpoint templates, no tracing.  Conditional artifacts pull
     images from ``--dataset``; unconditional ones need no dataset at all."""
     from gan_image_captioning_tpu import export_api
-    from gan_image_captioning_tpu.eval.metrics import strip_caption  # noqa: F401
 
     cap = export_api.load_artifact(args.exported)
     meta = cap.meta
@@ -115,6 +114,11 @@ def _run_exported(args):
     out_f = open(args.output, "w") if args.output else sys.stdout
     emitted = 0
     if meta.get("conditional"):
+        # the artifact's meta drives the dataset geometry (conditional
+        # batches with images at the exported image size)
+        args.conditional_gan = 1
+        if meta.get("image_size"):
+            args.image_size = meta["image_size"]
         from src.main import build_datasets
 
         train_ds, val_ds = build_datasets(args)

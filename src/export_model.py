@@ -112,13 +112,15 @@ def main(argv=None):
 
     if args.check:
         cap = export_api.load_artifact(args.output)
+        # symbolic exports accept any batch; fixed exports only their own
+        nb = 2 if args.symbolic_batch else args.export_batch_size
         if args.anchor == "features":
-            anchor = np.zeros((2, config.gen_embed_dim), np.float32)
+            anchor = np.zeros((nb, config.gen_embed_dim), np.float32)
         elif config.cgan:
-            anchor = np.zeros((2, 3, config.image_size, config.image_size),
+            anchor = np.zeros((nb, 3, config.image_size, config.image_size),
                               np.float32)
         else:
-            anchor = np.zeros((2,), np.int32)
+            anchor = np.zeros((nb,), np.int32)
         ids, scores = cap(anchor)
         fn = export_api.build_caption_fn(config, args.decode_mode, beam,
                                          config.length_penalty, args.anchor)

@@ -144,6 +144,20 @@ def parse_args(argv=None):
     return args
 
 
+def _parse_buckets(spec: str, batch_size: int):
+    """--serve-buckets: 'auto' = powers of two below batch_size, or an
+    explicit comma list; None when unset."""
+    if spec == "auto":
+        buckets, b = [], 1
+        while b < batch_size:
+            buckets.append(b)
+            b *= 2
+        return buckets
+    if spec:
+        return [int(x) for x in spec.split(",")]
+    return None
+
+
 class CaptionService:
     def __init__(self, args):
         from gan_image_captioning_tpu.utils.runtime import setup
@@ -331,15 +345,8 @@ class CaptionService:
         # --serve-buckets: shape buckets for the coalescing dispatcher.
         # Under a data mesh every dispatched shape must divide by the data
         # axis, so buckets are filtered to its multiples.
-        buckets = None
         spec = getattr(args, "serve_buckets", "") or ""
-        if spec == "auto":
-            buckets, b = [], 1
-            while b < self.batch_size:
-                buckets.append(b)
-                b *= 2
-        elif spec:
-            buckets = [int(x) for x in spec.split(",")]
+        buckets = _parse_buckets(spec, self.batch_size)
         if buckets and self.mesh is not None:
             n_data = dict(self.mesh.shape).get("data", 1)
             kept = [b for b in buckets if b % n_data == 0]
@@ -396,7 +403,10 @@ class CaptionService:
                                  "(the artifact IS the decode program; "
                                  "re-export with the options baked in or "
                                  "serve the checkpoint directly)")
-        cap, meta = self._load_artifact(args.exported)
+        try:
+            cap, meta = self._load_artifact(args.exported)
+        except ValueError as exc:
+            raise SystemExit(str(exc))
         # artifact meta drives the service geometry (vocab for word
         # mapping, cgan/image_size for the host-side conditioning path)
         args.vocab_size = meta["vocab_size"]
@@ -410,10 +420,8 @@ class CaptionService:
         if meta.get("encoder_arch"):
             args.encoder_arch = meta["encoder_arch"]
         self.config = config_from_args(args)
-        vocab = meta.get("index_to_word")
-        if vocab:
-            self.index_to_word = {i: w for i, w in enumerate(vocab)}
-        else:
+        self.index_to_word = cap.index_to_word
+        if self.index_to_word is None:
             from src.main import build_datasets
 
             train_ds, _ = build_datasets(args)
@@ -437,15 +445,8 @@ class CaptionService:
             # read the refs per call so a hot artifact reload takes effect
             return self._exported.exported.call(self.dec_params, f)
 
-        buckets = None
-        spec = getattr(args, "serve_buckets", "") or ""
-        if spec == "auto":
-            buckets, b = [], 1
-            while b < self.batch_size:
-                buckets.append(b)
-                b *= 2
-        elif spec:
-            buckets = [int(x) for x in spec.split(",")]
+        buckets = _parse_buckets(getattr(args, "serve_buckets", "") or "",
+                                 self.batch_size)
         self.batcher = CoalescingBatcher(run_decode, self.batch_size,
                                          meta["feat_dim"],
                                          bucket_sizes=buckets,
@@ -464,11 +465,11 @@ class CaptionService:
         cap = export_api.load_artifact(path)
         meta = cap.meta
         if meta.get("anchor") != "features":
-            raise SystemExit(
+            raise ValueError(
                 f"{path}: serving needs a feature-anchored artifact — "
                 "re-export with `--anchor features`")
         if not meta.get("symbolic_batch"):
-            raise SystemExit(
+            raise ValueError(
                 f"{path}: serving needs a symbolic batch dimension — "
                 "re-export with `--symbolic-batch`")
         return cap, meta
@@ -546,17 +547,25 @@ class CaptionService:
             if meta["vocab_size"] != self.config.vocab_size or \
                     meta["seq_len"] != self.config.seq_len or \
                     meta["feat_dim"] != self.config.gen_embed_dim:
-                raise SystemExit(
+                raise ValueError(
                     f"{path}: artifact geometry (V={meta['vocab_size']}, "
                     f"T={meta['seq_len']}, E={meta['feat_dim']}) does not "
                     "match the serving geometry")
+            if bool(meta.get("conditional")) != bool(self.config.cgan):
+                raise ValueError(
+                    f"{path}: artifact conditionality "
+                    f"({bool(meta.get('conditional'))}) does not match the "
+                    f"serving service ({bool(self.config.cgan)})")
+            if meta["mode"] != self.mode:
+                raise ValueError(
+                    f"{path}: artifact decode mode ({meta['mode']}) does "
+                    f"not match the serving mode ({self.mode})")
             with self._reload_lock:
                 self._exported = cap
                 self.gen_params = self.dec_params = cap.params
                 self.checkpoint_path = path
-                vocab = meta.get("index_to_word")
-                if vocab:
-                    self.index_to_word = dict(enumerate(vocab))
+                if cap.index_to_word is not None:
+                    self.index_to_word = cap.index_to_word
             return {"reloaded": path}
 
         with self._reload_lock:

@@ -146,6 +146,12 @@ def test_export_cli_and_exported_caption_cli(tmp_path):
                  "--symbolic-batch", "--check", *dims])
     assert os.path.isfile(artifact)
 
+    # --check at a FIXED batch size uses the exported shape (regression:
+    # it used to hardcode batch 2 and crash for any other fixed size)
+    fixed = os.path.join(str(tmp_path), "fixed.gic")
+    export_main(["--checkpoint", ckpt, "--output", fixed,
+                 "--export-batch-size", "4", "--check", *dims])
+
     out_a = os.path.join(str(tmp_path), "a.jsonl")
     caption_main(["--exported", artifact, "--num-samples", "4",
                   "--output", out_a, *dims])
@@ -160,6 +166,36 @@ def test_export_cli_and_exported_caption_cli(tmp_path):
     caps_a = [json.loads(l)["caption"] for l in open(out_a)]
     caps_b = [json.loads(l)["caption"] for l in open(out_b)]
     assert caps_a == caps_b
+
+
+def test_exported_caption_cli_conditional(tmp_path):
+    """caption.py --exported on a CONDITIONAL artifact: the artifact meta
+    drives the dataset geometry (conditional batches with images at the
+    exported image size) — regression for the missing meta plumbing."""
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.caption import main as caption_main
+    from src.export_model import main as export_main
+
+    cfg = _cfg(conditional_gan=1, image_size=32)
+    params = api.init_generator(jax.random.PRNGKey(9), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+
+    dims = ["--dataset", "synthetic", "--max-seq-len", "9",
+            "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+            "--conditional-gan", "1", "--image-size", "32",
+            "--num-workers", "1"]
+    artifact = os.path.join(str(tmp_path), "cond.gic")
+    export_main(["--checkpoint", ckpt, "--output", artifact,
+                 "--symbolic-batch", "--check", *dims])
+
+    out = os.path.join(str(tmp_path), "caps.jsonl")
+    # NOTE: no --conditional-gan flag here — meta must supply it
+    caption_main(["--exported", artifact, "--dataset", "synthetic",
+                  "--num-samples", "3", "--num-workers", "1",
+                  "--output", out])
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 3 and all("caption" in l for l in lines)
 
 
 def test_serve_exported_matches_checkpoint_serving(tmp_path):
@@ -200,13 +236,29 @@ def test_serve_exported_matches_checkpoint_serving(tmp_path):
         out = svc.handle_request({"reload": artifact})
         assert out["reloaded"] == artifact
         assert svc.handle_request({"n": 1})["captions"] == a["captions"][:1]
+        # a mismatched reload raises a CATCHABLE error (the transports map
+        # it to an error response) and leaves the service serving
+        wrong = os.path.join(str(tmp_path), "wrong.gic")
+        export_main(["--checkpoint", ckpt, "--output", wrong,
+                     "--anchor", "features", "--symbolic-batch",
+                     "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+                     "--dataset", "synthetic", "--max-seq-len", "7",
+                     "--num-workers", "1"])
+        with pytest.raises(ValueError, match="geometry"):
+            svc.handle_request({"reload": wrong})
+        auto = os.path.join(str(tmp_path), "auto.gic")
+        export_main(["--checkpoint", ckpt, "--output", auto,
+                     "--symbolic-batch", *dims])
+        with pytest.raises(ValueError, match="anchor features"):
+            svc.handle_request({"reload": auto})
+        assert svc.handle_request({"n": 1})["captions"] == a["captions"][:1]
     finally:
         svc.batcher.close()
         ref.batcher.close()
 
-    # a non-serving artifact (anchor=auto) is refused with a clear message
+    # a non-serving artifact (anchor=auto) is refused AT STARTUP with a
+    # clear SystemExit (inside requests the same validation is a
+    # catchable ValueError — tested above)
     auto = os.path.join(str(tmp_path), "auto.gic")
-    export_main(["--checkpoint", ckpt, "--output", auto,
-                 "--symbolic-batch", *dims])
     with pytest.raises(SystemExit, match="anchor features"):
         CaptionService(parse_args(["--exported", auto]))

@@ -501,3 +501,18 @@ def test_streaming_service_request(tmp_path):
     finally:
         svc.continuous.close()
         svc.batcher.close()
+
+
+def test_streaming_single_submit_two_arg_callback():
+    """submit()'s documented on_tokens(ids, done) arity works (regression:
+    it used to be invoked with three args and silently never fire)."""
+    config, params, feats = _setup(b=1)
+    eng = ContinuousBatcher(params, config, num_slots=1, chunk_steps=2)
+    try:
+        events = []
+        fut = eng.submit(feats[0],
+                         on_tokens=lambda ids, done: events.append(done))
+        fut.result(timeout=30)
+        assert events and events[-1] is True
+    finally:
+        eng.close()
