@@ -21,9 +21,11 @@ Request forms:
   {"stats": true}       → dispatcher counters (occupancy, padding, queue)
   {"reload": "<ckpt>"}  → hot-swap to a new checkpoint, zero downtime
                           (e.g. the training run's latest best-val file)
-  {"n": k, "stream": true} → (--serve-continuous, stdin/TCP) intermediate
+  {"n": k, "stream": true} → (--serve-continuous) intermediate
                           {"row": j, "partial": "...", "done": bool} lines
-                          per decode chunk, then the final response
+                          per decode chunk, then the final response — over
+                          stdin/TCP as JSON lines, over HTTP as chunked
+                          NDJSON
 Response: {"captions": [...], "logprobs": [...], "latency_ms": t}
 """
 
@@ -731,8 +733,9 @@ class CaptionService:
         feats = np.asarray(feats)
         stream = bool(req.get("stream"))
         if stream and (self.continuous is None or emit is None):
-            return {"error": "streaming needs --serve-continuous and a "
-                             "line-based transport (stdin or --port TCP)"}
+            return {"error": "streaming needs --serve-continuous (and a "
+                             "streaming transport: stdin, --port TCP, or "
+                             "HTTP chunked)"}
         if self.continuous is not None:
             # continuous batching: each row takes a decode slot; rows join
             # the pool at the next chunk boundary (submit_many: admission
@@ -849,6 +852,9 @@ def make_http_server(service, port: int):
             except Exception as exc:
                 self._send(400, {"error": f"malformed request: {exc}"})
                 return
+            if req.get("stream"):
+                self._do_stream(req)
+                return
             try:
                 resp = service.handle_request(req)
             except Exception as exc:
@@ -859,6 +865,46 @@ def make_http_server(service, port: int):
                            {"error": str(exc)})
                 return
             self._send(200 if "error" not in resp else 400, resp)
+
+        def _do_stream(self, req):
+            """{"stream": true} over HTTP: chunked transfer encoding —
+            one NDJSON line per decode chunk ({"row", "partial", "done"}),
+            then the standard final response line.  Errors BEFORE the
+            first byte get a status code; after that the stream ends with
+            an {"error": ...} line (the status is already on the wire)."""
+            started = []
+
+            def emit(obj):
+                if not started:
+                    started.append(True)
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/x-ndjson")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                data = (json.dumps(obj) + "\n").encode()
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data
+                                 + b"\r\n")
+                self.wfile.flush()
+
+            try:
+                resp = service.handle_request(req, emit=emit)
+            except Exception as exc:
+                from gan_image_captioning_tpu.serving import EngineOverloaded
+
+                if started:
+                    emit({"error": str(exc)})
+                else:
+                    self._send(503 if isinstance(exc, EngineOverloaded)
+                               else 500, {"error": str(exc)})
+                    return
+            else:
+                if "error" in resp and not started:
+                    self._send(400, resp)
+                    return
+                emit(resp)
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
 
         def log_message(self, *a):  # quiet: the service logs via metrics
             pass

@@ -451,3 +451,56 @@ def test_http_error_codes_and_dual_ports(service):
     finally:
         tcp.shutdown(); tcp.server_close()
         http.shutdown(); http.server_close()
+
+
+def test_http_streaming_chunked(tmp_path):
+    """{"stream": true} over HTTP: chunked NDJSON — partial lines per
+    decode chunk, then the standard final response; non-stream requests
+    and error codes unaffected."""
+    import json as _json
+    import sys
+    import threading
+    import urllib.request
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import api
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.serve import CaptionService, make_http_server, parse_args
+
+    cfg = Config(vocab_size=35, gen_embed_dim=12, gen_hidden_dim=16,
+                 gen_num_layers=1, max_seq_len=9)
+    params = api.init_generator(jax.random.PRNGKey(22), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+    svc = CaptionService(parse_args([
+        "--checkpoint", ckpt, "--dataset", "synthetic", "--max-seq-len", "9",
+        "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+        "--gen-num-layers", "1", "--serve-batch-size", "2",
+        "--serve-continuous", "--serve-chunk-steps", "2"]))
+    srv = make_http_server(svc, 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        req = urllib.request.Request(
+            base, data=_json.dumps({"n": 1, "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers.get("Content-Type") == "application/x-ndjson"
+            lines = [_json.loads(l) for l in r.read().decode().splitlines()]
+        partials = [l for l in lines if "partial" in l]
+        assert partials and partials[-1]["done"] is True
+        final = lines[-1]
+        assert final["captions"] == [partials[-1]["partial"]]
+        # plain requests still use Content-Length responses
+        req2 = urllib.request.Request(
+            base, data=_json.dumps({"n": 1}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req2, timeout=60) as r:
+            assert "captions" in _json.loads(r.read())
+    finally:
+        srv.shutdown()
+        svc.continuous.close()
+        svc.batcher.close()
