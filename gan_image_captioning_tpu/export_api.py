@@ -42,6 +42,28 @@ import numpy as np
 FORMAT_VERSION = 1
 
 
+_REGISTERED = False
+
+
+def _ensure_serialization_registrations():
+    """jax.export serializes pytree structure by node type: custom nodes
+    (the int8 QTensor NamedTuple, ops/quantize.py) must be registered
+    before serialize() AND deserialize().  Idempotent."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    from jax import export as jax_export
+
+    from gan_image_captioning_tpu.ops.quantize import QTensor
+
+    try:
+        jax_export.register_namedtuple_serialization(
+            QTensor, serialized_name="gan_image_captioning_tpu.QTensor")
+    except ValueError:
+        pass   # already registered in this process
+    _REGISTERED = True
+
+
 # ------------------------------------------------------------------ pytree io
 
 def _flatten_params(params) -> Dict[str, np.ndarray]:
@@ -85,7 +107,8 @@ def _unflatten_params(flat: Dict[str, np.ndarray], template) -> Any:
 # ------------------------------------------------------------------- building
 
 def build_caption_fn(config, mode: str = "greedy", beam_size: int = 1,
-                     length_penalty: float = 0.0, anchor_kind: str = "auto"):
+                     length_penalty: float = 0.0, anchor_kind: str = "auto",
+                     start_row=None):
     """The export target: ``fn(gen_params, anchor) -> (ids, scores)``.
 
     ``anchor_kind``:
@@ -119,15 +142,39 @@ def build_caption_fn(config, mode: str = "greedy", beam_size: int = 1,
     if anchor_kind == "features":
         return lambda gen_params, anchor: decode(gen_params, anchor, None)
 
+    def uncond_features(gen_params, n):
+        # Unconditional t=0 input = the <S> embedding.  Quantized decoders
+        # (ops/quantize.py) ship int8 embed payloads; production serving
+        # computes start features from the FULL-precision embed (the
+        # service keeps both trees, src/caption.py) — so a quantized
+        # export bakes that fp row in as a constant (``start_row``,
+        # supplied by the export CLI before quantization); fallback: the
+        # dequantized row.
+        if start_row is not None:
+            return jnp.broadcast_to(jnp.asarray(start_row, jnp.float32),
+                                    (n, np.shape(start_row)[-1]))
+        dec = gen_params["decoder"]
+        if "lstm_q" in dec or hasattr(dec.get("embed"), "q"):
+            from gan_image_captioning_tpu.models.generator import START_TOKEN
+            from gan_image_captioning_tpu.ops.quantize import quantized_embed
+
+            ids = jnp.full((n,), START_TOKEN, jnp.int32)
+            return quantized_embed(dec, ids).astype(jnp.float32)
+        from gan_image_captioning_tpu.models.generator import (
+            start_token_features)
+
+        return start_token_features(
+            dec if config.gen_arch == "lstm" else {"embed": dec["embed"]}, n)
+
     def fn(gen_params, anchor):
         if config.cgan:
             batch = {"captions": jnp.zeros((anchor.shape[0], 1), jnp.int32),
                      "images": anchor}
-        else:
-            batch = {"captions": anchor[:, None].astype(jnp.int32)}
-        cond, _ = api.generator_condition(config, gen_params, batch,
-                                          train=False)
-        return decode(gen_params, cond["features"], cond["context"])
+            cond, _ = api.generator_condition(config, gen_params, batch,
+                                              train=False)
+            return decode(gen_params, cond["features"], cond["context"])
+        return decode(gen_params, uncond_features(gen_params,
+                                                  anchor.shape[0]), None)
 
     return fn
 
@@ -137,7 +184,7 @@ def export_caption_program(gen_params, config, mode: str = "greedy",
                            symbolic_batch: bool = False,
                            platforms: Optional[Tuple[str, ...]] = None,
                            length_penalty: float = 0.0,
-                           anchor_kind: str = "auto"):
+                           anchor_kind: str = "auto", start_row=None):
     """jax.export the decode program → ``jax.export.Exported``.
 
     ``symbolic_batch=True`` exports with a symbolic leading dim ``b`` so
@@ -148,8 +195,9 @@ def export_caption_program(gen_params, config, mode: str = "greedy",
     import jax
     from jax import export as jax_export
 
+    _ensure_serialization_registrations()
     fn = build_caption_fn(config, mode, beam_size, length_penalty,
-                          anchor_kind)
+                          anchor_kind, start_row=start_row)
 
     if anchor_kind == "features":
         anchor_shape = (batch_size, config.gen_embed_dim)
@@ -245,6 +293,8 @@ class ExportedCaptioner:
 
 def load_artifact(path: str) -> ExportedCaptioner:
     from jax import export as jax_export
+
+    _ensure_serialization_registrations()
 
     with zipfile.ZipFile(path) as zf:
         meta = json.loads(zf.read("meta.json"))

@@ -81,13 +81,37 @@ def main(argv=None):
     gen_params, _ = ckpt_lib.load_generator_checkpoint(args.checkpoint,
                                                        config)
 
+    # --quantize int8: the artifact ships the int8-resident decoder
+    # (ops/quantize.py) — halved weight payload AND halved decode-loop HBM
+    # reads at serve time.  The <S> start-feature row is taken from the
+    # FULL-precision embed first (production parity, src/caption.py) and
+    # baked into the program as a constant.  int4 payloads are native
+    # jnp.int4, which numpy/npz cannot round-trip — export rejects it.
+    start_row = None
+    if config.quantize == "int4":
+        raise SystemExit("--quantize int4 does not export (npz cannot "
+                         "store jnp.int4 payloads); use int8 or serve the "
+                         "checkpoint directly")
+    if config.quantize == "int8":
+        from gan_image_captioning_tpu.models.generator import (
+            start_token_features)
+        from gan_image_captioning_tpu.ops.quantize import quantize_generator
+
+        if not config.cgan:
+            dec = gen_params["decoder"]
+            start_row = np.asarray(start_token_features(
+                dec if config.gen_arch == "lstm"
+                else {"embed": dec["embed"]}, 1))[0]
+        gen_params = quantize_generator(gen_params, config)
+
     platforms = tuple(p for p in args.platforms.split(",") if p) or None
     beam = max(1, config.beam_size)
     exported = export_api.export_caption_program(
         gen_params, config, mode=args.decode_mode, beam_size=beam,
         batch_size=args.export_batch_size,
         symbolic_batch=args.symbolic_batch, platforms=platforms,
-        length_penalty=config.length_penalty, anchor_kind=args.anchor)
+        length_penalty=config.length_penalty, anchor_kind=args.anchor,
+        start_row=None if args.anchor == "features" else start_row)
 
     i2w = getattr(train_ds, "index_to_word", None)
     meta = {
@@ -103,6 +127,9 @@ def main(argv=None):
         "image_size": config.image_size if config.cgan else None,
         "symbolic_batch": bool(args.symbolic_batch),
         "export_batch_size": args.export_batch_size,
+        "quantize": config.quantize,
+        "start_features": (None if start_row is None
+                           else [float(x) for x in start_row]),
         "checkpoint": os.path.abspath(args.checkpoint),
         "index_to_word": ([i2w[i] for i in range(len(i2w))]
                           if isinstance(i2w, dict) else i2w),
@@ -122,8 +149,10 @@ def main(argv=None):
         else:
             anchor = np.zeros((nb,), np.int32)
         ids, scores = cap(anchor)
-        fn = export_api.build_caption_fn(config, args.decode_mode, beam,
-                                         config.length_penalty, args.anchor)
+        fn = export_api.build_caption_fn(
+            config, args.decode_mode, beam, config.length_penalty,
+            args.anchor,
+            start_row=None if args.anchor == "features" else start_row)
         ids_ref, _ = fn(gen_params, anchor)
         np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
         print("check ok: exported ids == direct decode")

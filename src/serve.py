@@ -440,6 +440,10 @@ class CaptionService:
         self.gen_params = self.dec_params = cap.params
         self.checkpoint_path = args.exported
         self._start_features = start_token_features
+        # quantized artifacts bake the fp <S>-feature row into meta (the
+        # int8 embed payload can't be indexed by start_token_features)
+        sf = meta.get("start_features")
+        self._start_row = None if sf is None else np.asarray(sf, np.float32)
         self._max_pending = int(getattr(args, "serve_max_pending", 0))
         self._reload_lock = threading.Lock()
 
@@ -568,6 +572,9 @@ class CaptionService:
                 self.checkpoint_path = path
                 if cap.index_to_word is not None:
                     self.index_to_word = cap.index_to_word
+                sf = meta.get("start_features")
+                self._start_row = (None if sf is None
+                                   else np.asarray(sf, np.float32))
             return {"reloaded": path}
 
         with self._reload_lock:
@@ -676,6 +683,9 @@ class CaptionService:
         engine.close()
 
     def _features_unconditional(self, n):
+        row = getattr(self, "_start_row", None)
+        if row is not None:     # exported artifact with a baked fp row
+            return np.broadcast_to(row[None], (n, row.shape[-1]))
         dec = self.gen_params["decoder"]
         return self._start_features(
             dec if self.config.gen_arch == "lstm" else {"embed": dec["embed"]},

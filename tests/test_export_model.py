@@ -262,3 +262,66 @@ def test_serve_exported_matches_checkpoint_serving(tmp_path):
     auto = os.path.join(str(tmp_path), "auto.gic")
     with pytest.raises(SystemExit, match="anchor features"):
         CaptionService(parse_args(["--exported", auto]))
+
+
+def test_quantized_export_roundtrip_and_serving(tmp_path):
+    """--quantize int8 artifacts: the exported program runs the
+    int8-resident decoder with the fp <S>-feature row baked in —
+    caption.py --exported and serve.py --exported reproduce the
+    checkpoint-driven --quantize int8 paths exactly; int4 is refused."""
+    from gan_image_captioning_tpu.eval import decode as decode_lib
+    from gan_image_captioning_tpu.models.generator import (
+        start_token_features)
+    from gan_image_captioning_tpu.ops.quantize import quantize_generator
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.export_model import main as export_main
+    from src.serve import CaptionService, parse_args
+
+    cfg = _cfg(quantize="int8")
+    params = api.init_generator(jax.random.PRNGKey(10), cfg)
+    ckpt = os.path.join(str(tmp_path), "gen.ckpt")
+    ckpt_lib.save_params(ckpt, params)
+
+    dims = ["--dataset", "synthetic", "--max-seq-len", "9",
+            "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+            "--quantize", "int8", "--num-workers", "1"]
+
+    # self-contained artifact: ids == production quantized greedy
+    # (fp start features + int8 decode, the src/caption.py convention)
+    artifact = os.path.join(str(tmp_path), "q.gic")
+    export_main(["--checkpoint", ckpt, "--output", artifact,
+                 "--symbolic-batch", "--check", *dims])
+    cap = export_api.load_artifact(artifact)
+    assert cap.meta["quantize"] == "int8"
+    ids, _ = cap(np.zeros((3,), np.int32))
+    qp = quantize_generator(params, cfg)
+    feats = start_token_features(params["decoder"], 3)
+    ids_ref, _ = decode_lib.greedy_with_logprobs(qp, feats, cfg,
+                                                 allow_kernel=False)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+
+    # serving artifact: quantized program + baked start row through the
+    # engine == checkpoint-driven --quantize int8 serving
+    sart = os.path.join(str(tmp_path), "qs.gic")
+    export_main(["--checkpoint", ckpt, "--output", sart,
+                 "--anchor", "features", "--symbolic-batch", *dims])
+    ref = CaptionService(parse_args(
+        ["--checkpoint", ckpt, "--serve-batch-size", "4", *dims]))
+    svc = CaptionService(parse_args(
+        ["--exported", sart, "--serve-batch-size", "4"]))
+    try:
+        a = svc.handle_request({"n": 2})
+        b = ref.handle_request({"n": 2})
+        assert a["captions"] == b["captions"]
+    finally:
+        svc.batcher.close()
+        ref.batcher.close()
+
+    # int4 payloads cannot npz-round-trip — clear refusal
+    with pytest.raises(SystemExit, match="int4"):
+        export_main(["--checkpoint", ckpt, "--output",
+                     os.path.join(str(tmp_path), "x.gic"),
+                     "--symbolic-batch", "--dataset", "synthetic",
+                     "--max-seq-len", "9", "--gen-embed-dim", "12",
+                     "--gen-hidden-dim", "16", "--quantize", "int4",
+                     "--num-workers", "1"])
