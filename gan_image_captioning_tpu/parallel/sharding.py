@@ -139,12 +139,20 @@ def shard_batch(batch: dict, mesh: Mesh, step_axis: bool = False) -> dict:
     before the per-step program sees its usual ``data``-sharded batch).
     """
     data = "data" if _has_axis(mesh, "data") else None
+    multihost = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
         lead = [None] if step_axis else []
         batch_dims = x.ndim - len(lead)
         spec = P(*lead, data, *([None] * (batch_dims - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost and data is not None:
+            # multi-host DP: each process holds only ITS slice of the
+            # global batch (Batcher host_shard feeds the local rows);
+            # assemble the global array from per-process local data —
+            # device_put would demand the full global value on every host
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return {k: put(v) for k, v in batch.items()}

@@ -41,9 +41,22 @@ def _tree_to_numpy(tree):
 
 
 def _orbax_write(path: str, host_tree: Any):
-    """Synchronous Orbax write of an already-host-resident tree."""
+    """Synchronous Orbax write of an already-host-resident tree.
+
+    Multi-host: only process 0 reaches here (save_params guards), so the
+    checkpointer's cross-process barrier must span the active set {0}
+    alone — the default barrier waits for EVERY process and deadlocks
+    against the guards."""
+    import jax
     import orbax.checkpoint as ocp
 
+    if jax.process_count() > 1:
+        ckptr = ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}))
+        ckptr.save(path, args=ocp.args.StandardSave(host_tree), force=True)
+        return
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, host_tree, force=True)
     ckptr.wait_until_finished()
@@ -81,7 +94,17 @@ def pending_checkpoints() -> int:
 
 def save_params(path: str, params: Any, sync: bool = False):
     """Save a params pytree (Orbax).  Returns immediately after the
-    device→host snapshot unless ``sync=True``."""
+    device→host snapshot unless ``sync=True``.
+
+    Multi-host: only process 0 writes (training state is fully replicated
+    under data-parallel multihost meshes; every process holds the same
+    values, so one writer suffices and concurrent writers would corrupt
+    the directory).  TP-sharded-across-hosts state would need an Orbax
+    multihost save — out of scope (TP axes live within a host here)."""
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return
     path = os.path.abspath(path)
     host_tree = _tree_to_numpy(params)
     if sync:

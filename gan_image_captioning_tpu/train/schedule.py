@@ -54,10 +54,15 @@ def sidecar_path(ckpt_path: str) -> str:
 
 def save_sidecar(ckpt_path: str, info: dict) -> str:
     """Write ``info`` next to ``ckpt_path`` (atomic rename — a torn sidecar
-    must not corrupt a resume)."""
+    must not corrupt a resume).  Multi-host: process 0 only, mirroring the
+    checkpoint writer (train/checkpoint.py:save_params)."""
     if info.get("phase") not in PHASES:
         raise ValueError("sidecar phase must be one of %s, got %r"
                          % (PHASES, info.get("phase")))
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return sidecar_path(ckpt_path)
     path = sidecar_path(ckpt_path)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
