@@ -43,6 +43,21 @@ import time
 REF_BASELINE_STEPS_PER_SEC = 10.0  # grounded estimate; see module docstring
 
 
+def _cpu_fallback_env(reason):
+    """Environment for an honest, clearly-labeled CPU-fallback re-exec."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""   # skip plugin registration entirely
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GIC_BENCH_FALLBACK"] = reason
+    # Same flagship geometry, but one CPU core: keep the run bounded.
+    env["GIC_BENCH_ITERS"] = "3"
+    env["GIC_BENCH_WARMUP"] = "1"
+    env.setdefault("GIC_BENCH_DTYPE", "float32")  # bf16 is emulated on CPU
+    env.pop("GIC_BENCH_CHILD", None)
+    env.pop("GIC_BENCH_MARKER", None)
+    return env
+
+
 def _relay_guard():
     """Guard against a wedged axon TPU relay before the first backend use.
 
@@ -67,18 +82,76 @@ def _relay_guard():
         return
     print("[bench] axon relay wedged; re-exec on CPU (honest fallback, "
           "reduced iters)", file=sys.stderr)
-    env = dict(os.environ)
-    env["PALLAS_AXON_POOL_IPS"] = ""   # skip plugin registration entirely
-    env["JAX_PLATFORMS"] = "cpu"
-    env["GIC_BENCH_FALLBACK"] = "axon-relay-wedged"
-    # Same flagship geometry, but one CPU core: keep the run bounded.
-    env["GIC_BENCH_ITERS"] = "3"
-    env["GIC_BENCH_WARMUP"] = "1"
-    env.setdefault("GIC_BENCH_DTYPE", "float32")  # bf16 is emulated on CPU
-    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+              _cpu_fallback_env("axon-relay-wedged"))
+
+
+def _supervise():
+    """Run the real benchmark in a watched child; kill + redial stuck inits.
+
+    Observed live on the tunneled axon relay (round-3 queue, rep 2 of 3):
+    the relay probe succeeds, then the SAME process's real backend init
+    blocks inside ``make_c_api_client`` for ~17 minutes — a dial race with
+    the previous bench process's teardown — while fresh dials from other
+    processes succeed within seconds the whole time.  A driver capturing
+    this script under a timeout would record nothing.  So the parent forks
+    the actual benchmark as a child and requires a backend-up marker file
+    (touched right after ``setup()``) within GIC_BENCH_INIT_TIMEOUT
+    (default 300 s); a stuck child is killed and redialed
+    (GIC_BENCH_INIT_RETRIES fresh children, default 2) before falling back
+    to a labeled CPU measurement.  GIC_BENCH_TOTAL_TIMEOUT (default 2400 s)
+    bounds the whole child run (fresh Pallas compiles legitimately take
+    10-15 min over the tunnel).
+    """
+    if (os.environ.get("GIC_BENCH_CHILD") == "1"
+            or os.environ.get("GIC_BENCH_FALLBACK")
+            or os.environ.get("GIC_BENCH_NO_SUPERVISE") == "1"):
+        return
+    import subprocess
+    import tempfile
+
+    init_timeout = float(os.environ.get("GIC_BENCH_INIT_TIMEOUT", "300"))
+    total_timeout = float(os.environ.get("GIC_BENCH_TOTAL_TIMEOUT", "2400"))
+    retries = int(os.environ.get("GIC_BENCH_INIT_RETRIES", "2"))
+    script = os.path.abspath(__file__)
+    for attempt in range(retries + 1):
+        fd, marker = tempfile.mkstemp(prefix="gic_bench_up_")
+        os.close(fd)
+        os.unlink(marker)  # child re-creates it after backend init
+        env = dict(os.environ)
+        env["GIC_BENCH_CHILD"] = "1"
+        env["GIC_BENCH_MARKER"] = marker
+        env["GIC_BENCH_NO_PROBE"] = "1"  # parent's guard already probed
+        proc = subprocess.Popen([sys.executable, script], env=env)
+        start = time.time()
+        stuck_reason = None
+        try:
+            while proc.poll() is None:
+                now = time.time()
+                if not os.path.exists(marker) and now - start > init_timeout:
+                    stuck_reason = f"backend init >{init_timeout:.0f}s"
+                    break
+                if now - start > total_timeout:
+                    stuck_reason = f"total run >{total_timeout:.0f}s"
+                    break
+                time.sleep(2.0)
+        finally:
+            if os.path.exists(marker):
+                os.unlink(marker)
+        if stuck_reason is None:
+            sys.exit(proc.wait())
+        print(f"[bench] child stuck ({stuck_reason}); kill + fresh dial "
+              f"(attempt {attempt + 1}/{retries + 1})", file=sys.stderr)
+        proc.kill()
+        proc.wait()
+    print("[bench] every TPU dial attempt stuck; re-exec on CPU (honest "
+          "fallback, reduced iters)", file=sys.stderr)
+    os.execve(sys.executable, [sys.executable, script],
+              _cpu_fallback_env("axon-dial-stuck"))
 
 
 _relay_guard()
+_supervise()
 
 import jax
 import jax.numpy as jnp
@@ -93,10 +166,18 @@ ITERS = int(_os_top.environ.get("GIC_BENCH_ITERS", "60"))
 
 
 def main():
+    import os as _os
+
+    if (_os.environ.get("GIC_BENCH_TEST_HANG") == "1"
+            and not _os.environ.get("GIC_BENCH_FALLBACK")):
+        time.sleep(3600)  # supervisor-test hook: simulate a stuck dial
+
     from gan_image_captioning_tpu.utils.runtime import setup
 
     setup()
-    import os as _os
+    marker = _os.environ.get("GIC_BENCH_MARKER")
+    if marker:  # tell the supervisor the backend dial succeeded
+        open(marker, "w").close()
 
     import jax as _jax
 
@@ -185,7 +266,7 @@ def main():
         out["note"] = (
             f"TPU unreachable at capture ({fallback}): honest CPU-fallback "
             "measurement at the same flagship geometry, reduced iters. "
-            "On-chip band this round: 106.3-107.0 steps/s = 10.6-10.7x "
+            "On-chip band this round: 106.3-107.5 steps/s = 10.6-10.75x "
             "(docs/benchmarks.md 'Round-3 close: final bench band').")
     print(json.dumps(out))
 
