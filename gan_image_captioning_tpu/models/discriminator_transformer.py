@@ -84,7 +84,8 @@ def _trunk_embedded(params, emb, config: Config, causal: bool, lengths=None):
     else:
         for blk in params["blocks"]:
             x = remat_block_apply(blk, x, config.disc_num_heads, mask,
-                                  cp_causal=cp_causal)
+                                  cp_causal=cp_causal, flash_causal=causal,
+                                  flash_lengths=lengths)
     return layer_norm(params["ln_f"], x)
 
 

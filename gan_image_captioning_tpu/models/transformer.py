@@ -97,7 +97,7 @@ def init_block(rng, d_model, d_mlp, dtype, cross: bool = False):
 
 
 def block_apply(p, x, n_heads, mask=None, context=None, context_mask=None,
-                cp_causal=None):
+                cp_causal=None, flash_causal=None, flash_lengths=None):
     """Pre-LN block: self-attn → (cross-attn) → MLP, residual each.
 
     ``cp_causal``: when the self-attention mask is exactly causal (True) or
@@ -105,11 +105,22 @@ def block_apply(p, x, n_heads, mask=None, context=None, context_mask=None,
     (:func:`set_context_parallel`) — the self-attention runs as the
     shard_map ring/Ulysses kernel over the ``sp`` mesh axis instead of the
     dense path; cross-attention (image-grid K/V, not sequence-sharded)
-    stays dense.  ``None`` = arbitrary mask, dense only."""
+    stays dense.  ``None`` = arbitrary mask, dense only.
+
+    ``flash_causal`` / ``flash_lengths``: when the self-attention mask is
+    structurally (causal|full) ∧ (key < length) — the only three masks the
+    transformer stack builds — the caller declares that structure here and
+    the single-chip Pallas flash kernel (kernels/flash_attention.py)
+    becomes eligible, replacing the dense ``[B, H, T, T]`` score
+    materialization (GIC_FLASH_ATTN gate; auto = TPU and T ≥ 256).
+    ``flash_causal=None`` = arbitrary mask, dense only."""
     x = _constrain(x)
     h1 = layer_norm(p["ln1"], x)
     if cp_causal is not None and _cp_applicable(x, n_heads):
         x = x + _cp_attention(p["attn"], h1, n_heads, cp_causal)
+    elif flash_causal is not None and _flash_applicable(x, n_heads):
+        x = x + _flash_attention_block(p["attn"], h1, n_heads, flash_causal,
+                                       flash_lengths)
     else:
         x = x + attention(p["attn"], h1, h1, n_heads, mask)
     if context is not None and "cross" in p:
@@ -134,22 +145,62 @@ def _tf_remat() -> bool:
 
 
 def remat_block_apply(p, x, n_heads, mask=None, context=None,
-                      context_mask=None, cp_causal=None):
+                      context_mask=None, cp_causal=None, flash_causal=None,
+                      flash_lengths=None):
     """``block_apply``, optionally wrapped in ``jax.checkpoint``
-    (GIC_TF_REMAT=1).  Static Python args (n_heads, cp_causal) close over
-    the wrapped function; array/None args flow through the checkpoint."""
+    (GIC_TF_REMAT=1).  Static Python args (n_heads, cp_causal,
+    flash_causal) close over the wrapped function; array/None args flow
+    through the checkpoint."""
     if not _tf_remat():
         return block_apply(p, x, n_heads, mask, context, context_mask,
-                           cp_causal)
+                           cp_causal, flash_causal, flash_lengths)
     fn = jax.checkpoint(
-        lambda p_, x_, m_, c_, cm_: block_apply(p_, x_, n_heads, m_, c_,
-                                                cm_, cp_causal))
-    return fn(p, x, mask, context, context_mask)
+        lambda p_, x_, m_, c_, cm_, fl_: block_apply(
+            p_, x_, n_heads, m_, c_, cm_, cp_causal, flash_causal, fl_))
+    return fn(p, x, mask, context, context_mask, flash_lengths)
 
 
 def causal_mask(t: int):
     """Lower-triangular [1, 1, T, T] attend-mask."""
     return jnp.tril(jnp.ones((t, t), bool))[None, None, :, :]
+
+
+# ------------------------------------------------------- flash attention
+# Single-chip blocked attention (kernels/flash_attention.py): no [B,H,T,T]
+# score tensor in HBM in either direction.  GIC_FLASH_ATTN: "auto"
+# (default — on-TPU and T ≥ 256, i.e. the long-context configs where the
+# dense temporaries dominate; reference-scale L=34 keeps the fully-fused
+# dense path), "1" (whenever the shape is eligible — tests use this with
+# the interpreter off-TPU), "0" (never).
+
+def _flash_applicable(x, n_heads: int) -> bool:
+    import os
+
+    mode = os.environ.get("GIC_FLASH_ATTN", "auto")
+    if mode == "0":
+        return False
+    t, d = x.shape[1], x.shape[2]
+    from gan_image_captioning_tpu.kernels import flash_attention as fa
+
+    if not fa.supported(t, d // n_heads):
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu" and t >= 256
+
+
+def _flash_attention_block(p, x, n_heads: int, causal: bool, lengths=None):
+    """Self-attention through the Pallas flash kernel (q/k/v/o projections
+    stay XLA matmuls — only the softmax(QKᵀ)V core is kernelized)."""
+    from gan_image_captioning_tpu.kernels.flash_attention import (
+        flash_attention)
+
+    q = _split_heads(dense(p["wq"], x), n_heads)
+    k = _split_heads(dense(p["wk"], x), n_heads)
+    v = _split_heads(dense(p["wv"], x), n_heads)
+    out = flash_attention(q, k, v, causal, lengths)
+    b, t = x.shape[:2]
+    return dense(p["wo"], out.reshape(b, t, -1))
 
 
 # --------------------------------------------------- sequence parallelism
@@ -271,7 +322,8 @@ def pipeline_blocks(blocks, x, n_heads: int, causal: bool):
     def stage(params_chunk, xb):
         mask = causal_mask(xb.shape[1]) if causal else None
         for blk in params_chunk:  # list of g per-stage blocks
-            xb = remat_block_apply(blk, xb, n_heads, mask)
+            xb = remat_block_apply(blk, xb, n_heads, mask,
+                                   flash_causal=causal)
         return xb
 
     return pipeline_apply(stacked, x, stage, mesh, axis_name,
@@ -372,9 +424,12 @@ def teacher_forced(dec: dict, features, captions, config: Config, rng=None,
         x = pipeline_blocks(dec["blocks"], x, config.gen_num_heads,
                             causal=True)
     else:
+        flash_lengths = None if lengths is None else lengths + 1
         for blk in dec["blocks"]:
             x = remat_block_apply(blk, x, config.gen_num_heads, mask,
-                                  context, cp_causal=cp_causal)
+                                  context, cp_causal=cp_causal,
+                                  flash_causal=True,
+                                  flash_lengths=flash_lengths)
     logits = _project(dec, layer_norm(dec["ln_f"], x))
     if pretrain:
         return logits
