@@ -31,7 +31,14 @@ natural dims (lse/delta are carried as ``[*, 1]`` column vectors so the
 (``preferred_element_type``), inputs/outputs stay in the caller's dtype.
 
 Off-TPU the same kernels run in interpret mode (tests); model-side
-routing lives in models/transformer.py (`GIC_FLASH_ATTN`).
+routing lives in models/transformer.py (`GIC_FLASH_ATTN=1`, opt-in).
+
+Measured role (docs/benchmarks.md "flash attention", real v5e): a
+MEMORY lever — grad-program temps at 4×768/12H, T=2048+1: dense 2417 MB
+→ flash 845 MB (−65%), flash+remat 276 MB (8.7× total) — at a ~15%
+per-step time cost vs XLA's fully-fused dense attention, which wins on
+speed at every length measured (T≤2k).  Enable it to FIT a geometry
+(longer T / bigger B per chip), not to accelerate one that already fits.
 """
 
 from __future__ import annotations

@@ -112,7 +112,8 @@ def block_apply(p, x, n_heads, mask=None, context=None, context_mask=None,
     transformer stack builds — the caller declares that structure here and
     the single-chip Pallas flash kernel (kernels/flash_attention.py)
     becomes eligible, replacing the dense ``[B, H, T, T]`` score
-    materialization (GIC_FLASH_ATTN gate; auto = TPU and T ≥ 256).
+    materialization (GIC_FLASH_ATTN=1 opt-in; a measured long-context
+    MEMORY lever, see the module comment below).
     ``flash_causal=None`` = arbitrary mask, dense only."""
     x = _constrain(x)
     h1 = layer_norm(p["ln1"], x)
@@ -167,26 +168,26 @@ def causal_mask(t: int):
 
 # ------------------------------------------------------- flash attention
 # Single-chip blocked attention (kernels/flash_attention.py): no [B,H,T,T]
-# score tensor in HBM in either direction.  GIC_FLASH_ATTN: "auto"
-# (default — on-TPU and T ≥ 256, i.e. the long-context configs where the
-# dense temporaries dominate; reference-scale L=34 keeps the fully-fused
-# dense path), "1" (whenever the shape is eligible — tests use this with
-# the interpreter off-TPU), "0" (never).
+# score tensor in HBM in either direction.  GIC_FLASH_ATTN=1 enables it
+# wherever the shape is eligible (tests force it with the interpreter
+# off-TPU); default OFF.  Measured on the real chip (docs/benchmarks.md
+# "flash attention"): a MEMORY lever, not a speed lever — at GPT-2 depth
+# it cuts grad-program temps 65% at T=2k (2.4 GB → 845 MB; 276 MB = 8.7×
+# composed with GIC_TF_REMAT) but runs ~15% slower per step than XLA's
+# fully-fused dense attention, which is excellent at these lengths.
+# Opt in when the dense [B,H,T,T] temporaries don't fit, exactly like
+# the remat flag — same family as the measured-negative GIC_FUSE_EMBED
+# precedent: kept honest, kept opt-in.
 
 def _flash_applicable(x, n_heads: int) -> bool:
     import os
 
-    mode = os.environ.get("GIC_FLASH_ATTN", "auto")
-    if mode == "0":
+    if os.environ.get("GIC_FLASH_ATTN", "0") != "1":
         return False
     t, d = x.shape[1], x.shape[2]
     from gan_image_captioning_tpu.kernels import flash_attention as fa
 
-    if not fa.supported(t, d // n_heads):
-        return False
-    if mode == "1":
-        return True
-    return jax.default_backend() == "tpu" and t >= 256
+    return fa.supported(t, d // n_heads)
 
 
 def _flash_attention_block(p, x, n_heads: int, causal: bool, lengths=None):
