@@ -249,13 +249,17 @@ class CoalescingBatcher:
 class ContinuousBatcher:
     """Slot-pool continuous batching over the greedy decode.
 
-    Device programs (compiled once each):
-      * ``advance(state, x, tvec)`` — ``chunk_steps`` greedy tokens for
-        ALL slots, emitting ``(ids [B, K], lps [B, K])``; LSTM slots run
-        the serve-mode decode kernel (TPU) or a scan, transformer slots
-        run :func:`transformer.decode_step_slots` at per-slot positions.
-      * ``reset_slot(state, x, tvec, row, feats)`` — reset one slot's
-        state/position and set its t=0 input.
+    ONE device program, compiled once: ``advance(state, x, tvec, fresh,
+    feats)`` — an admission prologue (slots marked in ``fresh`` get their
+    recurrent state zeroed, position rewound, and ``feats`` row installed
+    as the t=0 input) followed by ``chunk_steps`` greedy tokens for ALL
+    slots, emitting ``(ids [B, K], lps [B, K])``.  LSTM slots run the
+    serve-mode decode kernel (TPU) or a scan, transformer slots run
+    :func:`transformer.decode_step_slots` at per-slot positions.  Fusing
+    admission into the chunk program matters under load: the earlier
+    per-slot ``reset_slot`` program cost one device dispatch PER
+    ADMISSION — at hundreds of captions/s that is hundreds of extra
+    dispatch round-trips per second, each a full tunnel/driver RTT.
     Free slots keep computing (their output is ignored) — masking them
     would cost control flow, and the compute is already paid for.
     """
@@ -300,6 +304,23 @@ class ContinuousBatcher:
         self._stepper = stepper
         dec = gen_params["decoder"]
 
+        def zero_fresh(tree, fresh):
+            """Zero freshly-admitted slots' rows in a recurrent-state
+            pytree — every state leaf is [L, B, …] with the slot axis at
+            1 (the layout _state_shard documents)."""
+            def z(a):
+                shape = (1, fresh.shape[0]) + (1,) * (a.ndim - 2)
+                return jnp.where(fresh.reshape(shape),
+                                 jnp.zeros((), a.dtype), a)
+            return jax.tree_util.tree_map(z, tree)
+
+        def admit(x, tvec, fresh, feats):
+            """The admission prologue's slot-indexed pieces: install the
+            new occupants' feature rows as their t=0 input and rewind
+            their positions (state zeroing is per-variant)."""
+            x = jnp.where(fresh[:, None], feats.astype(x.dtype), x)
+            return x, jnp.where(fresh, 0, tvec)
+
         self._speculative = draft_params is not None
         if self._speculative:
             # slot-based lossless speculation: per chunk each slot's draft
@@ -309,7 +330,8 @@ class ContinuousBatcher:
             # structure, re-carried per slot), and 1..K+1 target-exact
             # tokens commit per slot per program.  LSTM-family only;
             # fresh slots fold the un-speculated t=0 step into their first
-            # block (x = the feature row, set by reset_slot).
+            # block (x = the feature row, installed by the admission
+            # prologue).
             if config.gen_arch != "lstm" or "lstm" not in dec:
                 raise ValueError("speculative continuous batching needs a "
                                  "full-precision LSTM target")
@@ -330,12 +352,16 @@ class ContinuousBatcher:
             rows_b = jnp.arange(B)
             jidx = jnp.arange(K + 1)
 
-            def advance(state, x, tvec):
-                S, D, y, fresh2 = state
-                x_t = jnp.where(fresh2[:, None], x.astype(tgt_embed.dtype),
+            def advance(state, x, tvec, fresh, feats):
+                S, D, y = state
+                S = zero_fresh(S, fresh)
+                D = zero_fresh(D, fresh)
+                y = jnp.where(fresh, 0, y)
+                x, tvec = admit(x, tvec, fresh, feats)
+                x_t = jnp.where(fresh[:, None], x.astype(tgt_embed.dtype),
                                 tgt_embed[y])
                 x_d0 = draft.embed(y)
-                x_d = jnp.where(fresh2[:, None], x.astype(x_d0.dtype), x_d0)
+                x_d = jnp.where(fresh[:, None], x.astype(x_d0.dtype), x_d0)
 
                 def dstep(dc, _):
                     Dst, xx = dc
@@ -373,7 +399,7 @@ class ContinuousBatcher:
                 S2 = jax.tree_util.tree_map(sel_state, Ss)
                 D2 = jax.tree_util.tree_map(sel_state, Dstates)
                 y2 = jnp.take_along_axis(block, n[None], axis=0)[0]
-                return ((S2, D2, y2, jnp.zeros((B,), bool)), x, tvec,
+                return ((S2, D2, y2), x, tvec,
                         jnp.swapaxes(block, 0, 1),
                         jnp.swapaxes(blk_lp, 0, 1), n + 1)
         elif (config.gen_arch == "lstm" and "lstm" in dec and mesh is None
@@ -388,7 +414,9 @@ class ContinuousBatcher:
             from gan_image_captioning_tpu.kernels.decode_sample import (
                 decode_sample)
 
-            def advance(state, x, tvec):
+            def advance(state, x, tvec, fresh, feats):
+                state = zero_fresh(state, fresh)
+                x, tvec = admit(x, tvec, fresh, feats)
                 ids, lps, (hT, cT, xT) = decode_sample(
                     x, dec["lstm"], dec["linear"]["w"], dec["linear"]["b"],
                     dec["embed"], self.K, mode="serve",
@@ -396,7 +424,10 @@ class ContinuousBatcher:
                 return ((hT, cT.astype(state[1].dtype)), xT, tvec, ids, lps,
                         jnp.full((self.B,), self.K, jnp.int32))
         elif config.gen_arch == "lstm":
-            def advance(state, x, tvec):
+            def advance(state, x, tvec, fresh, feats):
+                state = zero_fresh(state, fresh)
+                x, tvec = admit(x, tvec, fresh, feats)
+
                 def body(carry, _):
                     state, x = carry
                     logits, state = stepper.step(state, x, 0)
@@ -418,7 +449,11 @@ class ContinuousBatcher:
             # slots clamp at the cache edge (their output is ignored).
             from gan_image_captioning_tpu.models import transformer as tf_lib
 
-            def advance(state, x, tvec):
+            def advance(state, x, tvec, fresh, feats):
+                # no cache zeroing needed — the per-slot mask only attends
+                # positions the new occupant has (re)written
+                x, tvec = admit(x, tvec, fresh, feats)
+
                 def body(carry, _):
                     (k, v), x, tv = carry
                     logits, k, v = tf_lib.decode_step_slots(
@@ -436,29 +471,12 @@ class ContinuousBatcher:
                         jnp.swapaxes(lps, 0, 1),
                         jnp.full((self.B,), self.K, jnp.int32))
 
-        def reset_slot(state, x, tvec, row, feats):
-            if self._speculative:
-                S, D, y, fresh2 = state
-                zero_row = lambda a: a.at[:, row].set(0)  # noqa: E731
-                state = (jax.tree_util.tree_map(zero_row, S),
-                         jax.tree_util.tree_map(zero_row, D),
-                         y.at[row].set(0), fresh2.at[row].set(True))
-            elif self.config.gen_arch == "lstm":
-                h, c = state
-                state = (h.at[:, row].set(0.0), c.at[:, row].set(0.0))
-            # transformer: no cache zeroing needed — the per-slot mask
-            # only attends positions the new occupant has (re)written
-            x = x.at[row].set(feats)
-            return state, x, tvec.at[row].set(0)
-
         self._advance = jax.jit(advance)
-        self._reset = jax.jit(reset_slot)
 
         if self._speculative:
             self._state = (stepper.init_state(self.B),
                            self._draft.init_state(self.B),
-                           jnp.zeros((self.B,), jnp.int32),
-                           jnp.zeros((self.B,), bool))
+                           jnp.zeros((self.B,), jnp.int32))
             x_dtype = jnp.asarray(self._state[0][0]).dtype
         else:
             self._state = stepper.init_state(self.B)
@@ -466,6 +484,7 @@ class ContinuousBatcher:
         self._tvec = jnp.zeros((self.B,), jnp.int32)
         feat_dim = np.asarray(stepper.embed(jnp.zeros((1,), jnp.int32))
                               ).shape[-1]
+        self._feat_dim = feat_dim
         self._x = jnp.zeros((self.B, feat_dim), x_dtype)
         if self._slot_shard is not None:
             # state leaves are [L, B, …] (slot axis 1); x/tvec are [B, …]
@@ -579,6 +598,11 @@ class ContinuousBatcher:
                 fut.set_exception(exc)
 
     def _fill_free_slots(self):
+        """Assign queued requests to free slots on the HOST only: returns
+        ``(fresh [B] bool, feats [B, E] f32)`` for the advance program's
+        fused admission prologue — zero device dispatches per admission."""
+        fresh = np.zeros((self.B,), bool)
+        feats_new = np.zeros((self.B, self._feat_dim), np.float32)
         with self._slot_lock:
             for i in range(self.B):
                 if self._slot_t[i] >= 0:
@@ -586,20 +610,25 @@ class ContinuousBatcher:
                 try:
                     feats, fut, cb = self._q.get_nowait()
                 except queue.Empty:
-                    return
+                    break
                 try:
-                    self._state, self._x, self._tvec = self._reset(
-                        self._state, self._x, self._tvec, i,
-                        jnp.asarray(feats))
+                    row = np.asarray(feats, np.float32)
+                    if row.shape != (self._feat_dim,):
+                        raise ValueError(
+                            f"feature row shape {row.shape} != "
+                            f"({self._feat_dim},)")
+                    feats_new[i] = row
                 except Exception as exc:
                     # a mis-shaped feature row fails ITS request only; the
                     # slot stays free and the dispatcher keeps serving
                     if not fut.done():
                         fut.set_exception(exc)
                     continue
+                fresh[i] = True
                 self._slot_t[i] = 0
                 self._slot_fut[i] = fut
                 self._slot_cb[i] = cb
+        return fresh, feats_new
 
     def _fail_active_slots(self, exc: Exception):
         """Resolve every active slot's future with ``exc`` and free the
@@ -622,12 +651,16 @@ class ContinuousBatcher:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
                 continue
-            self._fill_free_slots()
+            fresh, feats_new = self._fill_free_slots()
             if not (self._slot_t >= 0).any():
                 continue
+            if self._slot_shard is not None:
+                fresh = jax.device_put(fresh, self._slot_shard)
+                feats_new = jax.device_put(feats_new, self._slot_shard)
             try:
                 (self._state, self._x, self._tvec, ids_k, lps_k,
-                 counts) = self._advance(self._state, self._x, self._tvec)
+                 counts) = self._advance(self._state, self._x, self._tvec,
+                                         fresh, feats_new)
             except Exception as exc:
                 self._fail_active_slots(exc)
                 continue
