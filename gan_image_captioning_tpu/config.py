@@ -467,6 +467,14 @@ def add_tpu_args(parser):
     g.add_argument("--pp-microbatches", type=int, default=4,
                    help="GPipe microbatches when the --mesh has a 'pp' "
                         "axis (batch must divide evenly)")
+    g.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard the Adam moments (mu/nu) over the "
+                        "--mesh 'data' axis instead of replicating them — "
+                        "each device holds 1/N of the optimizer state and "
+                        "runs 1/N of the update math; XLA inserts the "
+                        "reduce-scatter/all-gather (parallel/sharding.py). "
+                        "Params stay replicated (ZeRO-1, not 2/3). No-op "
+                        "without a data axis > 1.")
     g.add_argument("--adv-objective", type=str, default="gumbel",
                    choices=["gumbel", "reinforce"],
                    help="adversarial generator objective: 'gumbel' = the "
@@ -644,6 +652,7 @@ class Config:
     decode_impl: str = "fused"
     cp_mode: str = "gspmd"
     pp_microbatches: int = 4
+    zero1: bool = False
     adv_objective: str = "gumbel"
     rollout_num: int = 0
     rollout_stride: int = 4

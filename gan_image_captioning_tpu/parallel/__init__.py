@@ -9,5 +9,5 @@ DP grad reduction, all-gather/reduce-scatter for the TP vocab dim) over ICI.
 
 from gan_image_captioning_tpu.parallel.mesh import make_mesh, parse_mesh_spec  # noqa: F401
 from gan_image_captioning_tpu.parallel.sharding import (  # noqa: F401
-    shard_batch, shard_train_state, generator_param_spec,
-    discriminator_param_spec)
+    shard_batch, shard_train_state, train_state_shardings,
+    generator_param_spec, discriminator_param_spec)

@@ -84,8 +84,10 @@ class GANInstructor:
         # the SAME jitted steps then run SPMD with XLA collectives.
         self.mesh = None
         from gan_image_captioning_tpu.kernels import decode_sample as dsk
+        from gan_image_captioning_tpu.train import steps as steps_mod
 
         dsk.set_mesh(None)
+        steps_mod.set_state_shardings(None)
         if config.mesh and config.decode_impl == "kernel":
             from gan_image_captioning_tpu.parallel.mesh import (
                 make_mesh as _mk)
@@ -112,8 +114,22 @@ class GANInstructor:
                 shard_train_state)
 
             self.mesh = make_mesh(config.mesh)
-            self.state = shard_train_state(self.state, self.mesh)
+            zero1 = bool(config.zero1
+                         and self.mesh.shape.get("data", 1) > 1)
+            self.state = shard_train_state(self.state, self.mesh,
+                                           zero1=zero1)
             self.log.info("Sharded over mesh %s" % dict(self.mesh.shape))
+            if zero1:
+                # Pin every train step's output layout so the sharded
+                # moments stay sharded and the params stay replicated
+                # (parallel/sharding.py ZeRO-1 notes).
+                from gan_image_captioning_tpu.parallel.sharding import (
+                    train_state_shardings)
+
+                steps_mod.set_state_shardings(
+                    train_state_shardings(self.state, self.mesh, zero1=True))
+                self.log.info("ZeRO-1: Adam moments sharded over data:%d"
+                              % self.mesh.shape["data"])
 
             # sp axis → sequence parallelism inside the jitted steps:
             # GSPMD activation sharding by default; --cp-mode ring|ulysses

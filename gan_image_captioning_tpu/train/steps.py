@@ -46,6 +46,27 @@ def _maybe_jit(fn, config: Config, donate_argnums=()):
     return jax.jit(fn, donate_argnums=donate_argnums)
 
 
+# ZeRO-1 (--zero1): a NamedSharding pytree matching TrainState, set by the
+# instructor (parallel/sharding.py:train_state_shardings).  When set, every
+# train step pins its OUTPUT state to this layout — Adam moments sharded
+# over 'data', params replicated — so GSPMD's bidirectional propagation
+# cannot float the params into a moment-induced sharded layout between
+# steps (which would break donation and the replicated-weights decode
+# paths).  None (the default) is a zero-cost no-op: the trace is unchanged.
+_STATE_SHARDINGS = None
+
+
+def set_state_shardings(shardings) -> None:
+    global _STATE_SHARDINGS
+    _STATE_SHARDINGS = shardings
+
+
+def _constrain_state(state: "TrainState") -> "TrainState":
+    if _STATE_SHARDINGS is None:
+        return state
+    return jax.lax.with_sharding_constraint(state, _STATE_SHARDINGS)
+
+
 def _compute_cast(config: Config, *trees):
     """Mixed precision (``--dtype bfloat16``): master params stay float32 in
     the TrainState/Adam, compute runs in bfloat16 (halves the HBM traffic
@@ -266,12 +287,12 @@ def make_mle_step(config: Config, _raw: bool = False):
             config, grad_norm, (gen_params, new_opt, ema),
             (state.gen_params, state.pretrain_opt_state,
              state.ema_gen_params))
-        state = state._replace(
+        state = _constrain_state(state._replace(
             gen_params=gen_params,
             pretrain_opt_state=new_opt,
             rng=rng,
             ema_gen_params=ema,
-        )
+        ))
         return state, {"gen_pretrain_loss": loss,
                        "gen_grad_norm": grad_norm}
 
@@ -529,7 +550,7 @@ def make_adv_step(config: Config, _raw: bool = False):
             config, g_grad_norm, (gen_params, gen_opt_state, ema),
             (state.gen_params, state.gen_opt_state, state.ema_gen_params))
 
-        state = state._replace(
+        state = _constrain_state(state._replace(
             gen_params=gen_params,
             disc_params=disc_params,
             gen_opt_state=gen_opt_state,
@@ -539,7 +560,7 @@ def make_adv_step(config: Config, _raw: bool = False):
             temperature=jnp.asarray(temperature, jnp.float32),
             rng=rng,
             ema_gen_params=ema,
-        )
+        ))
         metrics = {"gen_adv_loss": g_loss, "disc_adv_loss": d_loss,
                    "d_real_mean": aux["d_real_mean"],
                    "d_fake_mean": aux["d_fake_mean"],

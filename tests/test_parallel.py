@@ -208,3 +208,101 @@ def test_mesh_kernel_decode_falls_back(tmp_path):
     inst = GANInstructor(config, train, val)
     assert inst.config.decode_impl == "kernel"
     inst._run()
+
+
+def test_zero1_moment_placement(devices8):
+    """--zero1: Adam mu/nu shard their first free dim over 'data'; params
+    stay replicated; TP-sharded moments gain 'data' on the free dim."""
+    from gan_image_captioning_tpu.parallel.sharding import (
+        train_state_shardings)
+
+    cfg, _ = small_config(vocab_size=64)
+    mesh = make_mesh("data:4,model:2", devices8)
+    state = shard_train_state(create_train_state(cfg, jax.random.PRNGKey(0)),
+                              mesh, zero1=True)
+    adam = state.pretrain_opt_state[1][0]
+    # replicated param -> moment sharded over data on dim 0
+    assert adam.mu["decoder"]["lstm"][0]["w_ih"].sharding.spec == P("data", None)
+    assert adam.nu["decoder"]["lstm"][0]["w_ih"].sharding.spec == P("data", None)
+    # TP-sharded [V, E] embedding -> moment P('model', 'data') (E=16 % 4 == 0)
+    assert adam.mu["decoder"]["embed"].sharding.spec == P("model", "data")
+    # params themselves replicated / TP only — never data-sharded
+    assert state.gen_params["decoder"]["lstm"][0]["w_ih"].sharding.spec == P()
+    assert state.gen_params["decoder"]["embed"].sharding.spec == P("model",
+                                                                   None)
+    # the shardings twin matches the placed state leaf-for-leaf
+    ns = train_state_shardings(state, mesh, zero1=True)
+    placed = jax.tree_util.tree_map(lambda x: x.sharding.spec, state)
+    want = jax.tree_util.tree_map(lambda s: s.spec, ns)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a == b, placed, want))
+
+
+def test_zero1_step_equals_single_device(devices8):
+    """ZeRO-1-sharded fused steps == single-device numerics, and the output
+    state keeps the pinned layout (moments sharded, params replicated)."""
+    from gan_image_captioning_tpu.parallel.sharding import (
+        train_state_shardings)
+    from gan_image_captioning_tpu.train import steps as steps_mod
+
+    cfg, ds = small_config(vocab_size=64)
+    batch = _one_batch(cfg, ds)
+
+    state_ref = create_train_state(cfg, jax.random.PRNGKey(0))
+    mle = make_mle_step(cfg)
+    adv = make_adv_step(cfg)
+    state_ref, m_ref = mle(state_ref, batch)
+    state_ref, a_ref = adv(state_ref, batch, 2.0)
+
+    mesh = make_mesh("data:4,model:2", devices8)
+    state_sh = shard_train_state(create_train_state(cfg, jax.random.PRNGKey(0)),
+                                 mesh, zero1=True)
+    steps_mod.set_state_shardings(
+        train_state_shardings(state_sh, mesh, zero1=True))
+    try:
+        mle_z = make_mle_step(cfg)
+        adv_z = make_adv_step(cfg)
+        sharded_batch = shard_batch(batch, mesh)
+        state_sh, m_sh = mle_z(state_sh, sharded_batch)
+        state_sh, a_sh = adv_z(state_sh, sharded_batch, 2.0)
+    finally:
+        steps_mod.set_state_shardings(None)
+
+    np.testing.assert_allclose(float(m_ref["gen_pretrain_loss"]),
+                               float(m_sh["gen_pretrain_loss"]), rtol=2e-5)
+    np.testing.assert_allclose(float(a_ref["gen_adv_loss"]),
+                               float(a_sh["gen_adv_loss"]), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(float(a_ref["disc_adv_loss"]),
+                               float(a_sh["disc_adv_loss"]), rtol=2e-4,
+                               atol=2e-5)
+    w_ref = np.asarray(state_ref.gen_params["decoder"]["linear"]["w"])
+    w_sh = np.asarray(
+        jax.device_get(state_sh.gen_params["decoder"]["linear"]["w"]))
+    np.testing.assert_allclose(w_ref, w_sh, atol=2e-5)
+    # output layout held: moments sharded over data, params replicated
+    adam = state_sh.pretrain_opt_state[1][0]
+    assert "data" in (adam.mu["decoder"]["lstm"][0]["w_ih"].sharding.spec
+                      or ())
+    assert state_sh.gen_params["decoder"]["lstm"][0]["w_ih"].sharding.spec \
+        == P()
+
+
+def test_zero1_instructor_e2e(tmp_path, devices8):
+    """--zero1 through the full instructor: pretrain + adversarial epochs
+    run under a data:8 mesh with sharded moments."""
+    from gan_image_captioning_tpu.data.synthetic import SyntheticCaptions
+    from gan_image_captioning_tpu.train.instructor import GANInstructor
+
+    cfg, _ = small_config(vocab_size=0)
+    cfg = cfg.replace(pretrain_epochs=1, adv_epochs=1, conditional_gan=0,
+                      mesh="data:8", zero1=True, save_dir=str(tmp_path),
+                      model_dir=str(tmp_path), dataset="synthetic",
+                      pre_train_batch_size=16, adv_train_batch_size=16)
+    train = SyntheticCaptions("train", num_items=32, conditional=False)
+    val = SyntheticCaptions("val", num_items=16, conditional=False)
+    cfg = cfg.replace(vocab_size=train.vocab_size)
+    inst = GANInstructor(cfg, train, val)
+    adam = inst.state.pretrain_opt_state[1][0]
+    assert adam.mu["decoder"]["lstm"][0]["w_ih"].sharding.spec == P("data", None)
+    inst._run()
