@@ -189,12 +189,13 @@ def main():
     gumbel_ops.set_use_pallas(
         _os.environ.get("GIC_BENCH_PALLAS", "1") == "1"
         and _jax.default_backend() == "tpu")
-    # Disc conv engine: the HYBRID (XLA conv forward + Pallas backward,
-    # GIC_DISC_KERNEL=2) measured 102.9 steps/s vs 92.7 (full Pallas) vs
-    # 90.0 (pure XLA) under the kernel decode path — bench default for
-    # TPU (GIC_DISC_KERNEL=0 opts out; docs/benchmarks.md round-2 matrix).
+    # Disc conv engine: the MXU engine (matmul-formulated Pallas fwd+bwd,
+    # GIC_DISC_KERNEL=3) measured 114.2-114.7 steps/s vs 101.9-104.0
+    # (hybrid, the r2 winner) in one interleaved process, 3/3 reps —
+    # bench default for TPU (GIC_DISC_KERNEL=0 opts out;
+    # docs/benchmarks.md "mxu disc engine" section).
     if _jax.default_backend() == "tpu":
-        _os.environ.setdefault("GIC_DISC_KERNEL", "2")
+        _os.environ.setdefault("GIC_DISC_KERNEL", "3")
         # bf16 Adam first moment: +0.6% (3/3 interleaved reps,
         # benchmarks/ab_bf16mu.py); variance accumulator stays f32
         _os.environ.setdefault("GIC_BF16_MU", "1")

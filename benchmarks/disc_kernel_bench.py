@@ -36,7 +36,8 @@ def main():
     probe = jax.random.normal(jax.random.PRNGKey(2), (64 * 64, 900),
                               jnp.bfloat16)
 
-    for label, env in (("kernel", "1"), ("xla", "0")):
+    for label, env in (("pallas", "1"), ("hybrid", "2"), ("mxu", "3"),
+                       ("xla", "0")):
         os.environ["GIC_DISC_KERNEL"] = env
 
         @jax.jit

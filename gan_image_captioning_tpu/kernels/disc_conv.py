@@ -351,13 +351,22 @@ def pooled_features(convs, emb, eds: int, impl: str = "pallas"):
     the fused twin of the jnp conv/relu/maxpool path in
     ``models/discriminator.py:apply_embedded``.
 
-    ``impl``: 'pallas' = Pallas forward + backward; 'hybrid' = XLA conv
-    forward + Pallas backward (fastest measured combination).
+    ``impl``: 'pallas' = register-blocked Pallas forward + backward;
+    'hybrid' = XLA conv forward + Pallas backward; 'mxu' = MXU-matmul
+    Pallas forward + backward (engine 3 — see the mxu-engine section).
     """
     w_all, b_all, banks = fuse_bank_params(convs, eds)
     maxf = max(f for _, f in banks)
     r = emb.shape[-1] // eds
     emb_pad = jnp.pad(emb, ((0, 0), (0, maxf - 1), (0, 0)))
+    if impl == "mxu":
+        # v1 scope: the mxu engine is single-shard (its XT layout mixes the
+        # batch into matmul rows); under an installed data mesh fall back to
+        # the per-batch-grid hybrid engine, which shard_maps cleanly.
+        if _data_mesh() is None and _mxu_rows_ok(emb.shape[0], r):
+            return conv_relu_maxpool_mxu(emb_pad, w_all, b_all, banks, r,
+                                         eds)
+        impl = "hybrid"
     fn = conv_relu_maxpool_hybrid if impl == "hybrid" else conv_relu_maxpool
     return fn(emb_pad, w_all, b_all, banks, r, eds)
 
@@ -413,3 +422,221 @@ def _hybrid_vjp_fwd(emb_pad, w_all, b_all, banks, R, eds):
 
 
 conv_relu_maxpool_hybrid.defvjp(_hybrid_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------- mxu engine
+
+# Engine 3 ("mxu"): the round-3 trace (docs/benchmarks.md r3c5) attributed
+# over half the 8.8 ms flagship adv step to the disc conv chain — the hybrid
+# engine's XLA forward materializes each bank's [B, lv, R, n] map in HBM
+# (~88 MB × 9 bank-passes written by the conv, read back by the
+# max/argmax iota_reduce fusions: ~2.2 ms), and the Pallas backward's
+# register-blocked tap loop is VPU-bound (9 × ~0.26 ms = 2.33 ms).  This
+# engine reformulates BOTH passes as per-timestep MXU matmuls over a
+# transposed VMEM-resident layout:
+#
+#   XT[(t·eds + e), (b·R + r)] = emb_pad[b, t, r·eds + e]        [Lp·eds, Q]
+#
+# Forward, per valid t (Python-unrolled, lv ≤ 36):
+#   z_t = XTᵀ[t·eds : t·eds+f·eds] · W  (MXU, K = f·eds)  → [Q, n]
+#   running relu'd max/argmax in VMEM — the [lv, Q, n] map never exists.
+# Backward, per t:
+#   dc_t = where(idx == t, dp_masked, 0)                          [Q, n]
+#   dW  += XT_slice · dc_t               (MXU, K = Q — one matmul, not
+#                                         f·eds VPU FMA sweeps)
+#   DXS[t] = dc_t · Wᵀ                   (MXU)               [Q, f·eds]
+# The tap-overlap scatter of DXS into d_emb (f shifted adds on ~3 MB) and
+# db (a masked sum of d_pooled) run outside in XLA where they are trivial.
+#
+# The tap loops' VPU work drops to one `where` (bwd) / one select pair
+# (fwd) per timestep; everything O(f) rides the MXU.
+
+# Row-tile (columns of XT) per grid step.  The bwd kernel's unrolled time
+# loop keeps an O(tile·n) f32 cotangent slice live per step — at 4096 the
+# Mosaic stack plan exceeded the 96 MB scoped-VMEM limit on v5e (98.03M);
+# 1024 bounds the plan to ~1/4 of that with grid=4 at flagship Q=4096.
+_MXU_ROW_TILE = 1024
+
+
+def _mxu_rows_ok(b_sz: int, R: int) -> bool:
+    q = b_sz * R
+    return q % 8 == 0 and (q <= _MXU_ROW_TILE or q % _MXU_ROW_TILE == 0)
+
+
+def _mxu_fwd_kernel(xt_ref, w_ref, b_ref, pooled_ref, idx_ref, *, lv, eds, f):
+    n = pooled_ref.shape[1]
+    q = pooled_ref.shape[0]
+    bias = b_ref[0].astype(jnp.float32)[None, :]            # [1, n]
+    w = w_ref[...].astype(jnp.float32)                      # [f·eds, n]
+    m = jnp.full((q, n), -1.0, jnp.float32)
+    idx = jnp.zeros((q, n), jnp.int32)
+    for t in range(lv):
+        xs = xt_ref[t * eds:t * eds + f * eds, :].astype(jnp.float32)
+        z = jax.lax.dot_general(xs, w, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        z = jnp.maximum(z + bias, 0.0)
+        better = z > m
+        m = jnp.where(better, z, m)
+        idx = jnp.where(better, t, idx)
+    pooled_ref[...] = m.astype(pooled_ref.dtype)
+    idx_ref[...] = idx
+
+
+def _mxu_bwd_kernel(xt_ref, w_ref, idx_ref, dpm_ref, dw_ref, dxs_ref, *,
+                    lv, eds, f):
+    """dW (row-reduced) + per-timestep tap gradients DXS [lv, Q, f·eds]."""
+    w = w_ref[...].astype(jnp.float32)                      # [f·eds, n]
+    idx = idx_ref[...]
+    dpm = dpm_ref[...].astype(jnp.float32)                  # [Q, n] masked
+    dw = jnp.zeros(dw_ref.shape, jnp.float32)
+    for t in range(lv):
+        dc = jnp.where(idx == t, dpm, 0.0)                  # [Q, n]
+        xs = xt_ref[t * eds:t * eds + f * eds, :].astype(jnp.float32)
+        dw = dw + jax.lax.dot_general(
+            xs, dc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [f·eds, n]
+        dxs_ref[t] = jax.lax.dot_general(
+            dc, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [Q, f·eds]
+    dw_ref[...] = dw
+
+
+def _as_xt(emb_pad, R, eds):
+    """[B, Lp, E] → XT [Lp·eds, B·R] (time-major/eds-minor rows, b-major
+    columns) — one small XLA transpose (~0.7 MB at flagship shapes)."""
+    b_sz, lp, _ = emb_pad.shape
+    return (emb_pad.reshape(b_sz, lp, R, eds)
+            .transpose(1, 3, 0, 2).reshape(lp * eds, b_sz * R))
+
+
+def _mxu_bank_call(kern_fn, xt, extra_inputs, out_shapes, out_specs,
+                   q_total, *, eds, lv, f):
+    """pallas_call plumbing for one MXU bank: grid over row (column-of-XT)
+    tiles; the bwd dW output is PER-TILE partials (leading grid dim) summed
+    by the caller — no cross-tile accumulation state."""
+    tile = min(q_total, _MXU_ROW_TILE)
+    grid = q_total // tile
+
+    return pl.pallas_call(
+        functools.partial(kern_fn, lv=lv, eds=eds, f=f),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((xt.shape[0], tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)]
+        + [spec for _, spec in extra_inputs],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_interpret(),
+    )(xt, *[arr for arr, _ in extra_inputs])
+
+
+def _mxu_forward(emb_pad, w_all, b_all, banks, R, eds):
+    maxf = max(f for _, f in banks)
+    b_sz, lp, _ = emb_pad.shape
+    L = lp - maxf + 1
+    q = b_sz * R
+    tile = min(q, _MXU_ROW_TILE)
+    xt = _as_xt(emb_pad, R, eds)
+    pooled, idxs = [], []
+    n_off = 0
+    for n, f in banks:
+        lv = L - f + 1
+        w_t = jax.lax.dynamic_slice_in_dim(w_all, n_off, n, 0)[:, :f * eds].T
+        b_k = jax.lax.dynamic_slice_in_dim(b_all, n_off, n, 0)[None, :]
+        p, ix = _mxu_bank_call(
+            _mxu_fwd_kernel, xt,
+            extra_inputs=[
+                (w_t, pl.BlockSpec(memory_space=pltpu.VMEM)),
+                (b_k, pl.BlockSpec(memory_space=pltpu.VMEM)),
+            ],
+            out_shapes=(
+                jax.ShapeDtypeStruct((q, n), emb_pad.dtype),
+                jax.ShapeDtypeStruct((q, n), jnp.int32),
+            ),
+            out_specs=(
+                pl.BlockSpec((tile, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            q_total=q, eds=eds, lv=lv, f=f)
+        pooled.append(p.reshape(b_sz, R, n))
+        idxs.append(ix.reshape(b_sz, R, n))
+        n_off += n
+    return pooled, idxs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def conv_relu_maxpool_mxu(emb_pad, w_all, b_all, banks, R: int, eds: int):
+    """Engine 3: MXU-formulated Pallas forward AND backward (see the
+    module-section comment).  Same contract as :func:`conv_relu_maxpool`."""
+    pooled, _ = _mxu_forward(emb_pad, w_all, b_all, banks, R, eds)
+    return jnp.concatenate(pooled, axis=-1)
+
+
+def _mxu_vjp_fwd(emb_pad, w_all, b_all, banks, R, eds):
+    pooled, idxs = _mxu_forward(emb_pad, w_all, b_all, banks, R, eds)
+    return jnp.concatenate(pooled, axis=-1), (emb_pad, w_all, pooled, idxs)
+
+
+def _mxu_vjp_bwd(banks, R, eds, res, d_pooled_cat):
+    emb_pad, w_all, pooled, idxs = res
+    maxf = max(f for _, f in banks)
+    b_sz, lp, e_dim = emb_pad.shape
+    L = lp - maxf + 1
+    q = b_sz * R
+    tile = min(q, _MXU_ROW_TILE)
+    xt = _as_xt(emb_pad, R, eds)
+
+    demb4 = jnp.zeros((b_sz, lp, R, eds), jnp.float32)
+    dw = jnp.zeros((w_all.shape[0], w_all.shape[1]), jnp.float32)
+    db_parts = []
+    n_off = 0
+    for k, (n, f) in enumerate(banks):
+        lv = L - f + 1
+        dp_k = jax.lax.dynamic_slice_in_dim(d_pooled_cat, n_off, n, axis=2)
+        # relu mask + bias grad in XLA (elementwise on the small pooled
+        # tensors); the kernel consumes the masked cotangent directly
+        mask = pooled[k].astype(jnp.float32) > 0.0
+        dpm = jnp.where(mask, dp_k.astype(jnp.float32), 0.0)  # [B, R, n]
+        db_parts.append(jnp.sum(dpm, axis=(0, 1)))
+        w_t = jax.lax.dynamic_slice_in_dim(w_all, n_off, n, 0)[:, :f * eds].T
+        dw_k, dxs = _mxu_bank_call(
+            _mxu_bwd_kernel, xt,
+            extra_inputs=[
+                (w_t, pl.BlockSpec(memory_space=pltpu.VMEM)),
+                (idxs[k].reshape(q, n),
+                 pl.BlockSpec((tile, n), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)),
+                (dpm.reshape(q, n),
+                 pl.BlockSpec((tile, n), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)),
+            ],
+            out_shapes=(
+                jax.ShapeDtypeStruct((q // tile, f * eds, n), jnp.float32),
+                jax.ShapeDtypeStruct((lv, q, f * eds), jnp.float32),
+            ),
+            out_specs=(
+                pl.BlockSpec((1, f * eds, n), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((lv, tile, f * eds), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            q_total=q, eds=eds, lv=lv, f=f)
+        dw_bank = jnp.sum(dw_k, axis=0)                     # [f·eds, n]
+        dw_bank = jnp.pad(dw_bank.T, ((0, 0), (0, (maxf - f) * eds)))
+        dw = jax.lax.dynamic_update_slice_in_dim(dw, dw_bank, n_off, axis=0)
+        # overlap-add the per-timestep tap grads into d_emb: DXS[t, q, j·eds
+        # + e] lands at emb_pad[b, t + j, r, e] — f shifted adds in XLA
+        dxs5 = (dxs.reshape(lv, b_sz, R, f, eds)
+                .transpose(1, 0, 2, 3, 4))                  # [B, lv, R, f, e]
+        for j in range(f):
+            demb4 = demb4.at[:, j:j + lv].add(dxs5[:, :, :, j, :])
+        n_off += n
+    db = jnp.concatenate(db_parts).astype(w_all.dtype)
+    demb = demb4.reshape(b_sz, lp, e_dim)
+    return demb.astype(emb_pad.dtype), dw.astype(w_all.dtype), db
+
+
+conv_relu_maxpool_mxu.defvjp(_mxu_vjp_fwd, _mxu_vjp_bwd)

@@ -119,10 +119,14 @@ def _use_conv_kernel(config: Config) -> str:
     """Select the disc conv engine (kernels/disc_conv.py) — all
     numerics-equivalent (gradient-tested):
 
-      GIC_DISC_KERNEL=1 → 'pallas' (Pallas forward + backward)
-      GIC_DISC_KERNEL=2 → 'hybrid' (XLA conv forward + Pallas backward —
-                          fastest measured: 102.9 vs 90.0 steps/s on the
-                          kernel-decode adversarial step; bench default)
+      GIC_DISC_KERNEL=1 → 'pallas' (register-blocked Pallas fwd + bwd)
+      GIC_DISC_KERNEL=2 → 'hybrid' (XLA conv forward + Pallas backward)
+      GIC_DISC_KERNEL=3 → 'mxu' (MXU-matmul Pallas fwd + bwd — the conv
+                          maps never touch HBM and the tap loops ride the
+                          MXU; fastest measured: 114.2-114.7 vs 101.9-104.0
+                          steps/s hybrid, 3/3 interleaved reps on the
+                          flagship adv step — bench default; falls back
+                          to 'hybrid' under a data mesh / odd row counts)
       unset/0           → '' (pure XLA path; reference-parity default for
                           training runs)
     """
@@ -135,6 +139,8 @@ def _use_conv_kernel(config: Config) -> str:
         return "pallas"
     if env == "2" and kernel_supported(config.emb_dim_single):
         return "hybrid"   # XLA conv forward + Pallas backward
+    if env == "3" and kernel_supported(config.emb_dim_single):
+        return "mxu"      # MXU-matmul Pallas forward + backward
     return ""
 
 

@@ -152,3 +152,87 @@ def test_hybrid_matches_xla(monkeypatch):
     np.testing.assert_allclose(float(l0), float(l2), rtol=1e-5)
     jax.tree_util.tree_map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=1e-5), g0, g2)
+
+
+# ------------------------------------------------------------- mxu engine
+
+MXU_CONFIGS = [CONFIGS[0], CONFIGS[2]]  # B·R % 8 == 0 at B ∈ {2, 3, 4}
+
+
+@pytest.mark.parametrize("overrides", MXU_CONFIGS)
+def test_mxu_matches_xla_forward(overrides):
+    config = Config(vocab_size=50, **overrides)
+    params = disc.init_discriminator_params(jax.random.PRNGKey(0), config)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(1), (3, config.seq_len, config.disc_embed_dim))
+    ref = np.asarray(jnp_pooled(params, emb, config))
+    out = pooled_features(params["convs"], emb, config.emb_dim_single,
+                          impl="mxu")
+    out = np.asarray(out.reshape(-1, config.disc_feature_dim))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("overrides", MXU_CONFIGS)
+def test_mxu_matches_xla_gradients(overrides):
+    config = Config(vocab_size=50, **overrides)
+    params = disc.init_discriminator_params(jax.random.PRNGKey(2), config)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(3), (4, config.seq_len, config.disc_embed_dim))
+    probe = jax.random.normal(
+        jax.random.PRNGKey(4),
+        (4 * config.disc_num_rep, config.disc_feature_dim))
+
+    def loss(convs, emb, impl):
+        out = pooled_features(convs, emb, config.emb_dim_single, impl=impl)
+        return jnp.sum(out.reshape(-1, config.disc_feature_dim) * probe)
+
+    v_r, g_r = jax.value_and_grad(loss, argnums=(0, 1))(
+        params["convs"], emb, "hybrid")
+    v_k, g_k = jax.value_and_grad(loss, argnums=(0, 1))(
+        params["convs"], emb, "mxu")
+    np.testing.assert_allclose(float(v_k), float(v_r), rtol=1e-5)
+    flat_r, _ = jax.tree_util.tree_flatten(g_r)
+    flat_k, _ = jax.tree_util.tree_flatten(g_k)
+    for a, b in zip(flat_k, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_mxu_env_routing_full_disc(monkeypatch):
+    """GIC_DISC_KERNEL=3 routes apply() through the mxu engine with the
+    same values and d-gradients as the pure-XLA path."""
+    config = Config(vocab_size=64, disc_embed_dim=16, disc_num_rep=8,
+                    max_seq_len=7, disc_filter_sizes=(2, 3, 4),
+                    disc_num_filters=(4, 5, 6))
+    params = disc.init_discriminator_params(jax.random.PRNGKey(2), config)
+    emb = jax.random.normal(jax.random.PRNGKey(3), (3, config.seq_len, 16))
+
+    def run(env):
+        monkeypatch.setenv("GIC_DISC_KERNEL", env)
+
+        def loss(p):
+            return jnp.sum(disc.conv_pooled(p, emb, config) ** 2)
+
+        return jax.value_and_grad(loss)(params)
+
+    l0, g0 = run("")
+    l3, g3 = run("3")
+    np.testing.assert_allclose(float(l0), float(l3), rtol=1e-5)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), g0, g3)
+
+
+def test_mxu_odd_rows_falls_back():
+    """B·R not divisible by 8 → the mxu branch silently uses the hybrid
+    engine (same numerics, no crash)."""
+    config = Config(vocab_size=50, disc_embed_dim=24, disc_num_rep=6,
+                    disc_filter_sizes=(3, 5), disc_num_filters=(4, 8),
+                    max_seq_len=10)
+    params = disc.init_discriminator_params(jax.random.PRNGKey(0), config)
+    emb = jax.random.normal(
+        jax.random.PRNGKey(1), (3, config.seq_len, config.disc_embed_dim))
+    ref = np.asarray(jnp_pooled(params, emb, config))
+    out = pooled_features(params["convs"], emb, config.emb_dim_single,
+                          impl="mxu")
+    out = np.asarray(out.reshape(-1, config.disc_feature_dim))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
