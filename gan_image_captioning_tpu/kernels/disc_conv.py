@@ -360,10 +360,14 @@ def pooled_features(convs, emb, eds: int, impl: str = "pallas"):
     r = emb.shape[-1] // eds
     emb_pad = jnp.pad(emb, ((0, 0), (0, maxf - 1), (0, 0)))
     if impl == "mxu":
-        # v1 scope: the mxu engine is single-shard (its XT layout mixes the
-        # batch into matmul rows); under an installed data mesh fall back to
-        # the per-batch-grid hybrid engine, which shard_maps cleanly.
-        if _data_mesh() is None and _mxu_rows_ok(emb.shape[0], r):
+        # XT columns are batch-major, so a data mesh shard_maps the bank
+        # calls per-shard (see _mxu_bank_call); the row-alignment check
+        # applies to each shard's local rows.  Anything else (odd per-shard
+        # row counts, batch not divisible) falls back to the hybrid engine.
+        mesh = _data_mesh()
+        shards = 1 if mesh is None else mesh.shape["data"]
+        if emb.shape[0] % shards == 0 and _mxu_rows_ok(
+                emb.shape[0] // shards, r):
             return conv_relu_maxpool_mxu(emb_pad, w_all, b_all, banks, r,
                                          eds)
         impl = "hybrid"
@@ -509,34 +513,61 @@ def _as_xt(emb_pad, R, eds):
             .transpose(1, 3, 0, 2).reshape(lp * eds, b_sz * R))
 
 
-def _mxu_bank_call(kern_fn, xt, extra_inputs, out_shapes, out_specs,
-                   q_total, *, eds, lv, f):
+def _mxu_bank_call(kern_fn, xt, extras, out_builder, out_pspecs, *,
+                   eds, lv, f):
     """pallas_call plumbing for one MXU bank: grid over row (column-of-XT)
     tiles; the bwd dW output is PER-TILE partials (leading grid dim) summed
-    by the caller — no cross-tile accumulation state."""
-    tile = min(q_total, _MXU_ROW_TILE)
-    grid = q_total // tile
+    by the caller — no cross-tile accumulation state.
 
-    return pl.pallas_call(
-        functools.partial(kern_fn, lv=lv, eds=eds, f=f),
-        grid=(grid,),
-        in_specs=[pl.BlockSpec((xt.shape[0], tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)]
-        + [spec for _, spec in extra_inputs],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=96 * 1024 * 1024),
-        interpret=_interpret(),
-    )(xt, *[arr for arr, _ in extra_inputs])
+    Under an installed data mesh (``decode_sample.set_mesh``) the call is
+    ``shard_map``-ped over XT's column axis — columns are batch-major
+    ``(b·R + r)`` rows, so a data shard's columns are exactly its batch
+    rows' and each shard runs the identical kernel locally; cross-shard
+    reductions (the dW partial sums) happen OUTSIDE in GSPMD land.
+
+    ``extras``: (array, shard_pspec, block_spec_builder) triples —
+    ``block_spec_builder(tile)`` returns the BlockSpec, or None for a
+    whole-array VMEM spec.  ``out_builder(q_local, tile, grid)`` returns
+    (out_shapes, out_specs) for the local call; ``out_pspecs`` are the
+    shard_map output partition specs."""
+
+    def _invoke(xt_, *arrs):
+        q_l = xt_.shape[1]
+        tile = min(q_l, _MXU_ROW_TILE)
+        grid = q_l // tile
+        out_shapes, out_specs = out_builder(q_l, tile, grid)
+        return pl.pallas_call(
+            functools.partial(kern_fn, lv=lv, eds=eds, f=f),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((xt_.shape[0], tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)]
+            + [(pl.BlockSpec(memory_space=pltpu.VMEM) if build is None
+                else build(tile)) for _, _, build in extras],
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=96 * 1024 * 1024),
+            interpret=_interpret(),
+        )(xt_, *arrs)
+
+    arrs = [a for a, _, _ in extras]
+    mesh = _data_mesh()
+    if mesh is None:
+        return _invoke(xt, *arrs)
+
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = (P(None, "data"),) + tuple(ps for _, ps, _ in extras)
+    return jax.shard_map(_invoke, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_pspecs, check_vma=False)(xt, *arrs)
 
 
 def _mxu_forward(emb_pad, w_all, b_all, banks, R, eds):
+    from jax.sharding import PartitionSpec as P
+
     maxf = max(f for _, f in banks)
     b_sz, lp, _ = emb_pad.shape
     L = lp - maxf + 1
-    q = b_sz * R
-    tile = min(q, _MXU_ROW_TILE)
     xt = _as_xt(emb_pad, R, eds)
     pooled, idxs = [], []
     n_off = 0
@@ -544,23 +575,22 @@ def _mxu_forward(emb_pad, w_all, b_all, banks, R, eds):
         lv = L - f + 1
         w_t = jax.lax.dynamic_slice_in_dim(w_all, n_off, n, 0)[:, :f * eds].T
         b_k = jax.lax.dynamic_slice_in_dim(b_all, n_off, n, 0)[None, :]
+
+        def out_builder(q_l, tile, grid, n=n):
+            return ((jax.ShapeDtypeStruct((q_l, n), emb_pad.dtype),
+                     jax.ShapeDtypeStruct((q_l, n), jnp.int32)),
+                    (pl.BlockSpec((tile, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((tile, n), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)))
+
         p, ix = _mxu_bank_call(
             _mxu_fwd_kernel, xt,
-            extra_inputs=[
-                (w_t, pl.BlockSpec(memory_space=pltpu.VMEM)),
-                (b_k, pl.BlockSpec(memory_space=pltpu.VMEM)),
-            ],
-            out_shapes=(
-                jax.ShapeDtypeStruct((q, n), emb_pad.dtype),
-                jax.ShapeDtypeStruct((q, n), jnp.int32),
-            ),
-            out_specs=(
-                pl.BlockSpec((tile, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, n), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            q_total=q, eds=eds, lv=lv, f=f)
+            extras=[(w_t, P(None, None), None),
+                    (b_k, P(None, None), None)],
+            out_builder=out_builder,
+            out_pspecs=(P("data", None), P("data", None)),
+            eds=eds, lv=lv, f=f)
         pooled.append(p.reshape(b_sz, R, n))
         idxs.append(ix.reshape(b_sz, R, n))
         n_off += n
@@ -581,12 +611,13 @@ def _mxu_vjp_fwd(emb_pad, w_all, b_all, banks, R, eds):
 
 
 def _mxu_vjp_bwd(banks, R, eds, res, d_pooled_cat):
+    from jax.sharding import PartitionSpec as P
+
     emb_pad, w_all, pooled, idxs = res
     maxf = max(f for _, f in banks)
     b_sz, lp, e_dim = emb_pad.shape
     L = lp - maxf + 1
     q = b_sz * R
-    tile = min(q, _MXU_ROW_TILE)
     xt = _as_xt(emb_pad, R, eds)
 
     demb4 = jnp.zeros((b_sz, lp, R, eds), jnp.float32)
@@ -602,28 +633,30 @@ def _mxu_vjp_bwd(banks, R, eds, res, d_pooled_cat):
         dpm = jnp.where(mask, dp_k.astype(jnp.float32), 0.0)  # [B, R, n]
         db_parts.append(jnp.sum(dpm, axis=(0, 1)))
         w_t = jax.lax.dynamic_slice_in_dim(w_all, n_off, n, 0)[:, :f * eds].T
+
+        def row_block(tile, n=n):
+            return pl.BlockSpec((tile, n), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        def out_builder(q_l, tile, grid, n=n, f=f, lv=lv):
+            return ((jax.ShapeDtypeStruct((grid, f * eds, n), jnp.float32),
+                     jax.ShapeDtypeStruct((lv, q_l, f * eds), jnp.float32)),
+                    (pl.BlockSpec((1, f * eds, n), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((lv, tile, f * eds), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)))
+
+        # dw_k is per-tile partials: under a mesh each shard contributes its
+        # grid's tiles on the leading dim; the axis-0 sum below reduces over
+        # tiles AND shards (GSPMD inserts the cross-shard psum).
         dw_k, dxs = _mxu_bank_call(
             _mxu_bwd_kernel, xt,
-            extra_inputs=[
-                (w_t, pl.BlockSpec(memory_space=pltpu.VMEM)),
-                (idxs[k].reshape(q, n),
-                 pl.BlockSpec((tile, n), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)),
-                (dpm.reshape(q, n),
-                 pl.BlockSpec((tile, n), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)),
-            ],
-            out_shapes=(
-                jax.ShapeDtypeStruct((q // tile, f * eds, n), jnp.float32),
-                jax.ShapeDtypeStruct((lv, q, f * eds), jnp.float32),
-            ),
-            out_specs=(
-                pl.BlockSpec((1, f * eds, n), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((lv, tile, f * eds), lambda i: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            q_total=q, eds=eds, lv=lv, f=f)
+            extras=[(w_t, P(None, None), None),
+                    (idxs[k].reshape(q, n), P("data", None), row_block),
+                    (dpm.reshape(q, n), P("data", None), row_block)],
+            out_builder=out_builder,
+            out_pspecs=(P("data", None, None), P(None, "data", None)),
+            eds=eds, lv=lv, f=f)
         dw_bank = jnp.sum(dw_k, axis=0)                     # [f·eds, n]
         dw_bank = jnp.pad(dw_bank.T, ((0, 0), (0, (maxf - f) * eds)))
         dw = jax.lax.dynamic_update_slice_in_dim(dw, dw_bank, n_off, axis=0)

@@ -125,8 +125,9 @@ def _use_conv_kernel(config: Config) -> str:
                           maps never touch HBM and the tap loops ride the
                           MXU; fastest measured: 114.2-114.7 vs 101.9-104.0
                           steps/s hybrid, 3/3 interleaved reps on the
-                          flagship adv step — bench default; falls back
-                          to 'hybrid' under a data mesh / odd row counts)
+                          flagship adv step — bench default; shard_maps
+                          over data meshes, falls back to 'hybrid' on
+                          unaligned per-shard row counts)
       unset/0           → '' (pure XLA path; reference-parity default for
                           training runs)
     """

@@ -40,7 +40,7 @@ def _batch(config):
             for k, v in make_batch(caps, None, config.seq_len).items()}
 
 
-@pytest.mark.parametrize("disc_kernel", ["0", "2"])
+@pytest.mark.parametrize("disc_kernel", ["0", "2", "3"])
 def test_sharded_kernel_step_equals_single_device(monkeypatch, disc_kernel):
     monkeypatch.setenv("GIC_KERNEL_INTERPRET", "1")
     monkeypatch.setenv("GIC_FUSE_EMBED", "1")
