@@ -522,6 +522,19 @@ def add_tpu_args(parser):
                         "weight grads; the rescore adds [T,B,V] "
                         "materializations and a second forward), so fused "
                         "stays the default (benchmarks/step_cost.py).")
+    g.add_argument("--disc-engine", type=str, default="auto",
+                   choices=["auto", "xla", "pallas", "hybrid", "mxu"],
+                   help="Discriminator conv/relu/maxpool engine "
+                        "(kernels/disc_conv.py; all numerics-equivalent, "
+                        "gradient-tested). 'auto' (default) = 'mxu' on "
+                        "TPU — the MXU-matmul Pallas fwd+bwd engine, "
+                        "fastest measured (+11%% full-step vs hybrid) — "
+                        "and plain XLA elsewhere. 'xla' forces the pure "
+                        "XLA path (bit-parity with the r1/r2 training "
+                        "default). The GIC_DISC_KERNEL env var (bench/"
+                        "test knob) overrides this flag. Pallas engines "
+                        "require the data-only kernel mesh when --mesh "
+                        "is set; otherwise they stay off.")
     g.add_argument("--skip-nonfinite-grads", type=int, default=0,
                    help="skip an optimizer update (params/opt-state/EMA "
                         "unchanged; counters still advance) when that "
@@ -650,6 +663,7 @@ class Config:
     use_pallas: str = "auto"
     quantize: str = "none"
     decode_impl: str = "fused"
+    disc_engine: str = "auto"
     cp_mode: str = "gspmd"
     pp_microbatches: int = 4
     zero1: bool = False

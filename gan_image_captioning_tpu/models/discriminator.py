@@ -128,21 +128,37 @@ def _use_conv_kernel(config: Config) -> str:
                           flagship adv step — bench default; shard_maps
                           over data meshes, falls back to 'hybrid' on
                           unaligned per-shard row counts)
-      unset/0           → '' (pure XLA path; reference-parity default for
-                          training runs)
+      unset/0           → '' (pure XLA path)
+
+    Without the env var, ``--disc-engine`` decides: 'auto' (default) picks
+    'mxu' on TPU and the pure-XLA path elsewhere (interpret-mode Pallas is
+    slow); explicit names force an engine.
+
+    Mesh guard: a Pallas engine inside a GSPMD-partitioned step is only
+    valid when the kernel shard_map mesh is installed
+    (``decode_sample.set_mesh`` — data-only meshes; GSPMD cannot partition
+    the opaque Mosaic custom-calls itself), so with ``--mesh`` configured
+    but no kernel mesh the engines stay off.
     """
     import os
 
+    import jax
+
+    from gan_image_captioning_tpu.kernels.decode_sample import _data_mesh
     from gan_image_captioning_tpu.kernels.disc_conv import kernel_supported
 
+    if not kernel_supported(config.emb_dim_single):
+        return ""
+    mesh_ok = not config.mesh or _data_mesh() is not None
     env = os.environ.get("GIC_DISC_KERNEL")
-    if env == "1" and kernel_supported(config.emb_dim_single):
-        return "pallas"
-    if env == "2" and kernel_supported(config.emb_dim_single):
-        return "hybrid"   # XLA conv forward + Pallas backward
-    if env == "3" and kernel_supported(config.emb_dim_single):
-        return "mxu"      # MXU-matmul Pallas forward + backward
-    return ""
+    if env is not None:
+        choice = {"1": "pallas", "2": "hybrid", "3": "mxu"}.get(env, "")
+    elif config.disc_engine == "auto":
+        choice = "mxu" if jax.default_backend() == "tpu" else ""
+    else:
+        choice = {"pallas": "pallas", "hybrid": "hybrid",
+                  "mxu": "mxu"}.get(config.disc_engine, "")
+    return choice if (choice and mesh_ok) else ""
 
 
 def conv_pooled(params: dict, emb, config: Config):

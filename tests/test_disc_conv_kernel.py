@@ -236,3 +236,63 @@ def test_mxu_odd_rows_falls_back():
                           impl="mxu")
     out = np.asarray(out.reshape(-1, config.disc_feature_dim))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+# -------------------------------------------------------- --disc-engine flag
+
+def test_disc_engine_flag_routing(monkeypatch):
+    """--disc-engine drives _use_conv_kernel when the env knob is unset;
+    GIC_DISC_KERNEL overrides the flag; 'auto' is XLA off-TPU; Pallas
+    engines require the kernel mesh when --mesh is configured."""
+    monkeypatch.delenv("GIC_DISC_KERNEL", raising=False)
+    base = dict(vocab_size=50, **CONFIGS[0])
+
+    # auto off-TPU (this suite runs on CPU) → pure XLA
+    assert disc._use_conv_kernel(Config(**base)) == ""
+    # explicit engines honored
+    for eng in ("pallas", "hybrid", "mxu"):
+        assert disc._use_conv_kernel(Config(disc_engine=eng, **base)) == eng
+    assert disc._use_conv_kernel(Config(disc_engine="xla", **base)) == ""
+    # env var wins over the flag
+    monkeypatch.setenv("GIC_DISC_KERNEL", "2")
+    assert disc._use_conv_kernel(
+        Config(disc_engine="mxu", **base)) == "hybrid"
+    monkeypatch.setenv("GIC_DISC_KERNEL", "0")
+    assert disc._use_conv_kernel(Config(disc_engine="mxu", **base)) == ""
+    # --mesh without an installed kernel mesh → engines off (GSPMD cannot
+    # partition the opaque Mosaic custom-calls)
+    monkeypatch.delenv("GIC_DISC_KERNEL", raising=False)
+    meshed = Config(disc_engine="mxu", mesh="data:4", **base)
+    assert disc._use_conv_kernel(meshed) == ""
+    from gan_image_captioning_tpu.kernels import decode_sample as dsk
+    from gan_image_captioning_tpu.parallel.mesh import make_mesh
+
+    dsk.set_mesh(make_mesh("data:4", devices=jax.devices()[:4]))
+    try:
+        assert disc._use_conv_kernel(meshed) == "mxu"
+    finally:
+        dsk.set_mesh(None)
+
+
+def test_disc_engine_flag_e2e(monkeypatch):
+    """Config(disc_engine='mxu') produces the same values/gradients as the
+    pure-XLA default through the full discriminator apply path."""
+    monkeypatch.delenv("GIC_DISC_KERNEL", raising=False)
+    base = dict(vocab_size=64, disc_embed_dim=16, disc_num_rep=8,
+                max_seq_len=7, disc_filter_sizes=(2, 3, 4),
+                disc_num_filters=(4, 5, 6))
+    params = disc.init_discriminator_params(
+        jax.random.PRNGKey(2), Config(**base))
+    emb = jax.random.normal(jax.random.PRNGKey(3), (3, Config(**base).seq_len, 16))
+
+    def run(config):
+        def loss(p):
+            return jnp.sum(disc.conv_pooled(p, emb, config) ** 2)
+
+        return jax.value_and_grad(loss)(params)
+
+    l0, g0 = run(Config(disc_engine="xla", **base))
+    l1, g1 = run(Config(disc_engine="mxu", **base))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    jax.tree_util.tree_map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), g0, g1)
