@@ -40,7 +40,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        os.environ.setdefault("GIC_DISC_KERNEL", "2")
+        os.environ.setdefault("GIC_DISC_KERNEL", "3")
         os.environ.setdefault("GIC_BF16_MU", "1")
     gumbel_ops.set_use_pallas(on_tpu)
 

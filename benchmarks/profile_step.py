@@ -74,7 +74,7 @@ def main():
     setup()
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
-        os.environ.setdefault("GIC_DISC_KERNEL", "2")   # bench defaults
+        os.environ.setdefault("GIC_DISC_KERNEL", "3")   # bench defaults
         os.environ.setdefault("GIC_BF16_MU", "1")
     variants = os.environ.get(
         "GIC_PROFILE_VARIANTS",

@@ -12,8 +12,15 @@ Here each batch is ONE compiled XLA program:
 * :func:`make_adv_step` — the "single fused G-step/D-step adversarial
   update": Gumbel sample + D(real)/D(fake)/D(gen) + both gradients + both
   Adam updates in one program (reference ``training.py:144-169``).  The
-  shared sample/discriminator forward subgraphs are CSE'd by XLA across the
-  two gradient computations.
+  forward (sample + three discriminator passes) runs ONCE: a single
+  ``jax.vjp`` over the joint ``(g_loss, d_loss)`` output is pulled back
+  twice with one-hot cotangents (``(1,0)`` → generator grads, ``(0,1)`` →
+  discriminator grads).  The older two-closure structure relied on XLA CSE
+  to merge the two identical forwards, which holds for pure-XLA graphs but
+  NOT for Pallas custom-calls (Mosaic kernels never CSE) — a real-chip
+  trace showed the decode kernel and the disc-conv bank kernels each
+  executing twice per step (`GIC_SINGLE_FWD=0` restores that structure
+  for A/B).
 * ``disc_train_freq`` (parsed-but-dead in the reference, ``args.py:155-158``)
   is honored via ``lax.cond``: the discriminator updates on every k-th
   generator step, reproducing the report's Table 2 G:D-ratio experiments.
@@ -331,16 +338,40 @@ def _fuse_embed_active(config: Config) -> bool:
     return fuse_embed_available()
 
 
+def _single_forward_active(config: Config) -> bool:
+    """Whether the adversarial step computes both gradients from ONE shared
+    forward (``jax.vjp`` pulled back twice) instead of two closures.
+
+    Default ON except for the paths whose *forward itself* depends on which
+    side is being differentiated: the fused sample→disc-embed kernel
+    (``grad_side`` selects which cotangents its manual VJP materializes) and
+    REINFORCE (its own losses function).  ``GIC_SINGLE_FWD=0/1`` overrides
+    — 0 is the two-closure A/B reference structure."""
+    import os
+
+    v = os.environ.get("GIC_SINGLE_FWD")
+    if v is not None:
+        return v == "1"
+    return (config.adv_objective != "reinforce"
+            and not _fuse_embed_active(config))
+
+
 def adv_losses(config: Config, gen_params, disc_params, batch, rng,
                temperature, train: bool, grad_side: str = "gen"):
     """One adversarial forward: Gumbel sample + the reference's three
     discriminator passes (``training.py:150-165``).
 
     ``grad_side`` (static) names which parameter set the CALLER is about to
-    differentiate — "gen" or "disc".  It changes nothing about the values
-    computed; the fused sample→disc-embed kernel path uses it to pick which
-    cotangents its manual backward materializes (the forward programs are
-    identical and CSE into one kernel execution).
+    differentiate — "gen", "disc", or "both".  It changes nothing about the
+    values computed.  "gen"/"disc": the fused sample→disc-embed kernel path
+    uses it to pick which cotangents its manual backward materializes (the
+    forward programs are identical and CSE into one kernel execution).
+    "both" (the single-forward step, `_single_forward_grads`): the
+    gradient-irrelevant cross-terms are cut with ``stop_gradient`` — the
+    gen pass runs with stopped disc params and ``g_loss`` reads a stopped
+    ``d_real`` — so that ``∇(g_loss + d_loss)`` over ``(gen, disc)`` params
+    equals the two per-loss gradients exactly (``∂g_loss/∂disc`` and
+    ``∂d_loss/∂gen`` are both structurally zero by construction).
 
     Returns ``(g_loss, d_loss, aux)``.
 
@@ -418,11 +449,19 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
         # on v5e than letting XLA schedule the three passes — the big
         # [3B, L, V] @ [V, E] embedding matmul and conv pads lay out worse
         # than three smaller ones.
+        #
+        # grad_side="both": the gen pass runs with STOPPED disc params, so
+        # one ∇(g_loss + d_loss) pull yields both exact gradient sets —
+        # g_loss reaches the generator only through `soft` here, and the
+        # stopped d_real below keeps rsgan's g_loss out of the disc grads.
+        disc_params_g = (jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                                disc_params_c)
+                         if grad_side == "both" else disc_params_c)
         d_real = api.discriminator_apply(disc_params_c, captions, config,
                                          rng_d1, train).astype(jnp.float32)
         d_fake = api.discriminator_apply(disc_params_c, fake, config, rng_d2,
                                          train).astype(jnp.float32)
-        g_out = api.discriminator_apply(disc_params_c, soft, config, rng_d3,
+        g_out = api.discriminator_apply(disc_params_g, soft, config, rng_d3,
                                         train).astype(jnp.float32)
 
     if config.noisy_labels > 0.0 and train:
@@ -436,7 +475,9 @@ def adv_losses(config: Config, gen_params, disc_params, batch, rng,
     real_label = 1.0 - config.label_smoothing
     _, d_loss = gan_losses(d_real_in, d_fake_in, g_out, config.adv_loss_type,
                            real_label=real_label, weights=w)
-    g_loss, _ = gan_losses(d_real, g_out, g_out, config.adv_loss_type,
+    d_real_g = (jax.lax.stop_gradient(d_real) if grad_side == "both"
+                else d_real)
+    g_loss, _ = gan_losses(d_real_g, g_out, g_out, config.adv_loss_type,
                            real_label=real_label, weights=w)
     aux = {"gen_ids": gen_ids, "new_stats": new_stats,
            "d_real_mean": jnp.mean(d_real), "d_fake_mean": jnp.mean(d_fake)}
@@ -459,8 +500,12 @@ def make_adv_step(config: Config, _raw: bool = False):
     accum = max(1, int(config.grad_accum))
 
     def both_grads(state, batch, rng_step, temperature):
-        """g-grads, d-grads and scalar aux for ONE (micro)batch — the
-        original fused body."""
+        """g-grads, d-grads and scalar aux for ONE (micro)batch."""
+        if _single_forward_active(config):
+            return _single_forward_grads(state, batch, rng_step, temperature)
+
+        # Two-closure structure (GIC_SINGLE_FWD=0, and the fuse-embed /
+        # REINFORCE paths whose forward depends on grad_side).
 
         # Generator gradient: g_loss as a function of gen params only.
         def g_loss_fn(gp):
@@ -471,7 +516,8 @@ def make_adv_step(config: Config, _raw: bool = False):
 
         # Discriminator gradient: d_loss as a function of disc params only
         # (the sample inside is constant wrt dp → XLA CSEs it with the
-        # g-grad's identical forward, same rng).
+        # g-grad's identical forward, same rng — for pure-XLA graphs; the
+        # Pallas custom-call paths duplicate, hence _single_forward_grads).
         def d_loss_fn(dp):
             _, d_loss, _ = adv_losses(config, state.gen_params, dp, batch,
                                       rng_step, temperature, train=True,
@@ -481,6 +527,48 @@ def make_adv_step(config: Config, _raw: bool = False):
         (g_loss, aux), g_grads = _grad_boundary(
             config, g_loss_fn, state.gen_params, has_aux=True)
         d_loss, d_grads = _grad_boundary(config, d_loss_fn, state.disc_params)
+        return g_loss, d_loss, g_grads, d_grads, aux
+
+    def _single_forward_grads(state, batch, rng_step, temperature):
+        """Both gradients from ONE forward: ``jax.vjp`` over the joint
+        ``(g_loss, d_loss)`` output, pulled back twice with one-hot
+        cotangents.  Values and gradients are mathematically identical to
+        the two-closure structure (same functions, same PRNG streams); the
+        difference is purely structural — the sample and the three
+        discriminator passes exist once in the program, so Pallas
+        custom-calls (which XLA never CSEs) execute once.  The discarded
+        cross-terms are cheap: ``∂d_loss/∂gen`` is structurally zero
+        (``fake = stop_gradient(soft)``, training.py:151 semantics) and
+        ``∂g_loss/∂disc``'s only non-DCE'd extra work is weight-grad
+        outputs the bank kernels compute alongside the needed ``dX``
+        anyway."""
+        bf16_g = _bf16_grads(config)
+        gp, dp = state.gen_params, state.disc_params
+        if bf16_g:
+            cfg_b = config.replace(dtype="bfloat16")
+            gp_in, dp_in = _compute_cast(cfg_b, gp, dp)
+        else:
+            gp_in, dp_in = gp, dp
+
+        def joint(gp_, dp_):
+            g_loss, d_loss, aux = adv_losses(config, gp_, dp_, batch,
+                                             rng_step, temperature,
+                                             train=True, grad_side="gen")
+            return (g_loss, d_loss), aux
+
+        ((g_loss, d_loss), vjp_fn, aux) = jax.vjp(joint, gp_in, dp_in,
+                                                  has_aux=True)
+        one = jnp.ones_like(g_loss)
+        zero = jnp.zeros_like(g_loss)
+        g_grads, _ = vjp_fn((one, zero))
+        _, d_grads = vjp_fn((zero, one))
+        if bf16_g:
+            g_grads = jax.tree_util.tree_map(
+                lambda g, p: g.astype(p.dtype) if hasattr(g, "dtype") else g,
+                g_grads, gp)
+            d_grads = jax.tree_util.tree_map(
+                lambda g, p: g.astype(p.dtype) if hasattr(g, "dtype") else g,
+                d_grads, dp)
         return g_loss, d_loss, g_grads, d_grads, aux
 
     def step(state: TrainState, batch: Dict[str, Any], temperature):
