@@ -26,8 +26,9 @@ import jax.numpy as jnp
 ITERS = int(os.environ.get("GIC_BENCH_ITERS", "40"))
 WARMUP = int(os.environ.get("GIC_BENCH_WARMUP", "3"))
 REPS = int(os.environ.get("GIC_AB_REPS", "3"))
-VARIANTS = os.environ.get("GIC_AB_VARIANTS", "0,1").split(",")
-NAMES = {"0": "two-closure", "1": "single-forward"}
+VARIANTS = os.environ.get("GIC_AB_VARIANTS", "0,2,1").split(",")
+NAMES = {"0": "two-closure", "1": "single-fwd-joint-pullback",
+         "2": "single-fwd-two-pullbacks"}
 
 
 def build(flag: str):

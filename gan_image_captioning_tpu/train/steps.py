@@ -35,6 +35,7 @@ Batches are dicts with static structure:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
@@ -340,18 +341,18 @@ def _fuse_embed_active(config: Config) -> bool:
 
 def _single_forward_active(config: Config) -> bool:
     """Whether the adversarial step computes both gradients from ONE shared
-    forward (``jax.vjp`` pulled back twice) instead of two closures.
+    forward (``jax.vjp``, single joint pullback) instead of two closures.
 
     Default ON except for the paths whose *forward itself* depends on which
     side is being differentiated: the fused sample→disc-embed kernel
     (``grad_side`` selects which cotangents its manual VJP materializes) and
-    REINFORCE (its own losses function).  ``GIC_SINGLE_FWD=0/1`` overrides
-    — 0 is the two-closure A/B reference structure."""
-    import os
-
+    REINFORCE (its own losses function).  ``GIC_SINGLE_FWD`` overrides:
+    0 = two-closure A/B reference structure, 1 = single forward + single
+    joint pullback (default), 2 = single forward + two pullbacks (the r3c6
+    structure, kept for A/B)."""
     v = os.environ.get("GIC_SINGLE_FWD")
     if v is not None:
-        return v == "1"
+        return v in ("1", "2")
     return (config.adv_objective != "reinforce"
             and not _fuse_embed_active(config))
 
@@ -530,18 +531,25 @@ def make_adv_step(config: Config, _raw: bool = False):
         return g_loss, d_loss, g_grads, d_grads, aux
 
     def _single_forward_grads(state, batch, rng_step, temperature):
-        """Both gradients from ONE forward: ``jax.vjp`` over the joint
-        ``(g_loss, d_loss)`` output, pulled back twice with one-hot
-        cotangents.  Values and gradients are mathematically identical to
-        the two-closure structure (same functions, same PRNG streams); the
-        difference is purely structural — the sample and the three
-        discriminator passes exist once in the program, so Pallas
-        custom-calls (which XLA never CSEs) execute once.  The discarded
-        cross-terms are cheap: ``∂d_loss/∂gen`` is structurally zero
-        (``fake = stop_gradient(soft)``, training.py:151 semantics) and
-        ``∂g_loss/∂disc``'s only non-DCE'd extra work is weight-grad
-        outputs the bank kernels compute alongside the needed ``dX``
-        anyway."""
+        """Both gradients from ONE forward AND one backward: ``jax.vjp``
+        over the joint ``(g_loss, d_loss)`` output, pulled back once with
+        cotangent ``(1, 1)``.  Values and gradients are mathematically
+        identical to the two-closure structure (same functions, same PRNG
+        streams); the difference is purely structural — the sample, the
+        three discriminator passes AND their backward custom-calls exist
+        once in the program (XLA never CSEs Mosaic custom-calls, so any
+        duplicated pullback re-executes every Pallas kernel).
+
+        Exactness of the joint pullback: ``adv_losses(grad_side="both")``
+        cuts both cross-terms structurally — ``fake = stop_gradient(soft)``
+        makes ``∂d_loss/∂gen ≡ 0`` (training.py:151 semantics) and the gen
+        pass runs with stopped disc params (plus a stopped ``d_real`` in
+        ``g_loss``) so ``∂g_loss/∂disc ≡ 0``.  Hence
+        ``∇(g_loss + d_loss) = (∇_gen g_loss, ∇_disc d_loss)`` exactly
+        (tests/test_single_forward.py pins bit-parity vs two-closure).
+
+        ``GIC_SINGLE_FWD=2`` keeps the r3c6 two-pullback variant (one
+        forward, duplicated backward) for A/B."""
         bf16_g = _bf16_grads(config)
         gp, dp = state.gen_params, state.disc_params
         if bf16_g:
@@ -549,19 +557,24 @@ def make_adv_step(config: Config, _raw: bool = False):
             gp_in, dp_in = _compute_cast(cfg_b, gp, dp)
         else:
             gp_in, dp_in = gp, dp
+        two_pull = os.environ.get("GIC_SINGLE_FWD") == "2"
+        side = "gen" if two_pull else "both"
 
         def joint(gp_, dp_):
             g_loss, d_loss, aux = adv_losses(config, gp_, dp_, batch,
                                              rng_step, temperature,
-                                             train=True, grad_side="gen")
+                                             train=True, grad_side=side)
             return (g_loss, d_loss), aux
 
         ((g_loss, d_loss), vjp_fn, aux) = jax.vjp(joint, gp_in, dp_in,
                                                   has_aux=True)
         one = jnp.ones_like(g_loss)
-        zero = jnp.zeros_like(g_loss)
-        g_grads, _ = vjp_fn((one, zero))
-        _, d_grads = vjp_fn((zero, one))
+        if two_pull:
+            zero = jnp.zeros_like(g_loss)
+            g_grads, _ = vjp_fn((one, zero))
+            _, d_grads = vjp_fn((zero, one))
+        else:
+            g_grads, d_grads = vjp_fn((one, one))
         if bf16_g:
             g_grads = jax.tree_util.tree_map(
                 lambda g, p: g.astype(p.dtype) if hasattr(g, "dtype") else g,

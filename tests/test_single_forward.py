@@ -65,16 +65,21 @@ def _one_step(config, batch, flag, env=()):
 
 
 def _assert_same(config, batch, env=(), atol=0.0):
+    # "0" two-closure reference, "1" joint single pullback (default),
+    # "2" two pullbacks (the r3c6 structure) — all three must agree.
     m0, p0 = _one_step(config, batch, "0", env)
-    m1, p1 = _one_step(config, batch, "1", env)
-    for k in m0:
-        np.testing.assert_allclose(np.asarray(m0[k]), np.asarray(m1[k]),
-                                   rtol=0, atol=atol, err_msg=k)
-    for a, b in zip(jax.tree_util.tree_leaves(p0),
-                    jax.tree_util.tree_leaves(p1)):
-        np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(b, np.float32),
-                                   rtol=0, atol=atol)
+    for flag in ("1", "2"):
+        m1, p1 = _one_step(config, batch, flag, env)
+        for k in m0:
+            np.testing.assert_allclose(np.asarray(m0[k]), np.asarray(m1[k]),
+                                       rtol=0, atol=atol,
+                                       err_msg=f"{k} (mode {flag})")
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=0, atol=atol,
+                                       err_msg=f"mode {flag}")
 
 
 def test_default_active():
