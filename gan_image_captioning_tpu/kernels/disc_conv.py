@@ -47,6 +47,7 @@ the backward's only residuals are the pooled values and argmax indices.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -505,6 +506,36 @@ def _mxu_bwd_kernel(xt_ref, w_ref, idx_ref, dpm_ref, dw_ref, dxs_ref, *,
     dw_ref[...] = dw
 
 
+def _mxu_bwd_dx_kernel(xt_ref, w_ref, idx_ref, dpm_ref, dw_ref, dx_ref, *,
+                       lv, eds, f):
+    """dW (row-reduced) + overlap-added input gradient DX in XT layout.
+
+    Instead of emitting the per-timestep tap tensor DXS [lv, Q, f·eds]
+    (f× the input's bytes, which XLA then layout-copies and overlap-adds
+    outside — the dominant `copy` phase in the flagship trace), the tap
+    gradients are accumulated HERE into ``DX[lp·eds, Q]`` — rows
+    ``t·eds … t·eds + f·eds`` receive ``w · dcᵀ`` per valid t.  The output
+    is the exact transpose layout of XT, so the caller inverts `_as_xt`
+    with one small transpose and the f shifted adds disappear."""
+    w = w_ref[...].astype(jnp.float32)                      # [f·eds, n]
+    idx = idx_ref[...]
+    dpm = dpm_ref[...].astype(jnp.float32)                  # [Q, n] masked
+    dw = jnp.zeros(dw_ref.shape, jnp.float32)
+    dx_ref[...] = jnp.zeros(dx_ref.shape, jnp.float32)
+    for t in range(lv):
+        dc = jnp.where(idx == t, dpm, 0.0)                  # [Q, n]
+        xs = xt_ref[t * eds:t * eds + f * eds, :].astype(jnp.float32)
+        dw = dw + jax.lax.dot_general(
+            xs, dc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [f·eds, n]
+        dxt = jax.lax.dot_general(
+            w, dc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [f·eds, Q]
+        dx_ref[t * eds:t * eds + f * eds, :] = (
+            dx_ref[t * eds:t * eds + f * eds, :] + dxt)
+    dw_ref[...] = dw
+
+
 def _as_xt(emb_pad, R, eds):
     """[B, Lp, E] → XT [Lp·eds, B·R] (time-major/eds-minor rows, b-major
     columns) — one small XLA transpose (~0.7 MB at flagship shapes)."""
@@ -610,6 +641,15 @@ def _mxu_vjp_fwd(emb_pad, w_all, b_all, banks, R, eds):
     return jnp.concatenate(pooled, axis=-1), (emb_pad, w_all, pooled, idxs)
 
 
+def _dx_in_kernel() -> bool:
+    """In-kernel overlap-add backward (default): the bank kernel emits the
+    input gradient already accumulated in XT layout instead of the f×-bigger
+    per-timestep DXS tensor (whose XLA-side layout copies + shifted adds
+    were ~1 ms of the flagship step).  ``GIC_MXU_DX=0`` restores the DXS
+    variant for A/B."""
+    return os.environ.get("GIC_MXU_DX", "1") == "1"
+
+
 def _mxu_vjp_bwd(banks, R, eds, res, d_pooled_cat):
     from jax.sharding import PartitionSpec as P
 
@@ -619,8 +659,10 @@ def _mxu_vjp_bwd(banks, R, eds, res, d_pooled_cat):
     L = lp - maxf + 1
     q = b_sz * R
     xt = _as_xt(emb_pad, R, eds)
+    dx_kernel = _dx_in_kernel()
 
     demb4 = jnp.zeros((b_sz, lp, R, eds), jnp.float32)
+    dxt_sum = jnp.zeros((lp * eds, q), jnp.float32)
     dw = jnp.zeros((w_all.shape[0], w_all.shape[1]), jnp.float32)
     db_parts = []
     n_off = 0
@@ -638,36 +680,61 @@ def _mxu_vjp_bwd(banks, R, eds, res, d_pooled_cat):
             return pl.BlockSpec((tile, n), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
 
-        def out_builder(q_l, tile, grid, n=n, f=f, lv=lv):
-            return ((jax.ShapeDtypeStruct((grid, f * eds, n), jnp.float32),
-                     jax.ShapeDtypeStruct((lv, q_l, f * eds), jnp.float32)),
-                    (pl.BlockSpec((1, f * eds, n), lambda i: (i, 0, 0),
-                                  memory_space=pltpu.VMEM),
-                     pl.BlockSpec((lv, tile, f * eds), lambda i: (0, i, 0),
-                                  memory_space=pltpu.VMEM)))
+        if dx_kernel:
+            def out_builder(q_l, tile, grid, n=n, f=f):
+                return ((jax.ShapeDtypeStruct((grid, f * eds, n),
+                                              jnp.float32),
+                         jax.ShapeDtypeStruct((lp * eds, q_l), jnp.float32)),
+                        (pl.BlockSpec((1, f * eds, n), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((lp * eds, tile), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM)))
+            kern = _mxu_bwd_dx_kernel
+        else:
+            def out_builder(q_l, tile, grid, n=n, f=f, lv=lv):
+                return ((jax.ShapeDtypeStruct((grid, f * eds, n),
+                                              jnp.float32),
+                         jax.ShapeDtypeStruct((lv, q_l, f * eds),
+                                              jnp.float32)),
+                        (pl.BlockSpec((1, f * eds, n), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((lv, tile, f * eds),
+                                      lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM)))
+            kern = _mxu_bwd_kernel
 
         # dw_k is per-tile partials: under a mesh each shard contributes its
         # grid's tiles on the leading dim; the axis-0 sum below reduces over
         # tiles AND shards (GSPMD inserts the cross-shard psum).
         dw_k, dxs = _mxu_bank_call(
-            _mxu_bwd_kernel, xt,
+            kern, xt,
             extras=[(w_t, P(None, None), None),
                     (idxs[k].reshape(q, n), P("data", None), row_block),
                     (dpm.reshape(q, n), P("data", None), row_block)],
             out_builder=out_builder,
-            out_pspecs=(P("data", None, None), P(None, "data", None)),
+            out_pspecs=(P("data", None, None),
+                        P(None, "data") if dx_kernel
+                        else P(None, "data", None)),
             eds=eds, lv=lv, f=f)
         dw_bank = jnp.sum(dw_k, axis=0)                     # [f·eds, n]
         dw_bank = jnp.pad(dw_bank.T, ((0, 0), (0, (maxf - f) * eds)))
         dw = jax.lax.dynamic_update_slice_in_dim(dw, dw_bank, n_off, axis=0)
-        # overlap-add the per-timestep tap grads into d_emb: DXS[t, q, j·eds
-        # + e] lands at emb_pad[b, t + j, r, e] — f shifted adds in XLA
-        dxs5 = (dxs.reshape(lv, b_sz, R, f, eds)
-                .transpose(1, 0, 2, 3, 4))                  # [B, lv, R, f, e]
-        for j in range(f):
-            demb4 = demb4.at[:, j:j + lv].add(dxs5[:, :, :, j, :])
+        if dx_kernel:
+            # dxs IS the overlap-added input gradient in XT layout
+            dxt_sum = dxt_sum + dxs
+        else:
+            # overlap-add the per-timestep tap grads into d_emb: DXS[t, q,
+            # j·eds + e] lands at emb_pad[b, t + j, r, e] — f shifted adds
+            dxs5 = (dxs.reshape(lv, b_sz, R, f, eds)
+                    .transpose(1, 0, 2, 3, 4))              # [B, lv, R, f, e]
+            for j in range(f):
+                demb4 = demb4.at[:, j:j + lv].add(dxs5[:, :, :, j, :])
         n_off += n
     db = jnp.concatenate(db_parts).astype(w_all.dtype)
+    if dx_kernel:
+        # invert `_as_xt`: [lp·eds, b·R] → [b, lp, R, eds]
+        demb4 = (dxt_sum.reshape(lp, eds, b_sz, R)
+                 .transpose(2, 0, 3, 1))
     demb = demb4.reshape(b_sz, lp, e_dim)
     return demb.astype(emb_pad.dtype), dw.astype(w_all.dtype), db
 

@@ -173,7 +173,11 @@ def test_mxu_matches_xla_forward(overrides):
 
 
 @pytest.mark.parametrize("overrides", MXU_CONFIGS)
-def test_mxu_matches_xla_gradients(overrides):
+@pytest.mark.parametrize("dx_mode", ["0", "1"])
+def test_mxu_matches_xla_gradients(overrides, dx_mode, monkeypatch):
+    # dx_mode "1" = in-kernel overlap-add backward (default), "0" = the
+    # per-timestep DXS tensor + XLA overlap-add variant
+    monkeypatch.setenv("GIC_MXU_DX", dx_mode)
     config = Config(vocab_size=50, **overrides)
     params = disc.init_discriminator_params(jax.random.PRNGKey(2), config)
     emb = jax.random.normal(
