@@ -394,6 +394,16 @@ def add_tpu_args(parser):
                         " flagship-geometry quality runs)")
     g.add_argument("--num-workers", type=int, default=4,
                    help="host-side data-loading worker threads")
+    g.add_argument("--precollate", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="collate the whole dataset into dense arrays once "
+                        "so every epoch batch is a numpy row-gather "
+                        "(removes the per-batch Python collation that "
+                        "contends with step dispatch on the GIL). auto = "
+                        "on when the decoded images fit "
+                        "$GIC_PRECOLLATE_BUDGET bytes (default 1 GiB); "
+                        "host augmentation never exists here (augmentation "
+                        "is on-device, ops/augment.py), so this is lossless")
     g.add_argument("--device-prefetch", type=int, default=2,
                    help="device-resident batch queue depth: a background "
                         "thread jax.device_put's upcoming batches so "
@@ -648,6 +658,7 @@ class Config:
     beam_size: int = 1
     dataset: str = "coco"
     num_workers: int = 4
+    precollate: str = "auto"
     device_prefetch: int = 2
     steps_per_call: int = 1
     profile_dir: str = ""

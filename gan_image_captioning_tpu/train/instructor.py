@@ -202,20 +202,23 @@ class GANInstructor:
         # (DP feeding, SURVEY §2.3); single process → no sharding.
         shard = ((jax.process_index(), jax.process_count())
                  if jax.process_count() > 1 else None)
+        pc = config.precollate
         self.pre_train_loader = Batcher(
             train_dataset, config.pre_train_batch_size, seq, shuffle=True,
             seed=config.seed, drop_last=True, num_workers=nw,
-            bucket_bounds=buckets, host_shard=shard)
+            bucket_bounds=buckets, host_shard=shard, precollate=pc)
         self.pre_eval_loader = Batcher(
             dev_dataset, config.pre_eval_batch_size, seq, shuffle=False,
-            num_workers=nw, bucket_bounds=buckets, host_shard=shard)
+            num_workers=nw, bucket_bounds=buckets, host_shard=shard,
+            precollate=pc)
         self.adv_train_loader = Batcher(
             train_dataset, config.adv_train_batch_size, seq, shuffle=True,
             seed=config.seed + 1, drop_last=True, num_workers=nw,
-            bucket_bounds=buckets, host_shard=shard)
+            bucket_bounds=buckets, host_shard=shard, precollate=pc)
         self.adv_eval_loader = Batcher(
             dev_dataset, config.adv_eval_batch_size, seq, shuffle=False,
-            num_workers=nw, bucket_bounds=buckets, host_shard=shard)
+            num_workers=nw, bucket_bounds=buckets, host_shard=shard,
+            precollate=pc)
 
         self.pretrain_steps = 0
         self.adv_batch_steps = 0
