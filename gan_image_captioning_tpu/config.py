@@ -400,10 +400,13 @@ def add_tpu_args(parser):
                         "so every epoch batch is a numpy row-gather "
                         "(removes the per-batch Python collation that "
                         "contends with step dispatch on the GIL). auto = "
-                        "on when the decoded images fit "
+                        "on when captions + decoded images fit "
                         "$GIC_PRECOLLATE_BUDGET bytes (default 1 GiB); "
                         "host augmentation never exists here (augmentation "
-                        "is on-device, ops/augment.py), so this is lossless")
+                        "is on-device, ops/augment.py), so this is lossless. "
+                        "Multi-host: every host pins the FULL collation "
+                        "(the shuffle precedes the host stride), so budget "
+                        "per host accordingly")
     g.add_argument("--device-prefetch", type=int, default=2,
                    help="device-resident batch queue depth: a background "
                         "thread jax.device_put's upcoming batches so "

@@ -21,11 +21,26 @@ from __future__ import annotations
 import os
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional
 
 import numpy as np
 
 from gan_image_captioning_tpu.data.vocab import END, PAD, START
+
+# One lock per dataset object guarding its shared precollation cache;
+# the registry itself is guarded so two Batchers can't mint two locks.
+_PRE_LOCK_REGISTRY: dict = {}
+_PRE_LOCK_GUARD = threading.Lock()
+
+
+def _dataset_precollate_lock(dataset) -> threading.Lock:
+    with _PRE_LOCK_GUARD:
+        lock = _PRE_LOCK_REGISTRY.get(id(dataset))
+        if lock is None:
+            lock = threading.Lock()
+            _PRE_LOCK_REGISTRY[id(dataset)] = lock
+        return lock
 
 
 def make_batch(captions_list, images_list, seq_len: int,
@@ -291,7 +306,16 @@ class Batcher:
     def _ensure_precollated(self):
         """Resolve the precollate gate and (if on) build the dataset-wide
         collated arrays once.  Called from the consumer thread in
-        ``iter_from`` BEFORE any workers exist, so no locking is needed."""
+        ``iter_from`` BEFORE any workers exist.  A dataset-level lock guards
+        the shared cache so two Batchers over the same dataset (pretrain/adv,
+        different widths, or concurrent threads) never race or rebuild an
+        existing width's collation.
+
+        Multi-host note (``host_shard``): the shuffle is applied BEFORE the
+        host stride, so the set of rows a host touches changes every epoch —
+        each host therefore pins the FULL collated dataset, multiplying host
+        RAM by process_count.  The auto budget still applies per host; size
+        ``GIC_PRECOLLATE_BUDGET`` accordingly on multi-host runs."""
         if self._pre_resolved:
             return
         self._pre_resolved = True
@@ -301,30 +325,50 @@ class Batcher:
         n = len(self.dataset)
         if n == 0:
             return
-        # loaders over the same dataset (pretrain/adv, train/eval) share one
-        # cache — stash it on the dataset keyed by collation width
-        cache = getattr(self.dataset, "_gic_precollated", None)
-        if cache is not None and cache[0] == self._pre_width():
-            self._pre = cache[1]
-            return
-        budget = int(os.environ.get("GIC_PRECOLLATE_BUDGET", 1 << 30))
-        tok0, img0 = self.dataset.sample(0)
-        if img0 is not None:
-            per_item = np.asarray(img0).nbytes
-            if mode == "auto" and per_item * n > budget:
+        width = self._pre_width()
+        lock = _dataset_precollate_lock(self.dataset)
+        with lock:
+            cache = getattr(self.dataset, "_gic_precollated", None)
+            if isinstance(cache, dict) and width in cache:
+                self._pre = cache[width]
                 return
-        caps, imgs = [tok0], [img0]
-        for i in range(1, n):
-            t, im = self.dataset.sample(i)
-            caps.append(t)
-            imgs.append(im)
-        if imgs[0] is None:
-            imgs = None
-        self._pre = make_batch(caps, imgs, self._pre_width(), None)
-        try:
-            self.dataset._gic_precollated = (self._pre_width(), self._pre)
-        except AttributeError:
-            pass  # datasets with __slots__ just skip sharing
+            budget = int(os.environ.get("GIC_PRECOLLATE_BUDGET", 1 << 30))
+            tok0, img0 = self.dataset.sample(0)
+            # budget estimate covers BOTH arrays: captions (int32 rows at
+            # collation width + lengths/weights/index sidecars) and, when
+            # conditional, the per-item image/feature bytes (sample(0)
+            # assumed representative)
+            est = n * (width * 4 + 12)
+            if img0 is not None:
+                est += np.asarray(img0).nbytes * n
+            if mode == "auto" and est > budget:
+                return
+            caps = [None] * n
+            imgs = [None] * n
+            caps[0], imgs[0] = tok0, img0
+            # fan the one-time decode across the worker-thread count —
+            # dataset.sample is already called concurrently by the normal
+            # worker pool, so thread safety is an existing contract
+            nw = min(self.num_workers, n - 1)
+            if nw > 1:
+                def _fill(i):
+                    caps[i], imgs[i] = self.dataset.sample(i)
+                with ThreadPoolExecutor(nw) as ex:
+                    for _ in ex.map(_fill, range(1, n)):
+                        pass
+            else:
+                for i in range(1, n):
+                    caps[i], imgs[i] = self.dataset.sample(i)
+            if imgs[0] is None:
+                imgs = None
+            self._pre = make_batch(caps, imgs, width, None)
+            try:
+                if not isinstance(cache, dict):
+                    cache = {}
+                    self.dataset._gic_precollated = cache
+                cache[width] = self._pre
+            except AttributeError:
+                pass  # datasets with __slots__ just skip sharing
 
     def _gather(self, item):
         """Precollated fast path: one fancy-index per array, identical
