@@ -79,6 +79,34 @@ def transformer_stepper(dec: dict, config: Config, context=None,
     return Stepper(init_state, step, gather, lambda ids: dec["embed"][ids])
 
 
+def _int8_dtype(config):
+    """Compute dtype for the int8 decode paths: ``config.dtype`` unless
+    ``GIC_INT8_DTYPE`` overrides (shared by the stepper and the quantized
+    serve kernel so A/Bs compare like against like)."""
+    import os
+
+    env = os.environ.get("GIC_INT8_DTYPE", "")
+    if env:
+        return jnp.bfloat16 if env == "bfloat16" else jnp.float32
+    return jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+
+
+def kernel_quantized_available(dec: dict) -> bool:
+    """The int8-resident serve kernel needs int8 payloads (native
+    ``jnp.int4`` stays on the stepper path — the axon client cannot
+    device_put int4; the packed-int8 int4 carrier rides the kernel) and
+    an opt-out mirror of ``GIC_SERVE_KERNEL``."""
+    import os
+
+    if "lstm_q" not in dec:
+        return False
+    if os.environ.get("GIC_Q_KERNEL", "1") != "1":
+        return False
+    return all(lq["w"].q.dtype == jnp.int8 for lq in dec["lstm_q"]) and \
+        dec["linear"]["w"].q.dtype == jnp.int8 and \
+        dec["embed"].q.dtype == jnp.int8
+
+
 def quantized_lstm_stepper(dec: dict, config: Config,
                            dtype=None) -> Stepper:
     """Stepper over an int8-resident decoder (ops/quantize.py layout):
@@ -97,12 +125,7 @@ def quantized_lstm_stepper(dec: dict, config: Config,
     from gan_image_captioning_tpu.ops import quantize as q_lib
 
     if dtype is None:
-        env = os.environ.get("GIC_INT8_DTYPE", "")
-        if env:
-            dtype = jnp.bfloat16 if env == "bfloat16" else jnp.float32
-        else:
-            dtype = (jnp.bfloat16 if config.dtype == "bfloat16"
-                     else jnp.float32)
+        dtype = _int8_dtype(config)
     loopdep = os.environ.get("GIC_INT8_LOOPDEP", "0") == "1"
     layers = len(dec["lstm_q"])
     hidden = dec["lstm_q"][0]["w"].q.shape[1] // 4
@@ -210,16 +233,27 @@ def greedy_with_logprobs(gen_params: dict, features, config: Config,
     weights-resident and wants full weight blocks, while GSPMD partitions
     the scan's vocab matmuls exactly as in training."""
     seq_len = seq_len or config.seq_len
-    if (allow_kernel and kernel_serve_available(config) and context is None
-            and "lstm" in gen_params["decoder"]):  # int8 dec: scan stepper
-        from gan_image_captioning_tpu.kernels.decode_sample import (
-            decode_sample)
+    dec = gen_params["decoder"]
+    if allow_kernel and kernel_serve_available(config) and context is None:
+        if "lstm" in dec:
+            from gan_image_captioning_tpu.kernels.decode_sample import (
+                decode_sample)
 
-        dec = gen_params["decoder"]
-        ids, lps = decode_sample(features, dec["lstm"], dec["linear"]["w"],
-                                 dec["linear"]["b"], dec["embed"], seq_len,
-                                 mode="serve")
-        return ids, masked_logprob_sum(ids, lps)
+            ids, lps = decode_sample(features, dec["lstm"],
+                                     dec["linear"]["w"], dec["linear"]["b"],
+                                     dec["embed"], seq_len, mode="serve")
+            return ids, masked_logprob_sum(ids, lps)
+        if kernel_quantized_available(dec):
+            # int8 decoder through the SAME weights-resident serve kernel:
+            # int8 payloads are the only HBM weight traffic, dequantized
+            # once into VMEM scratch (VERDICT r3 item 4 — the scan stepper
+            # lost 44% to the bf16 kernel at B=64)
+            from gan_image_captioning_tpu.kernels.decode_sample import (
+                decode_sample_q_serve)
+
+            feats = features.astype(_int8_dtype(config))
+            ids, lps = decode_sample_q_serve(feats, dec, seq_len)
+            return ids, masked_logprob_sum(ids, lps)
     ids = greedy(gen_params, features, config, seq_len, context)
     return ids, sequence_logprob(gen_params, features, ids, config, context)
 
@@ -249,20 +283,26 @@ def greedy_with_logprobs_adaptive(gen_params: dict, features, config: Config,
     K = max(1, min(chunk, seq_len))
     n_chunks = -(-seq_len // K)
     t_pad = n_chunks * K
-    use_kernel = (allow_kernel and kernel_serve_available(config)
-                  and context is None and "lstm" in gen_params["decoder"])
-    stepper = make_stepper(gen_params, config, context)
+    kernel_ok = (allow_kernel and kernel_serve_available(config)
+                 and context is None)
     dec = gen_params["decoder"]
+    use_kernel = kernel_ok and "lstm" in dec
+    use_q_kernel = kernel_ok and kernel_quantized_available(dec)
+    stepper = make_stepper(gen_params, config, context)
 
-    if use_kernel:
+    if use_kernel or use_q_kernel:
         from gan_image_captioning_tpu.kernels.decode_sample import (
-            decode_sample)
+            decode_sample, decode_sample_q_serve)
 
         def run_chunk(state, x, t, done):
-            ids_k, lps_k, (h, c, xT) = decode_sample(
-                x, dec["lstm"], dec["linear"]["w"], dec["linear"]["b"],
-                dec["embed"], K, mode="serve",
-                init_state=(state[0], state[1], x))
+            if use_q_kernel:
+                ids_k, lps_k, (h, c, xT) = decode_sample_q_serve(
+                    x, dec, K, init_state=(state[0], state[1], x))
+            else:
+                ids_k, lps_k, (h, c, xT) = decode_sample(
+                    x, dec["lstm"], dec["linear"]["w"], dec["linear"]["b"],
+                    dec["embed"], K, mode="serve",
+                    init_state=(state[0], state[1], x))
             is_end = ids_k == END
             # void rows already done and positions strictly after the
             # chunk's first <E>

@@ -413,6 +413,209 @@ def decode_sample(features, lstm_layers: Sequence[dict], w_proj, b_proj,
 
 
 # ---------------------------------------------------------------------------
+# Quantized (int8-resident) serve-mode decode kernel (VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+
+def _qserve_kernel(feat_ref, *refs, nl, T, carry, bits):
+    """Serve-mode greedy decode with INT-quantized weights resident.
+
+    Same per-step body as ``_kernel``'s serve mode, but the weights arrive
+    as int8 payloads (+f32 per-output-channel scales) and are dequantized
+    ONCE at t==0 into bf16 VMEM scratch — int8 is the only HBM weight
+    traffic (half of bf16), which is exactly what weight-only
+    quantization can buy a weights-resident kernel: the prior int8 path
+    ran the per-step ``lax.scan`` stepper and LOST 44% to the bf16 kernel
+    at B=64 (docs/artifacts/tpu_queue_r3c4/decode_bench.json) because it
+    re-read weights from HBM every step.
+
+    ``bits=4``: payloads are int4 packed two-per-int8 along the ROW axis
+    — rows [0:r) in the low nibbles, rows [r:2r) in the high nibbles
+    (``pack_int4_rows``) — so unpack is two shifts + a concat, no
+    interleave.  The packed carrier also dodges the axon-client
+    ``jnp.int4`` device_put RecursionError (docs/benchmarks.md r3).
+    """
+    i = 0
+    layer_refs = refs[i:i + 3 * nl]; i += 3 * nl            # (wq, ws, b)*nl
+    wpq_ref, wps_ref, bp_ref, embq_ref, embs_ref = refs[i:i + 5]; i += 5
+    if carry:
+        h0_ref, c0_ref, x0_ref = refs[i:i + 3]; i += 3
+    ids_ref, lps_ref = refs[i:i + 2]; i += 2
+    if carry:
+        hT_ref, cT_ref, xT_ref = refs[i:i + 3]; i += 3
+    x_ref, h_ref, c_ref = refs[i:i + 3]; i += 3
+    wbuf_refs = refs[i:i + nl]; i += nl
+    wp_ref, emb_ref = refs[i], refs[i + 1]
+
+    t = pl.program_id(0)
+    f32 = jnp.float32
+    H = h_ref.shape[2]
+    dt = x_ref.dtype
+
+    def _dq(q_ref, s_ref):
+        if bits == 8:
+            return (q_ref[:].astype(f32) * s_ref[:])
+        # packed int4: sign-extend each nibble via int32 shifts
+        p = q_ref[:].astype(jnp.int32)
+        low = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(p, 28), 28).astype(f32)
+        high = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(p, 24), 28).astype(f32)
+        return jnp.concatenate([low, high], axis=0) * s_ref[:]
+
+    @pl.when(t == 0)
+    def _init():
+        for l in range(nl):
+            wq, ws, _ = layer_refs[3 * l:3 * l + 3]
+            wbuf_refs[l][:] = _dq(wq, ws).astype(dt)
+        wp_ref[:] = _dq(wpq_ref, wps_ref).astype(dt)
+        emb_ref[:] = _dq(embq_ref, embs_ref).astype(dt)
+        if carry:
+            x_ref[:] = x0_ref[:]
+            h_ref[:] = h0_ref[:]
+            c_ref[:] = c0_ref[:].astype(c_ref.dtype)
+        else:
+            x_ref[:] = feat_ref[:]
+            h_ref[:] = jnp.zeros_like(h_ref)
+            c_ref[:] = jnp.zeros_like(c_ref)
+
+    # ---- stacked LSTM cells against the fused [in+H, 4H] weight ----
+    x = x_ref[:]
+    for l in range(nl):
+        b = layer_refs[3 * l + 2]
+        w = wbuf_refs[l]
+        in_l = w.shape[0] - H
+        gates = (jnp.dot(x, w[0:in_l, :], preferred_element_type=f32)
+                 + jnp.dot(h_ref[l], w[in_l:, :],
+                           preferred_element_type=f32)
+                 + b[:].astype(f32))                     # [B, 4H] f32
+        i_g = jax.nn.sigmoid(gates[:, 0 * H:1 * H])
+        f_g = jax.nn.sigmoid(gates[:, 1 * H:2 * H])
+        g_g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o_g = jax.nn.sigmoid(gates[:, 3 * H:4 * H])
+        c = f_g * c_ref[l].astype(f32) + i_g * g_g
+        h = o_g * jnp.tanh(c)
+        c_ref[l] = c.astype(c_ref.dtype)
+        h_ref[l] = h.astype(h_ref.dtype)
+        x = h.astype(dt)
+
+    logits = (jnp.dot(x, wp_ref[:], preferred_element_type=f32)
+              + bp_ref[:].astype(f32))                   # [B, V] f32
+
+    # per-token greedy log-probability (same math as _kernel serve mode)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    lp = -jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1))
+    lps_ref[pl.ds(t, 1), :] = lp[None, :].astype(lps_ref.dtype)
+
+    ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    ids_ref[pl.ds(t, 1), :] = ids[None, :]
+
+    V = emb_ref.shape[0]
+    B = feat_ref.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, V), 1)
+    onehot = (lane == ids[:, None]).astype(dt)
+    x_ref[:] = jnp.dot(onehot, emb_ref[:],
+                       preferred_element_type=f32).astype(dt)
+
+    if carry:
+        @pl.when(t == T - 1)
+        def _emit_state():
+            hT_ref[:] = h_ref[:]
+            cT_ref[:] = c_ref[:].astype(cT_ref.dtype)
+            xT_ref[:] = x_ref[:]
+
+
+def pack_int4_rows(q):
+    """Pack an int4-valued int8/int4 array two-per-byte along axis 0:
+    rows ``[0:r)`` in the low nibbles, rows ``[r:2r)`` in the high
+    nibbles (row count must be even).  The split-half layout makes the
+    kernel's unpack two shifts + one concat (no sublane interleave)."""
+    q = jnp.asarray(q, jnp.int8)
+    r = q.shape[0] // 2
+    assert 2 * r == q.shape[0], "pack_int4_rows needs an even row count"
+    low = q[:r] & jnp.int8(0x0F)
+    high = jax.lax.shift_left(q[r:], jnp.int8(4))
+    return (high | low).astype(jnp.int8)
+
+
+def decode_sample_q_serve(features, qdec: dict, seq_len: int,
+                          init_state=None, bits: int = 8):
+    """Serve-mode decode (greedy ids + per-token logprobs [+ carried
+    state]) against an int8-quantized decoder (``ops/quantize.py``
+    ``quantize_lstm_decoder`` layout: fused ``lstm_q`` ``[in+H, 4H]``
+    QTensors, pre-transposed ``linear.w`` ``[H, V]``, ``embed``
+    ``[V, E]``).
+
+    Same return contract as :func:`decode_sample` mode='serve'.
+    ``bits=4``: payloads must be row-packed via :func:`pack_int4_rows`
+    (scales unchanged); HBM weight reads drop to a quarter of bf16.
+    """
+    nl = len(qdec["lstm_q"])
+    H = qdec["lstm_q"][0]["w"].q.shape[1] // 4
+    embed_q = qdec["embed"]
+    V, E = embed_q.q.shape
+    dt = features.dtype
+    carry = init_state is not None
+
+    ins = [features]
+    for lq in qdec["lstm_q"]:
+        ins += [lq["w"].q, lq["w"].scale.reshape(1, -1).astype(jnp.float32),
+                lq["b"].reshape(1, -1).astype(jnp.float32)]
+    lin = qdec["linear"]
+    ins += [lin["w"].q, lin["w"].scale.reshape(1, -1).astype(jnp.float32),
+            jnp.asarray(lin["b"], jnp.float32).reshape(1, -1),
+            embed_q.q, embed_q.scale.reshape(1, -1).astype(jnp.float32)]
+    if carry:
+        h0, c0, x0 = init_state
+        ins += [h0.astype(dt), c0.astype(jnp.float32), x0.astype(dt)]
+
+    B = features.shape[0]
+    spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct((seq_len, B), jnp.int32),
+                  jax.ShapeDtypeStruct((seq_len, B), jnp.float32)]
+    out_specs = [pl.BlockSpec((seq_len, B), lambda t: (0, 0),
+                              memory_space=pltpu.VMEM)] * 2
+    if carry:
+        for shape, odt in (((nl, B, H), dt), ((nl, B, H), jnp.float32),
+                           ((B, E), dt)):
+            out_shapes.append(jax.ShapeDtypeStruct(shape, odt))
+            out_specs.append(pl.BlockSpec(
+                shape, (lambda t: (0, 0, 0)) if len(shape) == 3
+                else (lambda t: (0, 0)), memory_space=pltpu.VMEM))
+
+    scratch = [pltpu.VMEM((B, E), dt),                   # x carry
+               pltpu.VMEM((nl, B, H), dt),               # h carry
+               pltpu.VMEM((nl, B, H), jnp.float32)]      # c carry
+    for lq in qdec["lstm_q"]:
+        rows = lq["w"].q.shape[0] * (2 if bits == 4 else 1)
+        scratch.append(pltpu.VMEM((rows, 4 * H), dt))    # dequant w
+    wp_rows = lin["w"].q.shape[0] * (2 if bits == 4 else 1)
+    emb_rows = V * (2 if bits == 4 else 1)
+    scratch += [pltpu.VMEM((wp_rows, lin["w"].q.shape[1]), dt),
+                pltpu.VMEM((emb_rows, E), dt)]
+    if bits == 4:
+        V = emb_rows  # true vocab: payload rows are packed halves
+
+    outs = pl.pallas_call(
+        functools.partial(_qserve_kernel, nl=nl, T=seq_len, carry=carry,
+                          bits=bits),
+        grid=(seq_len,),
+        in_specs=[spec] * len(ins),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=_interpret(),
+    )(*ins)
+
+    ids = outs[0].T
+    lps = outs[1].T
+    if carry:
+        return ids, lps, tuple(outs[2:5])
+    return ids, lps
+
+
+# ---------------------------------------------------------------------------
 # Fused backward for mode 'sample_embed' (generator._kernel_sample_embed VJP)
 # ---------------------------------------------------------------------------
 
