@@ -69,16 +69,25 @@ def main():
         "GIC_QB_PAYLOADS", default_payloads).split(",") if p]
     variants = {}
     for p in payloads:
-        variants[p] = (gen if p == "bf16" else
-                       quantize_generator(gen, config.replace(quantize=p)))
-    greedy = jax.jit(lambda p, f: decode_lib.greedy(p, f, config))
+        base = p.replace("-kernel", "")
+        variants[p] = (gen if base == "bf16" else
+                       quantize_generator(gen, config.replace(quantize=base)))
+    greedy_scan = jax.jit(lambda p, f: decode_lib.greedy(p, f, config))
+    # the "-kernel" legs route through greedy_with_logprobs: the serve-mode
+    # weights-resident kernel for bf16, the int8-resident variant for
+    # quantized payloads (VERDICT r3 item 4) — ids only, drop the logprobs
+    greedy_kernel = jax.jit(
+        lambda p, f: decode_lib.greedy_with_logprobs(p, f, config)[0])
+
+    def fn_for(name):
+        return greedy_kernel if name.endswith("-kernel") else greedy_scan
 
     for b in BATCHES:
         feats = start_token_features(gen["decoder"], b)
         ids = {}
         for k, p in list(variants.items()):      # warm + correctness ref
             try:
-                ids[k] = np.asarray(greedy(p, feats))
+                ids[k] = np.asarray(fn_for(k)(p, feats))
             except RecursionError:
                 print(json.dumps({"payload": k, "batch": b,
                                   "skipped": "int4 device_put recursion "
@@ -88,12 +97,14 @@ def main():
         times = {k: [] for k in variants}
         for _ in range(REPS):                        # interleaved timing
             for k, p in variants.items():
-                np.asarray(greedy(p, feats))
+                fn = fn_for(k)
+                np.asarray(fn(p, feats))
                 t0 = time.perf_counter()
                 for _ in range(ITERS):               # async chain,
-                    out = greedy(p, feats)           # one final fetch
+                    out = fn(p, feats)               # one final fetch
                 np.asarray(out)
                 times[k].append(time.perf_counter() - t0)
+        ref = ids.get("bf16", next(iter(ids.values())))
         for k in variants:
             dt = min(times[k])
             print(json.dumps({
@@ -101,7 +112,7 @@ def main():
                 "device_captions_per_sec": round(b * ITERS / dt, 1),
                 "ms_per_decode": round(dt / ITERS * 1e3, 3),
                 "token_match_vs_bf16":
-                    round(float((ids[k] == ids["bf16"]).mean()), 4),
+                    round(float((ids[k] == ref).mean()), 4),
             }), flush=True)
 
 
