@@ -28,8 +28,10 @@ including the first ``<E>``).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Optional
 
@@ -40,6 +42,18 @@ import numpy as np
 from gan_image_captioning_tpu.config import Config
 from gan_image_captioning_tpu.data.vocab import END
 from gan_image_captioning_tpu.eval import decode as decode_lib
+
+
+def _sim_rtt():
+    """Measurement hook (GIC_SIM_RTT_MS): sleep a synthetic dispatch+fetch
+    round-trip after each device program, so a LOCAL (CPU) backend can
+    sweep the engines across tunnel RTTs — the continuous-vs-coalescing
+    crossover curve (benchmarks/rtt_crossover.py, VERDICT r3 item 10).
+    Off (0) outside that harness; re-read per call so one process can
+    sweep multiple RTT values without engine rebuilds."""
+    ms = float(os.environ.get("GIC_SIM_RTT_MS", "0") or 0)
+    if ms > 0:
+        time.sleep(ms / 1e3)
 
 
 class EngineOverloaded(RuntimeError):
@@ -232,6 +246,8 @@ class CoalescingBatcher:
                     self.rows_dispatched += b
                     off += b
                 fetched = jax.device_get(dev_parts)
+                for _ in dev_parts:      # one synthetic RTT per program
+                    _sim_rtt()
                 ids = np.concatenate([p[0] for p in fetched])[:n]
                 lps = np.concatenate([p[1] for p in fetched])[:n]
             except Exception as exc:
@@ -676,6 +692,7 @@ class ContinuousBatcher:
             self.slot_chunks += int((self._slot_t >= 0).sum())
             # one batched fetch (two per-array fetches = two RTTs)
             ids_k, lps_k, counts = jax.device_get((ids_k, lps_k, counts))
+            _sim_rtt()               # one synthetic RTT per chunk program
             with self._slot_lock:  # close() may be failing slots in parallel
                 for i in range(self.B):
                     t = self._slot_t[i]
