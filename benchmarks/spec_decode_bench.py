@@ -56,10 +56,15 @@ def main():
     spec = jax.jit(lambda p, d, f: speculative_greedy(p, d, f, config,
                                                       draft_len=K))
 
-    # warmup + exactness check
+    # warmup + exactness check + acceptance rate (VERDICT r3 item 6)
     base_ids = np.asarray(greedy(gen_params, feats))
     spec_ids = np.asarray(spec(gen_params, draft, feats))
     match = float((base_ids == spec_ids).mean())
+    _, stats = jax.jit(lambda p, d, f: speculative_greedy(
+        p, d, f, config, draft_len=K, return_stats=True))(
+        gen_params, draft, feats)
+    stats = jax.device_get(stats)
+    acceptance = float(stats["accepted"]) / max(float(stats["proposed"]), 1)
 
     lat_base, lat_spec = [], []
     for _ in range(iters):
@@ -79,6 +84,7 @@ def main():
                       "value": round(cs, 1), "unit": "captions/s",
                       "batch": B, "draft_len": K,
                       "token_match": round(match, 4),
+                      "acceptance_rate": round(acceptance, 4),
                       "speedup_vs_baseline": round(cs / cb, 3)}))
 
 

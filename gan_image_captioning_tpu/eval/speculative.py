@@ -49,7 +49,8 @@ from gan_image_captioning_tpu.models import lstm as lstm_lib
 
 def speculative_greedy(gen_params: dict, draft_params: dict, features,
                        config: Config, seq_len: int = None,
-                       draft_len: int = 4, early_stop: bool = False):
+                       draft_len: int = 4, early_stop: bool = False,
+                       return_stats: bool = False):
     """Greedy ids ``[B, T]`` — bit-identical to the target's greedy decode,
     produced draft-first.
 
@@ -61,6 +62,9 @@ def speculative_greedy(gen_params: dict, draft_params: dict, features,
         per-row KV positions.
       features: ``[B, E]`` t=0 inputs (image features / <S> embedding).
       draft_len: K — tokens proposed per block (static).
+      return_stats: also return ``{"accepted": draft tokens accepted,
+        "proposed": draft tokens proposed}`` (live rows only) — the
+        acceptance-rate numerator/denominator for benchmarks.
       early_stop: end the while_loop once every row has committed an
         ``<E>`` instead of filling all T positions.  The caption (tokens
         through the first ``<E>``) and its masked logprob are unchanged;
@@ -106,7 +110,7 @@ def speculative_greedy(gen_params: dict, draft_params: dict, features,
     ended = y == END
 
     def body(carry):
-        S, D, y, pos, buf, ended = carry
+        S, D, y, pos, buf, ended, stats = carry
 
         # 1. draft proposes: K+1 sequential cheap steps from y
         def dstep(dc, _):
@@ -163,7 +167,14 @@ def speculative_greedy(gen_params: dict, draft_params: dict, features,
         wpos = jnp.where(live, jnp.minimum(positions, Tbuf - 2), Tbuf - 1)
         buf2 = buf.at[rows, wpos].set(block.T)
         ended2 = ended | (valid.T & (block.T == END)).any(axis=1)
-        return S2, D2, y2, pos2, buf2, ended2
+        # acceptance stats over rows still decoding this block
+        live_rows = pos < T
+        if early_stop:
+            live_rows &= ~ended
+        stats2 = stats + jnp.asarray(
+            [jnp.sum(jnp.where(live_rows, n, 0)),
+             K * jnp.sum(live_rows.astype(jnp.int32))], jnp.int32)
+        return S2, D2, y2, pos2, buf2, ended2, stats2
 
     def cond(carry):
         live = carry[3] < T
@@ -171,5 +182,9 @@ def speculative_greedy(gen_params: dict, draft_params: dict, features,
             live &= ~carry[5]
         return jnp.any(live)
 
-    *_, buf, _ = jax.lax.while_loop(cond, body, (S, D, y, pos, buf, ended))
+    stats0 = jnp.zeros((2,), jnp.int32)
+    *_, buf, _, stats = jax.lax.while_loop(
+        cond, body, (S, D, y, pos, buf, ended, stats0))
+    if return_stats:
+        return buf[:, :T], {"accepted": stats[0], "proposed": stats[1]}
     return buf[:, :T]
