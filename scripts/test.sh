@@ -16,7 +16,7 @@ export PALLAS_AXON_POOL_IPS=
 export JAX_PLATFORMS=cpu
 
 case "${1:-core}" in
-  core) shift || true; exec python -m pytest tests/ -q -m "not slow" "$@" ;;
-  full) shift;         exec python -m pytest tests/ -q "$@" ;;
+  core) shift || true; time python -m pytest tests/ -q -m "not slow" "$@" ;;
+  full) shift;         time python -m pytest tests/ -q "$@" ;;
   *)                   exec python -m pytest "$@" ;;
 esac

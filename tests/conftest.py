@@ -32,7 +32,10 @@ assert jax.default_backend() == "cpu"
 # hit the disk cache instead of recompiling (VERDICT r2 weakness 5).
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/gic_xla_tests"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# threshold 0: the suite's cost is a LONG TAIL of sub-0.5 s compiles
+# (433 tests × a few tiny programs each) that the old 0.5 s threshold
+# excluded from the cache entirely — cache them all (round-4 item 5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 try:
     jax.config.update("jax_persistent_cache_enable_xla_caches",
@@ -113,6 +116,25 @@ _SLOW_PATTERNS = (
     "test_multi_step.py::test_instructor_steps_per_call_matches",
     "test_multi_step.py::test_interrupt_resume_under_steps_per_call",
     "test_multi_step.py::test_multi_adv_transformer_matches_sequential",
+    # round-4 durations pass (warm cache, 17m53s total): next tier of the
+    # tail moves out; every move keeps a cheaper core representative —
+    # mxu fwd/grad parity stays (env-routing e2e moves), loss formulas
+    # stay via test_losses.py torch oracles + standard/hinge variants,
+    # conditional stays via test_augment/test_serve/test_conditional_export,
+    # remat stays via flash_under_remat, early-stop stays via the adv leg,
+    # resume stays via test_midadv_interrupt_resume_bitexact
+    "test_disc_conv_kernel.py::test_mxu_env_routing_full_disc",
+    "test_single_forward.py::test_conditional_mode",
+    "test_single_forward.py::test_loss_variants[rsgan]",
+    "test_single_forward.py::test_loss_variants[JS]",
+    "test_single_forward.py::test_loss_variants[KL]",
+    "test_single_forward.py::test_loss_variants[tv]",
+    "test_export_model.py::test_exported_caption_cli_conditional",
+    "test_early_stop.py::test_pretrain_early_stop_on_scripted_losses",
+    "test_transformer.py::test_tf_remat_grads_identical",
+    "test_instructor.py::test_resume_schedule_opt_out",
+    "test_quality_metrics.py::test_evaluate_cli_reports_new_metrics",
+    "test_discriminator.py::test_default_config_shapes",
 )
 
 
