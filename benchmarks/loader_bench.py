@@ -44,11 +44,11 @@ class _Repeat:
         return self.base.sample(i % len(self.base))
 
 
-def measure(ds, workers: int) -> float:
+def measure(ds, workers: int, precollate="off") -> float:
     from gan_image_captioning_tpu.data.loader import Batcher
 
     loader = Batcher(ds, BATCH, 36, shuffle=True, seed=1, drop_last=True,
-                     num_workers=workers, prefetch=8)
+                     num_workers=workers, prefetch=8, precollate=precollate)
     it = iter(loader)
     next(it)                                   # warm caches / thread spinup
     t0 = time.perf_counter()
@@ -83,6 +83,15 @@ def main():
                 "samples_per_sec": round(bps * BATCH, 1),
                 "keeps_up_at_steps_per_sec": round(bps, 2),
             }), flush=True)
+        # precollate fast path (VERDICT r3 item 8): pay sample+collate once,
+        # then every batch is a numpy row-gather — no worker pool at all
+        bps = measure(big, 4, precollate="on")   # 4 threads build the
+        print(json.dumps({                        # one-time collation;
+            "path": f"{path}+precollate", "workers": 0,  # gather needs none
+            "batches_per_sec": round(bps, 2),
+            "samples_per_sec": round(bps * BATCH, 1),
+            "keeps_up_at_steps_per_sec": round(bps, 2),
+        }), flush=True)
         if use_native and ds._native is None:
             continue  # pil rows will follow in the next loop iteration
 
