@@ -23,6 +23,7 @@ python3 src/main.py \
     --dataset_percent 0.1 \
     --captions-per-image 5 \
     --dtype bfloat16 \
+    --steps-per-call 4 \
     --eval-bleu-every 5 \
     --checkpoint-every 10 \
     --resume auto
