@@ -92,10 +92,10 @@ def _int8_dtype(config):
 
 
 def kernel_quantized_available(dec: dict) -> bool:
-    """The int8-resident serve kernel needs int8 payloads (native
-    ``jnp.int4`` stays on the stepper path — the axon client cannot
-    device_put int4; the packed-int8 int4 carrier rides the kernel) and
-    an opt-out mirror of ``GIC_SERVE_KERNEL``."""
+    """The int-resident serve kernel needs int8 payloads — plain int8 OR
+    the row-packed int4 carrier (``payload_bits`` tells them apart by
+    shape).  Native ``jnp.int4`` stays on the stepper path (the axon
+    client cannot device_put int4).  ``GIC_Q_KERNEL=0`` opts out."""
     import os
 
     if "lstm_q" not in dec:
@@ -126,6 +126,21 @@ def quantized_lstm_stepper(dec: dict, config: Config,
 
     if dtype is None:
         dtype = _int8_dtype(config)
+    # packed-int4 carrier fallback: unpack the row-packed payloads once
+    # (int8 nibble values) so the stepper's qmatmul path stays correct
+    # when the kernel is unavailable
+    if q_lib.payload_bits(dec) == 4 and \
+            dec["linear"]["w"].q.dtype == jnp.int8:
+        unpack = q_lib.unpack_int4_rows
+        dec = dict(
+            dec,
+            lstm_q=[{"w": q_lib.QTensor(unpack(lq["w"].q), lq["w"].scale),
+                     "b": lq["b"]} for lq in dec["lstm_q"]],
+            linear={"w": q_lib.QTensor(unpack(dec["linear"]["w"].q),
+                                       dec["linear"]["w"].scale),
+                    "b": dec["linear"]["b"]},
+            embed=q_lib.QTensor(unpack(dec["embed"].q),
+                                dec["embed"].scale))
     loopdep = os.environ.get("GIC_INT8_LOOPDEP", "0") == "1"
     layers = len(dec["lstm_q"])
     hidden = dec["lstm_q"][0]["w"].q.shape[1] // 4
@@ -244,15 +259,17 @@ def greedy_with_logprobs(gen_params: dict, features, config: Config,
                                      dec["embed"], seq_len, mode="serve")
             return ids, masked_logprob_sum(ids, lps)
         if kernel_quantized_available(dec):
-            # int8 decoder through the SAME weights-resident serve kernel:
-            # int8 payloads are the only HBM weight traffic, dequantized
-            # once into VMEM scratch (VERDICT r3 item 4 — the scan stepper
-            # lost 44% to the bf16 kernel at B=64)
+            # int8/packed-int4 decoder through the SAME weights-resident
+            # serve kernel: int payloads are the only HBM weight traffic,
+            # dequantized once into VMEM scratch (VERDICT r3 item 4 — the
+            # scan stepper lost 44% to the bf16 kernel at B=64)
             from gan_image_captioning_tpu.kernels.decode_sample import (
                 decode_sample_q_serve)
+            from gan_image_captioning_tpu.ops.quantize import payload_bits
 
             feats = features.astype(_int8_dtype(config))
-            ids, lps = decode_sample_q_serve(feats, dec, seq_len)
+            ids, lps = decode_sample_q_serve(feats, dec, seq_len,
+                                             bits=payload_bits(dec))
             return ids, masked_logprob_sum(ids, lps)
     ids = greedy(gen_params, features, config, seq_len, context)
     return ids, sequence_logprob(gen_params, features, ids, config, context)
@@ -296,8 +313,12 @@ def greedy_with_logprobs_adaptive(gen_params: dict, features, config: Config,
 
         def run_chunk(state, x, t, done):
             if use_q_kernel:
+                from gan_image_captioning_tpu.ops.quantize import (
+                    payload_bits)
+
                 ids_k, lps_k, (h, c, xT) = decode_sample_q_serve(
-                    x, dec, K, init_state=(state[0], state[1], x))
+                    x, dec, K, init_state=(state[0], state[1], x),
+                    bits=payload_bits(dec))
             else:
                 ids_k, lps_k, (h, c, xT) = decode_sample(
                     x, dec["lstm"], dec["linear"]["w"], dec["linear"]["b"],

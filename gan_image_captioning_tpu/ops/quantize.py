@@ -71,6 +71,49 @@ def dequantize(qt: QTensor, dtype=jnp.float32):
     return (qt.q.astype(jnp.float32) * qt.scale).astype(dtype)
 
 
+def quantize_packed_int4(w, channel_axis: int = -1) -> QTensor:
+    """Symmetric per-channel int4 with the payload PACKED two-per-int8
+    along axis 0: rows ``[0:r)`` in the low nibbles, rows ``[r:2r)`` in
+    the high nibbles (``kernels/decode_sample.py:pack_int4_rows`` layout,
+    unpacked on-core by the quantized serve kernel's ``bits=4`` path).
+
+    Built entirely in numpy — no ``jnp.int4`` array ever exists, so this
+    survives backends whose client cannot transfer int4 (the axon
+    ``device_put`` RecursionError, docs/benchmarks.md r3).  Row count
+    must be even (true for every flagship/decoder shape)."""
+    import numpy as np
+
+    w = np.asarray(jax.device_get(w), np.float32)
+    axes = tuple(a for a in range(w.ndim) if a != channel_axis % w.ndim)
+    amax = np.max(np.abs(w), axis=axes, keepdims=True)
+    scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+    r = q.shape[0] // 2
+    if 2 * r != q.shape[0]:
+        raise ValueError(f"packed int4 needs an even row count, got "
+                         f"{q.shape[0]}")
+    packed = ((q[r:].astype(np.int16) << 4)
+              | (q[:r].astype(np.int16) & 0x0F)).astype(np.int8)
+    return QTensor(jnp.asarray(packed), jnp.asarray(scale))
+
+
+def unpack_int4_rows(q):
+    """jnp inverse of the packed-int4 row layout: int8 [r, C] → int8
+    [2r, C] nibble values in [-7, 7] (stepper fallback path)."""
+    p = q.astype(jnp.int32)
+    low = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 28), 28)
+    high = jax.lax.shift_right_arithmetic(jax.lax.shift_left(p, 24), 28)
+    return jnp.concatenate([low, high], axis=0).astype(jnp.int8)
+
+
+def payload_bits(qdec: dict) -> int:
+    """4 iff the decoder's payloads are row-packed int4 carriers, else 8.
+    Inferred from shape (a packed ``linear.w`` has H/2 rows), so the
+    params pytree needs no sidecar metadata."""
+    h = qdec["lstm_q"][0]["w"].q.shape[1] // 4
+    return 4 if qdec["linear"]["w"].q.shape[0] * 2 == h else 8
+
+
 def qmatmul(x, qt: QTensor, dtype=None, t=None):
     """``x @ W`` with ``W`` stored int8, scales applied post-matmul.
 
@@ -118,7 +161,8 @@ def config_bits(config) -> int:
     return 4 if getattr(config, "quantize", "none") == "int4" else 8
 
 
-def quantize_lstm_decoder(dec: dict, bits: int = 8) -> dict:
+def quantize_lstm_decoder(dec: dict, bits: int = 8,
+                          pack_int4: bool = False) -> dict:
     """LSTM decoder pytree → quantized form.
 
     Input (models/generator.py layout): ``{"embed": [V, E],
@@ -131,15 +175,20 @@ def quantize_lstm_decoder(dec: dict, bits: int = 8) -> dict:
     from gan_image_captioning_tpu.models import lstm as lstm_lib
 
     fused = lstm_lib.fuse_layer_params(dec["lstm"])
+    if bits == 4 and pack_int4:
+        # row-packed int8 carrier (kernel unpacks on-core; no jnp.int4)
+        qfn = quantize_packed_int4
+    else:
+        qfn = lambda w, channel_axis: quantize(  # noqa: E731
+            w, channel_axis=channel_axis, bits=bits)
     out = {
         # per-embedding-dim scales: rows are looked up, columns scaled
-        "embed": quantize(dec["embed"], channel_axis=-1, bits=bits),
-        "lstm_q": [{"w": quantize(lp["w"], channel_axis=-1, bits=bits),
+        "embed": qfn(dec["embed"], channel_axis=-1),
+        "lstm_q": [{"w": qfn(lp["w"], channel_axis=-1),
                     "b": jnp.asarray(lp["b"], jnp.float32)}
                    for lp in fused],
         # pre-transpose to [H, V] so decode is qmatmul(h, w) directly
-        "linear": {"w": quantize(dec["linear"]["w"].T, channel_axis=-1,
-                                 bits=bits),
+        "linear": {"w": qfn(dec["linear"]["w"].T, channel_axis=-1),
                    "b": jnp.asarray(dec["linear"]["b"], jnp.float32)},
     }
     return out
@@ -157,10 +206,20 @@ def quantize_generator(gen_params: dict, config) -> dict:
       are amortized across layers and the win is smaller; measured
       before kernelizing, per the round-2 lesson).
     """
+    import os
+
     bits = config_bits(config)
+    # int4 payload form: native jnp.int4 (XLA bit-packs it) unless the
+    # backend's client cannot transfer int4 — the axon TPU tunnel's
+    # device_put recurses on S4 arrays (docs/benchmarks.md r3) — in which
+    # case the row-packed int8 carrier rides the quantized serve kernel
+    # instead.  GIC_INT4_PACK=1/0 forces either way.
+    env = os.environ.get("GIC_INT4_PACK", "")
+    pack = (env == "1" if env else jax.default_backend() == "tpu")
     out = dict(gen_params)
     if "lstm" in gen_params["decoder"]:
-        out["decoder"] = quantize_lstm_decoder(gen_params["decoder"], bits)
+        out["decoder"] = quantize_lstm_decoder(gen_params["decoder"], bits,
+                                               pack_int4=pack)
     else:
         out["decoder"] = fake_quantize_tree(gen_params["decoder"], bits=bits)
     return out

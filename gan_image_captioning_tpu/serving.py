@@ -433,13 +433,19 @@ class ContinuousBatcher:
                 decode_sample, decode_sample_q_serve)
 
             quantized = "lstm" not in dec
+            if quantized:
+                from gan_image_captioning_tpu.ops.quantize import (
+                    payload_bits)
+
+                q_bits = payload_bits(dec)
 
             def advance(state, x, tvec, fresh, feats):
                 state = zero_fresh(state, fresh)
                 x, tvec = admit(x, tvec, fresh, feats)
                 if quantized:
                     ids, lps, (hT, cT, xT) = decode_sample_q_serve(
-                        x, dec, self.K, init_state=(state[0], state[1], x))
+                        x, dec, self.K, init_state=(state[0], state[1], x),
+                        bits=q_bits)
                 else:
                     ids, lps, (hT, cT, xT) = decode_sample(
                         x, dec["lstm"], dec["linear"]["w"],

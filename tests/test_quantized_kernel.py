@@ -178,3 +178,34 @@ def test_continuous_batcher_quantized_kernel_path():
             np.testing.assert_array_equal(ids, want)
     finally:
         eng.close()
+
+
+def test_int4_pack_auto_wiring(monkeypatch):
+    """--quantize int4 with the packed carrier (GIC_INT4_PACK=1): the
+    generator quantizes to row-packed int8 payloads, routes through the
+    serve kernel, and the stepper fallback (GIC_Q_KERNEL=0) unpacks to
+    the same ids."""
+    from gan_image_captioning_tpu.models import api
+
+    monkeypatch.setenv("GIC_INT4_PACK", "1")
+    config = _cfg().replace(quantize="int4")
+    params = api.init_generator(jax.random.PRNGKey(31), config)
+    qparams = q_lib.quantize_generator(params, config)
+    dec = qparams["decoder"]
+    assert q_lib.payload_bits(dec) == 4
+    assert dec["linear"]["w"].q.dtype == jnp.int8   # carrier, not jnp.int4
+
+    feats = jax.random.normal(jax.random.PRNGKey(32), (B, E), jnp.float32)
+    ids_k, lp_k = decode_lib.greedy_with_logprobs(qparams, feats, config)
+
+    monkeypatch.setenv("GIC_Q_KERNEL", "0")         # stepper fallback
+    ids_s, lp_s = decode_lib.greedy_with_logprobs(qparams, feats, config)
+    np.testing.assert_array_equal(np.asarray(ids_k), np.asarray(ids_s))
+    np.testing.assert_allclose(np.asarray(lp_k), np.asarray(lp_s),
+                               atol=1e-4)
+
+    # and the packed carrier must equal the NATIVE int4 quantization
+    monkeypatch.setenv("GIC_INT4_PACK", "0")
+    nparams = q_lib.quantize_generator(params, config)
+    ids_n = decode_lib.greedy(nparams, feats, config)
+    np.testing.assert_array_equal(np.asarray(ids_k), np.asarray(ids_n))
