@@ -63,6 +63,7 @@ def main():
         decode_impl="kernel" if on_tpu else "fused",
         device_prefetch=prefetch,
         steps_per_call=spc,
+        precollate=os.environ.get("GIC_IT_PRECOLLATE", "auto"),
         save_dir=tmp, model_dir=os.path.join(tmp, "models"),
         log_file=os.path.join(tmp, "log"),
     )
