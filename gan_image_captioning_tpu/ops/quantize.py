@@ -71,7 +71,8 @@ def dequantize(qt: QTensor, dtype=jnp.float32):
     return (qt.q.astype(jnp.float32) * qt.scale).astype(dtype)
 
 
-def quantize_packed_int4(w, channel_axis: int = -1) -> QTensor:
+def quantize_packed_int4(w, channel_axis: int = -1,
+                         pad_odd: bool = False) -> QTensor:
     """Symmetric per-channel int4 with the payload PACKED two-per-int8
     along axis 0: rows ``[0:r)`` in the low nibbles, rows ``[r:2r)`` in
     the high nibbles (``kernels/decode_sample.py:pack_int4_rows`` layout,
@@ -80,10 +81,15 @@ def quantize_packed_int4(w, channel_axis: int = -1) -> QTensor:
     Built entirely in numpy — no ``jnp.int4`` array ever exists, so this
     survives backends whose client cannot transfer int4 (the axon
     ``device_put`` RecursionError, docs/benchmarks.md r3).  Row count
-    must be even (true for every flagship/decoder shape)."""
+    must be even; ``pad_odd`` appends one zero row first — safe ONLY for
+    selection tensors (the embedding table: a never-selected row changes
+    nothing), never for matmul operands whose row count is a contraction
+    dim."""
     import numpy as np
 
     w = np.asarray(jax.device_get(w), np.float32)
+    if pad_odd and w.shape[0] % 2:
+        w = np.concatenate([w, np.zeros((1,) + w.shape[1:], w.dtype)])
     axes = tuple(a for a in range(w.ndim) if a != channel_axis % w.ndim)
     amax = np.max(np.abs(w), axis=axes, keepdims=True)
     scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
@@ -176,14 +182,17 @@ def quantize_lstm_decoder(dec: dict, bits: int = 8,
 
     fused = lstm_lib.fuse_layer_params(dec["lstm"])
     if bits == 4 and pack_int4:
-        # row-packed int8 carrier (kernel unpacks on-core; no jnp.int4)
+        # row-packed int8 carrier (kernel unpacks on-core; no jnp.int4);
+        # the embedding pads an odd vocab with one never-selected row
         qfn = quantize_packed_int4
+        qembed = lambda w, channel_axis: quantize_packed_int4(  # noqa: E731
+            w, channel_axis=channel_axis, pad_odd=True)
     else:
-        qfn = lambda w, channel_axis: quantize(  # noqa: E731
+        qfn = qembed = lambda w, channel_axis: quantize(  # noqa: E731
             w, channel_axis=channel_axis, bits=bits)
     out = {
         # per-embedding-dim scales: rows are looked up, columns scaled
-        "embed": qfn(dec["embed"], channel_axis=-1),
+        "embed": qembed(dec["embed"], channel_axis=-1),
         "lstm_q": [{"w": qfn(lp["w"], channel_axis=-1),
                     "b": jnp.asarray(lp["b"], jnp.float32)}
                    for lp in fused],

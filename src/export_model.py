@@ -81,18 +81,23 @@ def main(argv=None):
     gen_params, _ = ckpt_lib.load_generator_checkpoint(args.checkpoint,
                                                        config)
 
-    # --quantize int8: the artifact ships the int8-resident decoder
-    # (ops/quantize.py) — halved weight payload AND halved decode-loop HBM
-    # reads at serve time.  The <S> start-feature row is taken from the
-    # FULL-precision embed first (production parity, src/caption.py) and
-    # baked into the program as a constant.  int4 payloads are native
-    # jnp.int4, which numpy/npz cannot round-trip — export rejects it.
+    # --quantize int8|int4: the artifact ships the int-resident decoder
+    # (ops/quantize.py) — halved/quartered weight payload AND decode-loop
+    # HBM reads at serve time.  The <S> start-feature row is taken from
+    # the FULL-precision embed first (production parity, src/caption.py)
+    # and baked into the program as a constant.  int4 exports via the
+    # row-packed int8 carrier (quantize_packed_int4 — npz cannot store
+    # native jnp.int4, and the packed form is also what the serve kernel
+    # and the axon client want); GIC_INT4_PACK=0 (native payloads) is
+    # the one combination that still refuses.
     start_row = None
+    if config.quantize == "int4" and os.environ.get("GIC_INT4_PACK") == "0":
+        raise SystemExit("--quantize int4 with GIC_INT4_PACK=0 does not "
+                         "export (npz cannot store jnp.int4 payloads); "
+                         "drop GIC_INT4_PACK=0 to use the packed carrier")
     if config.quantize == "int4":
-        raise SystemExit("--quantize int4 does not export (npz cannot "
-                         "store jnp.int4 payloads); use int8 or serve the "
-                         "checkpoint directly")
-    if config.quantize == "int8":
+        os.environ.setdefault("GIC_INT4_PACK", "1")  # carrier, not jnp.int4
+    if config.quantize in ("int8", "int4"):
         from gan_image_captioning_tpu.models.generator import (
             start_token_features)
         from gan_image_captioning_tpu.ops.quantize import quantize_generator

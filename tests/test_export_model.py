@@ -317,11 +317,49 @@ def test_quantized_export_roundtrip_and_serving(tmp_path):
         svc.batcher.close()
         ref.batcher.close()
 
-    # int4 payloads cannot npz-round-trip — clear refusal
-    with pytest.raises(SystemExit, match="int4"):
-        export_main(["--checkpoint", ckpt, "--output",
-                     os.path.join(str(tmp_path), "x.gic"),
-                     "--symbolic-batch", "--dataset", "synthetic",
-                     "--max-seq-len", "9", "--gen-embed-dim", "12",
-                     "--gen-hidden-dim", "16", "--quantize", "int4",
-                     "--num-workers", "1"])
+    # int4 NATIVE payloads cannot npz-round-trip — clear refusal with
+    # GIC_INT4_PACK=0; the default exports via the packed int8 carrier
+    os.environ["GIC_INT4_PACK"] = "0"
+    try:
+        with pytest.raises(SystemExit, match="int4"):
+            export_main(["--checkpoint", ckpt, "--output",
+                         os.path.join(str(tmp_path), "x.gic"),
+                         "--symbolic-batch", "--dataset", "synthetic",
+                         "--max-seq-len", "9", "--gen-embed-dim", "12",
+                         "--gen-hidden-dim", "16", "--quantize", "int4",
+                         "--num-workers", "1"])
+    finally:
+        os.environ.pop("GIC_INT4_PACK", None)
+
+
+def test_int4_packed_export_roundtrip(tmp_path):
+    """--quantize int4 exports via the row-packed int8 carrier and the
+    artifact reproduces the checkpoint-driven packed-int4 greedy ids."""
+    from gan_image_captioning_tpu.eval import decode as decode_lib
+    from gan_image_captioning_tpu.models.generator import (
+        start_token_features)
+    from gan_image_captioning_tpu.ops.quantize import quantize_generator
+    from gan_image_captioning_tpu.train import checkpoint as ckpt_lib
+    from src.export_model import main as export_main
+
+    os.environ["GIC_INT4_PACK"] = "1"
+    try:
+        cfg = _cfg(quantize="int4")
+        params = api.init_generator(jax.random.PRNGKey(11), cfg)
+        ckpt = os.path.join(str(tmp_path), "gen4.ckpt")
+        ckpt_lib.save_params(ckpt, params)
+        dims = ["--dataset", "synthetic", "--max-seq-len", "9",
+                "--gen-embed-dim", "12", "--gen-hidden-dim", "16",
+                "--quantize", "int4", "--num-workers", "1"]
+        artifact = os.path.join(str(tmp_path), "q4.gic")
+        export_main(["--checkpoint", ckpt, "--output", artifact,
+                     "--symbolic-batch", "--check", *dims])
+        cap = export_api.load_artifact(artifact)
+        ids, _ = cap(np.zeros((3,), np.int32))
+        qp = quantize_generator(params, cfg)
+        feats = start_token_features(params["decoder"], 3)
+        ids_ref, _ = decode_lib.greedy_with_logprobs(qp, feats, cfg,
+                                                     allow_kernel=False)
+        np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
+    finally:
+        os.environ.pop("GIC_INT4_PACK", None)
