@@ -592,8 +592,9 @@ def decode_sample_q_serve(features, qdec: dict, seq_len: int,
     emb_rows = V * (2 if bits == 4 else 1)
     scratch += [pltpu.VMEM((wp_rows, lin["w"].q.shape[1]), dt),
                 pltpu.VMEM((emb_rows, E), dt)]
-    if bits == 4:
-        V = emb_rows  # true vocab: payload rows are packed halves
+    # (bits=4 with an odd vocab: the packed embed carries one zero pad
+    # row — emb_rows = V+1; ids never select it, logits use the exact-V
+    # projection, so the one-hot feedback contraction is unaffected)
 
     outs = pl.pallas_call(
         functools.partial(_qserve_kernel, nl=nl, T=seq_len, carry=carry,
