@@ -44,6 +44,27 @@ from gan_image_captioning_tpu.data.vocab import END
 from gan_image_captioning_tpu.eval import decode as decode_lib
 
 
+def _thread_no_compile_cache():
+    """Context that disables jax's persistent compilation cache for the
+    CURRENT THREAD (thread-local config override).
+
+    The cache's executable (de)serialization is not safe under concurrent
+    compiles from engine dispatcher threads — full-suite runs segfaulted
+    inside ``compilation_cache.get_executable_and_time`` AND
+    ``put_executable_and_time`` called from ``_loop`` threads
+    (faulthandler stacks, round-4 notes).  Engines therefore compile
+    uncached on their own threads; main-thread warmup compiles (engine
+    construction, serve startup) still hit the disk cache."""
+    import contextlib
+
+    try:
+        from jax._src import config as jcfg
+
+        return jcfg.compilation_cache_dir(None)
+    except Exception:  # private API moved — run uncached-guard-free
+        return contextlib.nullcontext()
+
+
 def _sim_rtt():
     """Measurement hook (GIC_SIM_RTT_MS): sleep a synthetic dispatch+fetch
     round-trip after each device program, so a LOCAL (CPU) backend can
@@ -201,6 +222,10 @@ class CoalescingBatcher:
                 item[1].set_exception(exc)
 
     def _loop(self):
+        with _thread_no_compile_cache():
+            self._loop_body()
+
+    def _loop_body(self):
         while not self._stop:
             item = self._q.get()
             if item is None:
@@ -676,6 +701,10 @@ class ContinuousBatcher:
                     self._slot_cb[i] = None
 
     def _loop(self):
+        with _thread_no_compile_cache():
+            self._loop_body()
+
+    def _loop_body(self):
         while not self._stop:
             if not (self._slot_t >= 0).any() and self._q.empty():
                 self._wake.wait(timeout=0.05)

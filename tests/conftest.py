@@ -45,32 +45,13 @@ except Exception:
 
 import pytest  # noqa: E402
 
-# The serving engines jit/compile on their DISPATCHER THREADS.  With the
-# threshold-0 persistent cache those compiles become concurrent disk-cache
-# reads, which segfault inside jax's executable deserialization
-# (compilation_cache.get_executable_and_time — reproduced twice in full
-# runs, faulthandler stack committed in the round-4 notes).  Engine-test
-# modules therefore run with the disk cache OFF; everything else keeps
-# the threshold-0 cache that makes the core pass ~8 min.
-_THREADED_ENGINE_FILES = frozenset((
-    "test_serve.py", "test_serve_kernel.py", "test_serving_engine.py",
-    "test_serving_fuzz.py", "test_serving_mesh.py", "test_speculative.py",
-    "test_quantize.py", "test_quantized_kernel.py",
-))
-_CACHE_DIR = os.path.expanduser("~/.cache/gic_xla_tests")
-
-
-@pytest.fixture(autouse=True)
-def _no_disk_cache_on_engine_threads(request):
-    name = os.path.basename(str(getattr(request.node, "fspath", "")))
-    if name in _THREADED_ENGINE_FILES:
-        jax.config.update("jax_compilation_cache_dir", None)
-        try:
-            yield
-        finally:
-            jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    else:
-        yield
+# NOTE on the threshold-0 cache: jax's cache (de)serialization is NOT
+# safe under concurrent compiles from background threads — full-suite
+# runs segfaulted in get/put_executable_and_time from serving dispatcher
+# threads.  Fixed at the source: engine `_loop` threads disable the cache
+# THREAD-LOCALLY (serving.py:_thread_no_compile_cache), so a per-module
+# opt-out here is unnecessary (and was leaky: close() joins with a 5 s
+# timeout, so a mid-compile thread can outlive its test module).
 
 # ------------------------------------------------------------- slow markers
 # The core pass (`pytest -m "not slow"`) must stay in the low minutes so it
