@@ -44,25 +44,20 @@ from gan_image_captioning_tpu.data.vocab import END
 from gan_image_captioning_tpu.eval import decode as decode_lib
 
 
-def _thread_no_compile_cache():
-    """Context that disables jax's persistent compilation cache for the
-    CURRENT THREAD (thread-local config override).
-
-    The cache's executable (de)serialization is not safe under concurrent
-    compiles from engine dispatcher threads — full-suite runs segfaulted
-    inside ``compilation_cache.get_executable_and_time`` AND
-    ``put_executable_and_time`` called from ``_loop`` threads
-    (faulthandler stacks, round-4 notes).  Engines therefore compile
-    uncached on their own threads; main-thread warmup compiles (engine
-    construction, serve startup) still hit the disk cache."""
-    import contextlib
-
-    try:
-        from jax._src import config as jcfg
-
-        return jcfg.compilation_cache_dir(None)
-    except Exception:  # private API moved — run uncached-guard-free
-        return contextlib.nullcontext()
+# THREADING + THE PERSISTENT COMPILE CACHE: the engines compile their
+# device programs on their dispatcher threads (including the startup
+# warmup, which goes through the real request path).  jax's persistent
+# compilation cache is NOT safe under concurrent compiles from
+# background threads — reproducible segfaults inside
+# ``compilation_cache.get/put_executable_and_time`` (round-4 faulthandler
+# stacks, git history) — and jax LATCHES cache-enablement at the first
+# compile (``compilation_cache.is_cache_used`` caches ``_cache_used``
+# process-wide), so no thread-local or late config toggle can opt a
+# thread out.  The only airtight isolation is the PROCESS boundary:
+# scripts/test.sh runs engine-test modules in a separate
+# GIC_TEST_NO_CACHE=1 pytest process, and a cache-enabled serving process
+# accepts the (small: a handful of compiles, tiny race window) risk in
+# exchange for cached startup.
 
 
 def _sim_rtt():
@@ -222,10 +217,6 @@ class CoalescingBatcher:
                 item[1].set_exception(exc)
 
     def _loop(self):
-        with _thread_no_compile_cache():
-            self._loop_body()
-
-    def _loop_body(self):
         while not self._stop:
             item = self._q.get()
             if item is None:
@@ -701,10 +692,6 @@ class ContinuousBatcher:
                     self._slot_cb[i] = None
 
     def _loop(self):
-        with _thread_no_compile_cache():
-            self._loop_body()
-
-    def _loop_body(self):
         while not self._stop:
             if not (self._slot_t >= 0).any() and self._q.empty():
                 self._wake.wait(timeout=0.05)

@@ -15,8 +15,25 @@ cd "$(dirname "$0")/.."
 export PALLAS_AXON_POOL_IPS=
 export JAX_PLATFORMS=cpu
 
+# Threaded-engine test modules (serving dispatcher threads compile in the
+# background) run in a SEPARATE pytest process with the persistent compile
+# cache disabled: jax's cache (de)serialization segfaults under compiles
+# from background threads, and jax latches cache-enablement at the first
+# compile, so only a process boundary isolates them (tests/conftest.py
+# THREADED_ENGINE_FILES — keep this list in sync).
+ENGINE_FILES="tests/test_serve.py tests/test_serve_kernel.py \
+tests/test_serving_engine.py tests/test_serving_fuzz.py \
+tests/test_serving_mesh.py tests/test_quantize.py \
+tests/test_quantized_kernel.py tests/test_export_model.py"
+IGNORES=$(for f in $ENGINE_FILES; do printf -- "--ignore=%s " "$f"; done)
+
+run_split() {  # $1 = extra pytest args (e.g. -m "not slow")
+  python -m pytest tests/ -q $IGNORES "$@" &&
+  GIC_TEST_NO_CACHE=1 python -m pytest $ENGINE_FILES -q "$@"
+}
+
 case "${1:-core}" in
-  core) shift || true; time python -m pytest tests/ -q -m "not slow" "$@" ;;
-  full) shift;         time python -m pytest tests/ -q "$@" ;;
+  core) shift || true; time run_split -m "not slow" "$@" ;;
+  full) shift;         time run_split "$@" ;;
   *)                   exec python -m pytest "$@" ;;
 esac

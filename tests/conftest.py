@@ -30,13 +30,21 @@ assert jax.default_backend() == "cpu"
 # Persistent compilation cache for the CPU test backend: identical test
 # programs (the suite re-jits many identical tiny steps across sessions)
 # hit the disk cache instead of recompiling (VERDICT r2 weakness 5).
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/gic_xla_tests"))
-# threshold 0: the suite's cost is a LONG TAIL of sub-0.5 s compiles
-# (433 tests × a few tiny programs each) that the old 0.5 s threshold
-# excluded from the cache entirely — cache them all (round-4 item 5)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# GIC_TEST_NO_CACHE=1 disables it for THIS PROCESS — scripts/test.sh runs
+# the threaded-engine test modules in a separate no-cache invocation:
+# jax's cache (de)serialization segfaults under compiles from background
+# threads, and jax latches cache-enablement globally at the first compile
+# (compilation_cache.is_cache_used caches _cache_used once per process),
+# so no in-process opt-out can stick — the process boundary is the only
+# airtight one (round-4 notes; faulthandler stacks in git history).
+if os.environ.get("GIC_TEST_NO_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/gic_xla_tests"))
+    # threshold 0: the suite's cost is a LONG TAIL of sub-0.5 s compiles
+    # (433 tests × a few tiny programs each) that the old 0.5 s threshold
+    # excluded from the cache entirely — cache them all (round-4 item 5)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 try:
     jax.config.update("jax_persistent_cache_enable_xla_caches",
                       "xla_gpu_per_fusion_autotune_cache_dir")
@@ -45,13 +53,16 @@ except Exception:
 
 import pytest  # noqa: E402
 
-# NOTE on the threshold-0 cache: jax's cache (de)serialization is NOT
-# safe under concurrent compiles from background threads — full-suite
-# runs segfaulted in get/put_executable_and_time from serving dispatcher
-# threads.  Fixed at the source: engine `_loop` threads disable the cache
-# THREAD-LOCALLY (serving.py:_thread_no_compile_cache), so a per-module
-# opt-out here is unnecessary (and was leaky: close() joins with a 5 s
-# timeout, so a mid-compile thread can outlive its test module).
+# Modules whose tests compile on BACKGROUND THREADS (serving engine
+# dispatchers).  scripts/test.sh runs these in a separate
+# GIC_TEST_NO_CACHE=1 pytest process (see the cache note above — jax's
+# enablement latch means only a process boundary isolates them; the full
+# rationale lives at the top of gan_image_captioning_tpu/serving.py).
+THREADED_ENGINE_FILES = (
+    "test_serve.py", "test_serve_kernel.py", "test_serving_engine.py",
+    "test_serving_fuzz.py", "test_serving_mesh.py",
+    "test_quantize.py", "test_quantized_kernel.py", "test_export_model.py",
+)
 
 # ------------------------------------------------------------- slow markers
 # The core pass (`pytest -m "not slow"`) must stay in the low minutes so it
