@@ -28,6 +28,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -132,7 +133,16 @@ def main():
     sps = args.steps_per_sec
     src = "--steps-per-sec"
     if not sps:
-        benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r0*.json")))
+        # newest by ROUND NUMBER (lexicographic ranks r010 before r04)
+        def _round_num(p):
+            m = re.search(r"BENCH_r0*(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+
+        benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r0*.json")),
+                         key=_round_num)
+        if not benches:
+            sys.exit("no BENCH_r0*.json found in repo root; pass "
+                     "--steps-per-sec explicitly")
         with open(benches[-1]) as f:
             data = json.load(f)
         parsed = data.get("parsed", data)

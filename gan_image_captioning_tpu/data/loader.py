@@ -28,18 +28,24 @@ import numpy as np
 
 from gan_image_captioning_tpu.data.vocab import END, PAD, START
 
-# One lock per dataset object guarding its shared precollation cache;
-# the registry itself is guarded so two Batchers can't mint two locks.
-_PRE_LOCK_REGISTRY: dict = {}
+# One lock per dataset object guarding its shared precollation cache.
+# Stored ON the dataset (like _gic_precollated) so its lifetime tracks the
+# dataset's — an id()-keyed registry would leak entries and could hand a
+# stale lock to a new object reusing a GC'd id.  The guard only serializes
+# lock creation so two Batchers can't mint two locks for one dataset.
 _PRE_LOCK_GUARD = threading.Lock()
 
 
 def _dataset_precollate_lock(dataset) -> threading.Lock:
     with _PRE_LOCK_GUARD:
-        lock = _PRE_LOCK_REGISTRY.get(id(dataset))
+        lock = getattr(dataset, "_gic_precollate_lock", None)
         if lock is None:
             lock = threading.Lock()
-            _PRE_LOCK_REGISTRY[id(dataset)] = lock
+            try:
+                dataset._gic_precollate_lock = lock
+            except AttributeError:
+                pass  # __slots__ dataset: per-call lock; cache is also
+                #       per-Batcher there (see _gic_precollated handling)
         return lock
 
 

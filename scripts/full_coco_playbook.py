@@ -163,9 +163,14 @@ def main(argv=None):
         train_cmd += ["--init-gen-ckpt", base_ckpt]
     run(train_cmd, tail=12)
 
-    # run dir = newest {expt}_N under workdir (main.py auto-increments)
-    runs = sorted(d for d in os.listdir(args.workdir)
-                  if d.startswith(expt))
+    # run dir = newest {expt}_N under workdir (main.py auto-increments).
+    # Sort numerically: lexicographic would rank "_9" after "_10".
+    def _run_index(d):
+        tail = d.rsplit("_", 1)[-1]
+        return int(tail) if tail.isdigit() else -1
+
+    runs = sorted((d for d in os.listdir(args.workdir)
+                   if d.startswith(expt)), key=_run_index)
     run_dir = os.path.join(args.workdir, runs[-1])
     models = os.path.join(run_dir, "models")
 

@@ -172,6 +172,26 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if any(pat in item.nodeid for pat in _SLOW_PATTERNS):
             item.add_marker(pytest.mark.slow)
+    # Safety latch for direct `pytest tests/` runs (not via scripts/test.sh):
+    # if any threaded-engine module is collected in a cache-enabled process,
+    # disable the persistent compile cache NOW — cache enablement only
+    # latches at the first compile, which is after collection, so this is
+    # early enough to be airtight.  Engine dispatcher threads + the disk
+    # cache segfault (round-4 faulthandler stacks); scripts/test.sh keeps
+    # the fast path by splitting those modules into a GIC_TEST_NO_CACHE=1
+    # process so the main pass keeps its cache.
+    if os.environ.get("GIC_TEST_NO_CACHE") != "1":
+        threaded = any(
+            os.path.basename(str(item.fspath)) in THREADED_ENGINE_FILES
+            for item in items)
+        if threaded:
+            jax.config.update("jax_compilation_cache_dir", None)
+            sys.stderr.write(
+                "[conftest] threaded-engine test modules collected in a "
+                "cache-enabled process: persistent compile cache DISABLED "
+                "for this run (jax cache + background-thread compiles "
+                "segfault).  Use scripts/test.sh for the fast cached "
+                "split.\n")
 
 
 @pytest.fixture(scope="session")
