@@ -137,16 +137,74 @@ def _measure(args, batch_size, warmup, iters):
     return iters / dt
 
 
+def _measure_decode(args, batch_size, warmup, iters):
+    """Time the reference's own decode loop (generator.py:55-81 ``sample``:
+    36 sequential LSTM-cell + linear + gumbel-softmax + argmax + embed
+    iterations) under ``torch.no_grad()`` — the serving/eval decode path.
+
+    Returns (captions_per_sec, per_call_latencies_ms)."""
+    sys.path.insert(0, REF_SRC)
+    _stub_torchvision()
+    from generator import Generator  # noqa: E402 (reference module)
+
+    torch.manual_seed(1008)
+    gen = Generator(args).to(args.device).eval()
+    seq_len = args.max_seq_len + 2
+
+    lat = []
+    with torch.no_grad():
+        features = gen.decoder.embed(
+            torch.ones(batch_size, dtype=torch.long).to(args.device))
+        for _ in range(warmup):
+            gen.decoder.sample(features, max_caption_len=seq_len)
+        t_all0 = time.perf_counter()
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            gen.decoder.sample(features, max_caption_len=seq_len)
+            lat.append((time.perf_counter() - t0) * 1e3)
+        dt = time.perf_counter() - t_all0
+    return iters * batch_size / dt, lat
+
+
 def main():
     threads = torch.get_num_threads()
-    flagship = _measure(_args(), batch_size=64,
-                        warmup=1, iters=int(os.environ.get("REF_ITERS", "5")))
-    # near-zero-FLOP geometry: same op COUNT (36-step loop, 3 disc passes,
-    # 2 backwards, 2 Adam steps), negligible math → eager dispatch floor.
-    floor = _measure(_args(vocab_size=64, gen_embed_dim=16, gen_hidden_dim=16,
-                           disc_embed_dim=8, disc_num_rep=8,
-                           disc_num_filters=[4, 4, 4]),
-                     batch_size=4, warmup=2, iters=20)
+    # REF_SKIP_TRAIN=1 reuses the committed train-step numbers (≈13 min of
+    # torch-CPU to re-measure) and only runs the decode leg fresh.
+    prior = None
+    if os.environ.get("REF_SKIP_TRAIN") == "1" and os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            prior = json.load(f)
+    if prior is not None:
+        flagship = prior["ref_cpu_steps_per_sec"]
+        floor = prior["ref_dispatch_floor_steps_per_sec"]
+    else:
+        flagship = _measure(_args(), batch_size=64, warmup=1,
+                            iters=int(os.environ.get("REF_ITERS", "5")))
+        # near-zero-FLOP geometry: same op COUNT (36-step loop, 3 disc
+        # passes, 2 backwards, 2 Adam steps), negligible math → eager
+        # dispatch floor.
+        floor = _measure(
+            _args(vocab_size=64, gen_embed_dim=16, gen_hidden_dim=16,
+                  disc_embed_dim=8, disc_num_rep=8,
+                  disc_num_filters=[4, 4, 4]),
+            batch_size=4, warmup=2, iters=20)
+    # --- decode leg (VERDICT r4 missing #2): the reference's greedy/sample
+    # decode loop, measured three ways like the train step ---
+    dec_iters = int(os.environ.get("REF_DEC_ITERS", "3"))
+    dec_cps, _ = _measure_decode(_args(), batch_size=64, warmup=1,
+                                 iters=dec_iters)
+    _, dec_lat_b1 = _measure_decode(_args(), batch_size=1, warmup=2,
+                                    iters=max(5, dec_iters * 3))
+    p50_b1 = sorted(dec_lat_b1)[len(dec_lat_b1) // 2]
+    # near-zero-FLOP geometry, same 36-iteration loop with the same op
+    # count → the eager per-op dispatch floor of the DECODE loop; a GPU
+    # adds kernel-launch latency on top of this host overhead, so
+    # floor_cps bounds the reference's eager decode on any accelerator
+    # driven by a comparable host.
+    floor_cps, floor_lat = _measure_decode(
+        _args(vocab_size=64, gen_embed_dim=16, gen_hidden_dim=16),
+        batch_size=4, warmup=2, iters=20)
+    floor_p50 = sorted(floor_lat)[len(floor_lat) // 2]
     result = {
         "ref_cpu_steps_per_sec": round(flagship, 4),
         "ref_dispatch_floor_steps_per_sec": round(floor, 4),
@@ -154,6 +212,14 @@ def main():
         "cpu_count": os.cpu_count(),
         "geometry": "B=64 L=36 V=11008 lstm2x512 disc3x300 (sbatch_script.s:16)",
         "timed_path": "training.py:144-169 + optimize 194-199, uncond",
+        "decode": {
+            "ref_cpu_captions_per_sec_b64": round(dec_cps, 2),
+            "ref_cpu_p50_ms_b1": round(p50_b1, 2),
+            "ref_dispatch_floor_captions_per_sec": round(floor_cps, 2),
+            "ref_dispatch_floor_p50_ms": round(floor_p50, 3),
+            "timed_path": "generator.py:55-81 sample(), no_grad, "
+                          "B=64 throughput + B=1 latency",
+        },
     }
     with open(OUT_PATH, "w") as f:
         json.dump(result, f, indent=1)

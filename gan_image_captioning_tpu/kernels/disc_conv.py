@@ -460,7 +460,9 @@ conv_relu_maxpool_hybrid.defvjp(_hybrid_vjp_fwd, _vjp_bwd)
 # loop keeps an O(tile·n) f32 cotangent slice live per step — at 4096 the
 # Mosaic stack plan exceeded the 96 MB scoped-VMEM limit on v5e (98.03M);
 # 1024 bounds the plan to ~1/4 of that with grid=4 at flagship Q=4096.
-_MXU_ROW_TILE = 1024
+# GIC_MXU_TILE overrides for A/B (2048 = half the grid steps, double the
+# per-matmul K; measured round 5 — see docs/benchmarks.md).
+_MXU_ROW_TILE = int(os.environ.get("GIC_MXU_TILE", "1024"))
 
 
 def _mxu_rows_ok(b_sz: int, R: int) -> bool:

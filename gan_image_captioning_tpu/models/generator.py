@@ -202,27 +202,82 @@ def _lstm_bptt_from_dhs(dec, features, ids_bt, hs, cs, gates, d_hs):
     emb_tm = dec["embed"][jnp.swapaxes(ids_bt, 0, 1)[:-1]]
     xs0 = jnp.concatenate([features[None].astype(emb_tm.dtype), emb_tm],
                           axis=0)
-    d_lstm = []
-    d_x_lower = d_hs
-    for l in range(nl - 1, -1, -1):
-        lp = dec["lstm"][l]
-        w_fused = jnp.concatenate([lp["w_ih"], lp["w_hh"]], axis=1).T
-        xs_l = xs0 if l == 0 else hs[:, l - 1]
-        bwd_res = (w_fused.astype(f32), xs_l.astype(f32), h0, c0,
-                   hs[:, l].astype(f32), cs[:, l].astype(f32),
-                   gates[:, l].astype(f32))
-        dw_f, db_f, d_xs, _, _ = lstm._layer_seq_bwd(bwd_res, d_x_lower)
-        in_dim = xs_l.shape[-1]
-        d_lstm.insert(0, {"w_ih": dw_f[:in_dim].T.astype(lp["w_ih"].dtype),
-                          "w_hh": dw_f[in_dim:].T.astype(lp["w_hh"].dtype),
-                          "b_ih": db_f.astype(lp["b_ih"].dtype),
-                          "b_hh": db_f.astype(lp["b_hh"].dtype)})
-        d_x_lower = d_xs
-    d_xs0 = d_x_lower                                     # [T, B, E]
+
+    from gan_image_captioning_tpu.kernels import lstm_bptt
+
+    if lstm_bptt.chain_available():
+        d_lstm, d_xs0 = _lstm_bptt_chained(dec, xs0, hs, cs, gates, d_hs,
+                                           h0)
+    else:
+        d_lstm = []
+        d_x_lower = d_hs
+        for l in range(nl - 1, -1, -1):
+            lp = dec["lstm"][l]
+            w_fused = jnp.concatenate([lp["w_ih"], lp["w_hh"]], axis=1).T
+            xs_l = xs0 if l == 0 else hs[:, l - 1]
+            bwd_res = (w_fused.astype(f32), xs_l.astype(f32), h0, c0,
+                       hs[:, l].astype(f32), cs[:, l].astype(f32),
+                       gates[:, l].astype(f32))
+            dw_f, db_f, d_xs, _, _ = lstm._layer_seq_bwd(bwd_res, d_x_lower)
+            in_dim = xs_l.shape[-1]
+            d_lstm.insert(
+                0, {"w_ih": dw_f[:in_dim].T.astype(lp["w_ih"].dtype),
+                    "w_hh": dw_f[in_dim:].T.astype(lp["w_hh"].dtype),
+                    "b_ih": db_f.astype(lp["b_ih"].dtype),
+                    "b_hh": db_f.astype(lp["b_hh"].dtype)})
+            d_x_lower = d_xs
+        d_xs0 = d_x_lower                                 # [T, B, E]
     d_embed = jnp.zeros(dec["embed"].shape, f32).at[
         jnp.swapaxes(ids_bt, 0, 1)[:-1]].add(d_xs0[1:])
     d_features = d_xs0[0].astype(features.dtype)
     return d_lstm, d_embed, d_features
+
+
+def _lstm_bptt_chained(dec, xs0, hs, cs, gates, d_hs, h0):
+    """Chained-kernel BPTT: the whole NL-layer reverse recurrence
+    (including the inter-layer input gradients) runs as ONE pallas grid
+    over reversed time (kernels/lstm_bptt.py:lstm_bptt_chain — VERDICT r4
+    item 1's one-grid backward program), then the weight/bias/input
+    gradients fall out as the usual deferred large MXU matmuls over the
+    stacked gate gradients.  Math identical to the per-layer scan path
+    (tests/test_lstm_bptt_kernel.py pins equivalence)."""
+    from gan_image_captioning_tpu.kernels import lstm_bptt
+
+    f32 = jnp.float32
+    nl = len(dec["lstm"])
+    T, B = d_hs.shape[0], d_hs.shape[1]
+    w_hhs = jnp.stack([lp["w_hh"].T.astype(f32) for lp in dec["lstm"]])
+    if nl > 1:
+        w_ihs = jnp.stack([lp["w_ih"].T.astype(f32)
+                           for lp in dec["lstm"][1:]])
+    else:
+        w_ihs = jnp.zeros((1,) + w_hhs.shape[1:], f32)
+    d_pre = lstm_bptt.lstm_bptt_chain(w_hhs, w_ihs, d_hs.astype(f32),
+                                      gates, cs)          # [T, NL, B, 4H]
+    h_prev = jnp.concatenate(
+        [jnp.broadcast_to(h0, (1, nl) + h0.shape).astype(hs.dtype),
+         hs[:-1]], axis=0)                                # [T, NL, B, H]
+    d_lstm = []
+    for l in range(nl):
+        lp = dec["lstm"][l]
+        xs_l = xs0 if l == 0 else hs[:, l - 1]
+        d2 = d_pre[:, l].reshape(T * B, -1)               # [T·B, 4H]
+        xh = jnp.concatenate([xs_l.astype(f32),
+                              h_prev[:, l].astype(f32)],
+                             axis=-1).reshape(T * B, -1)
+        dw_f = xh.T @ d2                                  # [in+H, 4H]
+        db_f = d2.sum(axis=0)
+        in_dim = xs_l.shape[-1]
+        d_lstm.append({"w_ih": dw_f[:in_dim].T.astype(lp["w_ih"].dtype),
+                       "w_hh": dw_f[in_dim:].T.astype(lp["w_hh"].dtype),
+                       "b_ih": db_f.astype(lp["b_ih"].dtype),
+                       "b_hh": db_f.astype(lp["b_hh"].dtype)})
+    # layer-0 input-path gradient → embedding scatter + features grad
+    w_ih0 = dec["lstm"][0]["w_ih"].astype(f32)            # [4H, E]
+    d_xs0 = jax.lax.dot_general(
+        d_pre[:, 0], w_ih0, (((2,), (0,)), ((), ())),
+        preferred_element_type=f32)                       # [T, B, E]
+    return d_lstm, d_xs0
 
 
 def _kernel_sample_soft_bwd(seq_len, res, grads):

@@ -104,6 +104,90 @@ def make_optimizer(lr: float, clip_norm: float,
     )
 
 
+def _find_adam_state(opt_state):
+    """Locate the ScaleByAdamState inside the clip→adam chain state and
+    return (adam_state, rebuild) where rebuild(new_adam) reconstructs the
+    full chain state pytree unchanged everywhere else."""
+    # chain(clip, adam) state = (EmptyState, (ScaleByAdamState, lr_state))
+    inner = opt_state[1]
+    adam = inner[0]
+    assert isinstance(adam, optax.ScaleByAdamState), type(adam)
+
+    def rebuild(new_adam):
+        return (opt_state[0], (new_adam,) + tuple(inner[1:]))
+    return adam, rebuild
+
+
+def fused_adam_active() -> bool:
+    """GIC_FUSED_ADAM=1 routes the adversarial/pretrain updates through
+    :func:`fused_clip_adam_apply` — the clip→Adam→apply elementwise chain
+    written as ONE expression per leaf so no intermediate update tree
+    (optax materializes clipped-grads and updates trees, plus the separate
+    ``p + u`` pass) ever touches HBM.  Measured A/B:
+    benchmarks/opt_fuse.py; numerics pinned vs the optax chain in
+    tests/test_fused_adam.py."""
+    import os
+
+    return os.environ.get("GIC_FUSED_ADAM", "0") == "1"
+
+
+def make_fused_update(lr: float, clip_norm: float,
+                      config: Optional[Config] = None):
+    """Fused replacement for ``tx.update(...)`` + ``apply_updates`` of
+    :func:`make_optimizer`'s chain, for the CONSTANT-lr case (the
+    flagship/bench path).  Returns ``fn(grads, opt_state, params) ->
+    (new_params, new_opt_state, None)`` matching optax numerics:
+
+      gnorm  = global_norm(g)
+      g'     = g * min(1, clip/gnorm)        [optax.clip_by_global_norm]
+      mu'    = b1·mu + (1−b1)·g'             [optax.scale_by_adam]
+      nu'    = b2·nu + (1−b2)·g'²
+      p'     = p − lr · (mu'/bc1) / (√(nu'/bc2) + eps)
+
+    or None when the config uses an lr schedule (the optax chain handles
+    those — schedules carry their own count state).  GIC_BF16_MU is
+    honored (mu stored bf16, computed f32).
+    """
+    import os
+
+    sched = lr_schedule_fn(lr, config)
+    if not isinstance(sched, (int, float)):
+        return None
+    lr_f = float(sched)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    bf16_mu = os.environ.get("GIC_BF16_MU", "0") == "1"
+    f32 = jnp.float32
+
+    def update(grads, opt_state, params):
+        adam, rebuild = _find_adam_state(opt_state)
+        gnorm = optax.global_norm(grads)
+        # optax.clip_by_global_norm: u * clip/max(gnorm, clip)
+        scale = (clip_norm / jnp.maximum(gnorm, clip_norm)).astype(f32)
+        count = optax.safe_int32_increment(adam.count)
+        bc1 = 1.0 - b1 ** count.astype(f32)
+        bc2 = 1.0 - b2 ** count.astype(f32)
+
+        def leaf(p, g, mu, nu):
+            g = g.astype(f32) * scale
+            mu_n = b1 * mu.astype(f32) + (1.0 - b1) * g
+            nu_n = b2 * nu.astype(f32) + (1.0 - b2) * (g * g)
+            u = lr_f * (mu_n / bc1) / (jnp.sqrt(nu_n / bc2) + eps)
+            p_n = (p.astype(f32) - u).astype(p.dtype)
+            mu_out = mu_n.astype(jnp.bfloat16) if bf16_mu else mu_n
+            return p_n, mu_out, nu_n
+
+        out = jax.tree_util.tree_map(leaf, params, grads, adam.mu, adam.nu)
+        is_triple = lambda x: (isinstance(x, tuple)  # noqa: E731
+                               and len(x) == 3)
+        pick = lambda i: jax.tree_util.tree_map(  # noqa: E731
+            lambda o: o[i], out, is_leaf=is_triple)
+        new_p, new_mu, new_nu = pick(0), pick(1), pick(2)
+        new_adam = optax.ScaleByAdamState(count=count, mu=new_mu, nu=new_nu)
+        return new_p, rebuild(new_adam)
+
+    return update
+
+
 def create_train_state(config: Config, rng, gen_params=None, disc_params=None,
                        dtype=jnp.float32) -> TrainState:
     """Build models (if not given) and fresh optimizer/counter state."""

@@ -497,6 +497,15 @@ def make_adv_step(config: Config, _raw: bool = False):
     """
     gen_tx = make_optimizer(config.gen_lr, config.clip_norm, config)
     disc_tx = make_optimizer(config.disc_lr, config.clip_norm, config)
+    # GIC_FUSED_ADAM=1: clip→Adam→apply as one fused elementwise pass per
+    # leaf (no intermediate update trees in HBM) — same state pytree, same
+    # numerics (tests/test_fused_adam.py); constant-lr only (None = optax)
+    from gan_image_captioning_tpu.train.state import (fused_adam_active,
+                                                      make_fused_update)
+    fused_g = fused_d = None
+    if fused_adam_active():
+        fused_g = make_fused_update(config.gen_lr, config.clip_norm, config)
+        fused_d = make_fused_update(config.disc_lr, config.clip_norm, config)
     disc_every = max(1, int(config.disc_train_freq))
     accum = max(1, int(config.grad_accum))
 
@@ -628,8 +637,12 @@ def make_adv_step(config: Config, _raw: bool = False):
         # --- D update, conditionally (disc_train_freq) ---
         def update_disc(operand):
             dp, opt, steps = operand
-            updates, new_opt = disc_tx.update(d_grads, opt, dp)
-            new_dp = jax.tree_util.tree_map(lambda p, u: p + u, dp, updates)
+            if fused_d is not None:
+                new_dp, new_opt = fused_d(d_grads, opt, dp)
+            else:
+                updates, new_opt = disc_tx.update(d_grads, opt, dp)
+                new_dp = jax.tree_util.tree_map(lambda p, u: p + u, dp,
+                                                updates)
             return new_dp, new_opt, steps + 1
 
         do_d = (state.gen_steps % disc_every) == 0
@@ -641,10 +654,14 @@ def make_adv_step(config: Config, _raw: bool = False):
             (state.disc_params, state.disc_opt_state))
 
         # --- G update, every step (training.py:169) ---
-        g_updates, gen_opt_state = gen_tx.update(
-            g_grads, state.gen_opt_state, state.gen_params)
-        gen_params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.gen_params, g_updates)
+        if fused_g is not None:
+            gen_params, gen_opt_state = fused_g(
+                g_grads, state.gen_opt_state, state.gen_params)
+        else:
+            g_updates, gen_opt_state = gen_tx.update(
+                g_grads, state.gen_opt_state, state.gen_params)
+            gen_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.gen_params, g_updates)
         gen_params = _merge_bn_stats(gen_params, aux["new_stats"])
         ema = _ema_update(config, state.ema_gen_params, gen_params)
         gen_params, gen_opt_state, ema = _guard_nonfinite(

@@ -69,3 +69,66 @@ def test_bptt_kernel_in_full_sample_vjp(monkeypatch):
     for a, b in zip(fa, fb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("nl", [1, 2, 3])
+def test_chained_bptt_matches_scan_in_sample_vjp(monkeypatch, nl):
+    """The CHAINED multi-layer reverse kernel (GIC_BPTT_CHAIN — one grid
+    for the whole stacked backward recurrence incl. inter-layer input
+    grads) must match the per-layer scan path through the production
+    sample VJP, for 1/2/3-layer stacks."""
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import generator as gen_lib
+
+    config = Config(vocab_size=64, gen_embed_dim=E, gen_hidden_dim=H,
+                    gen_num_layers=nl, max_seq_len=T - 2)
+    dec = gen_lib.init_decoder_params(jax.random.PRNGKey(1), config)
+    feats = jax.random.normal(jax.random.PRNGKey(2), (B, E))
+    probe = jax.random.normal(jax.random.PRNGKey(3), (T, B, 64))
+
+    def loss(dec_p):
+        soft, _ = gen_lib._kernel_sample_soft(dec_p, feats,
+                                              jnp.float32(2.0),
+                                              jnp.int32(5), T)
+        return jnp.sum(soft * probe)
+
+    grads = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("GIC_BPTT_CHAIN", flag)
+        grads[flag] = jax.grad(loss)(dec)
+    fa, _ = jax.tree_util.tree_flatten(grads["1"])
+    fb, _ = jax.tree_util.tree_flatten(grads["0"])
+    assert fa and len(fa) == len(fb)
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_chained_bptt_in_fused_embed_vjp(monkeypatch):
+    """Chain kernel must also serve the fused sample→disc-embed VJP
+    (_kernel_sample_embed shares _lstm_bptt_from_dhs)."""
+    from gan_image_captioning_tpu.config import Config
+    from gan_image_captioning_tpu.models import generator as gen_lib
+
+    config = Config(vocab_size=64, gen_embed_dim=E, gen_hidden_dim=H,
+                    gen_num_layers=2, max_seq_len=T - 2)
+    dec = gen_lib.init_decoder_params(jax.random.PRNGKey(1), config)
+    feats = jax.random.normal(jax.random.PRNGKey(2), (B, E))
+    wd = jax.random.normal(jax.random.PRNGKey(4), (8, 64)) * 0.2
+    probe = jax.random.normal(jax.random.PRNGKey(3), (T, B, 8))
+
+    def loss(dec_p):
+        emb, _ = gen_lib._kernel_sample_embed(dec_p, feats,
+                                              jnp.float32(2.0),
+                                              jnp.int32(5), wd, T, "gen")
+        return jnp.sum(emb * probe)
+
+    grads = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("GIC_BPTT_CHAIN", flag)
+        grads[flag] = jax.grad(loss)(dec)
+    fa, _ = jax.tree_util.tree_flatten(grads["1"])
+    fb, _ = jax.tree_util.tree_flatten(grads["0"])
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
