@@ -31,6 +31,37 @@ from gan_image_captioning_tpu.models import transformer as tf_lib
 NEG_INF = -1e9
 
 
+def beam_topk(x, k: int):
+    """Exact top-k along the last axis, selectable implementation.
+
+    ``GIC_BEAM_TOPK=iter``: k iterative argmax+mask passes — O(k·N) VPU
+    work instead of XLA's TopK.  Measured NEUTRAL on v5e at flagship
+    beam-4 (15.4 vs 15.3 ms/call interleaved, benchmarks/beam_topk_ab.py
+    round 5) — XLA's TPU TopK is already partial-sort-efficient at this
+    shape, so ``sort`` (``lax.top_k``) stays the default; ``iter`` is
+    kept as the tested alternative for backends/shapes where TopK lowers
+    badly.  Ordering is IDENTICAL to ``lax.top_k``: values descending,
+    ties broken by lower index (argmax takes the first maximum; masking
+    removes exactly one element per pass) — pinned by
+    tests/test_decode.py.
+    """
+    import os
+
+    if os.environ.get("GIC_BEAM_TOPK", "sort") == "sort":
+        return jax.lax.top_k(x, k)
+    n = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    cur = x
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)                       # first max
+        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        cur = jnp.where(lane == i[..., None], NEG_INF * 2.0, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 class Stepper(NamedTuple):
     init_state: Callable[[int], Any]           # n → state
     step: Callable[[Any, Any, Any], Any]       # (state, x_emb [N,E], t) → (logits, state)
@@ -568,7 +599,7 @@ def beam_search(gen_params: dict, features, config: Config,
     logp0 = jax.nn.log_softmax(logits0.reshape(B, K, V)[:, 0])  # [B, V]
     if min_length > 0:
         logp0 = logp0.at[:, END].set(NEG_INF)
-    scores, ids0 = jax.lax.top_k(logp0, K)                   # [B, K]
+    scores, ids0 = beam_topk(logp0, K)                       # [B, K]
     done = ids0 == END
     tokens = jnp.full((B, K, seq_len), PAD, jnp.int32)
     tokens = tokens.at[:, :, 0].set(ids0)
@@ -590,7 +621,7 @@ def beam_search(gen_params: dict, features, config: Config,
         logp = jnp.where(done[..., None], pad_only[None, None, :], logp)
         cand = scores[..., None] + logp                      # [B, K, V]
         flat = cand.reshape(B, K * V)
-        new_scores, flat_idx = jax.lax.top_k(flat, K)        # [B, K]
+        new_scores, flat_idx = beam_topk(flat, K)            # [B, K]
         parent = flat_idx // V                               # [B, K]
         token = flat_idx % V                                 # [B, K]
 
@@ -678,11 +709,11 @@ def diverse_beam_search(gen_params: dict, features, config: Config,
             lp_g = logp[:, sl] - lam * counts[:, None, :]
             if t0:
                 cand = lp_g[:, 0]                      # [B, V]
-                s_g, tok_g = jax.lax.top_k(cand, Kg)   # [B, Kg]
+                s_g, tok_g = beam_topk(cand, Kg)       # [B, Kg]
                 par_g = jnp.zeros((B, Kg), jnp.int32) + g * Kg
             else:
                 cand = scores[:, sl, None] + lp_g      # [B, Kg, V]
-                s_g, flat = jax.lax.top_k(cand.reshape(B, Kg * V), Kg)
+                s_g, flat = beam_topk(cand.reshape(B, Kg * V), Kg)
                 par_g = flat // V + g * Kg
                 tok_g = flat % V
             # Hamming diversity counts: a token's penalty grows with how

@@ -71,11 +71,16 @@ def inference_mesh_setup(config):
     from gan_image_captioning_tpu.kernels import decode_sample as dsk
 
     mesh = make_mesh(config.mesh)
-    tp_axes = any(n != "data" and s > 1 for n, s in mesh.shape.items())
-    if tp_axes:
+    other_axes = any(n not in ("data", "model") and s > 1
+                     for n, s in mesh.shape.items())
+    mp = mesh.shape.get("model", 1)
+    if other_axes or (mp > 1 and config.vocab_size
+                      and config.vocab_size % mp != 0):
         dsk.set_mesh(None)
         if config.decode_impl == "kernel":
             config = config.replace(decode_impl="decoupled")
     else:
+        # data-only → per-shard kernel replication; data×model → the
+        # vocab-parallel TP decode (decode_sample._decode_sample_tp)
         dsk.set_mesh(mesh)
     return mesh, config

@@ -93,15 +93,24 @@ class GANInstructor:
                 make_mesh as _mk)
 
             probe = _mk(config.mesh)
-            if any(n != "data" and s > 1 for n, s in probe.shape.items()):
-                # TP/PP/SP axes shard the vocab/stack dims the kernel holds
+            other = any(n not in ("data", "model") and s > 1
+                        for n, s in probe.shape.items())
+            mp = probe.shape.get("model", 1)
+            if other or (mp > 1 and config.vocab_size % mp != 0):
+                # PP/SP axes shard the stack/sequence dims the kernel holds
                 # whole — fall back to the mathematically identical
                 # decoupled implementation, which GSPMD shards.
                 config = config.replace(decode_impl="decoupled")
                 self.config = config
-                self.log.info("--mesh with model/pp/sp axes: decode-impl "
-                              "kernel → decoupled (the Pallas kernel "
-                              "shards over data only)")
+                self.log.info("--mesh with pp/sp axes (or vocab %% model "
+                              "!= 0): decode-impl kernel → decoupled")
+            elif mp > 1:
+                # data×model mesh: vocab-parallel decode
+                # (kernels/decode_sample._decode_sample_tp — per-step
+                # argmax-of-partials combine over the model axis)
+                dsk.set_mesh(probe)
+                self.log.info("--mesh data×model: decode kernel runs "
+                              "vocab-parallel (TP) via shard_map")
             else:
                 # data-only mesh: the decode + disc-conv kernels run
                 # per-shard via shard_map (kernels/decode_sample.set_mesh)

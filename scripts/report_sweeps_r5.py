@@ -37,6 +37,13 @@ BASE = [
     "--disc-num-heads", "4", "--disc-num-layers", "2",
     "--disc-num-rep", "8", "--disc-num-filters", "32,32,32",
     "--pretrain-lr", "3e-3",
+    # Adversarial pressure: the first r5 pass (8 adv epochs, 1e-4 lrs)
+    # produced identical NLL/BLEU across every cell — the adversarial
+    # phase barely moved the MLE solution, so the sweep had no power.
+    # The report's orderings come from training where bad settings
+    # DEGRADE the model; 30 epochs at 1e-3 lets the dynamics bite at
+    # fixture scale.
+    "--gen-lr", "1e-3", "--disc-lr", "1e-3",
 ]
 
 SWEEPS = [
@@ -56,7 +63,7 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "artifacts",
                                                   "sweeps_r5"))
     ap.add_argument("--pretrain-epochs", default="12")
-    ap.add_argument("--adv-epochs", default="8")
+    ap.add_argument("--adv-epochs", default="30")
     ap.add_argument("--only", default="",
                     help="comma-separated sweep names to run (default all)")
     args = ap.parse_args()

@@ -32,8 +32,30 @@ run_split() {  # $1 = extra pytest args (e.g. -m "not slow")
   GIC_TEST_NO_CACHE=1 python -m pytest $ENGINE_FILES -q "$@"
 }
 
+run_split_concurrent() {  # round 5: overlap the engine process's REAL-TIME
+  # waits (coalescing windows, thread joins, HTTP timeouts) with the main
+  # pass's CPU work — on this 1-core box only idle time can be recovered,
+  # and the engine tests are where the idle lives.  The processes stay
+  # separate (the cache-latch isolation is the process boundary).
+  GIC_TEST_NO_CACHE=1 python -m pytest $ENGINE_FILES -q "$@" \
+      > /tmp/gic_engine_tests.log 2>&1 &
+  local engine_pid=$!
+  local rc=0
+  python -m pytest tests/ -q $IGNORES "$@" || rc=$?
+  local erc=0
+  wait "$engine_pid" || erc=$?
+  if [ "$erc" -ne 0 ]; then
+    echo "--- engine-process output (rc=$erc) ---"
+    tail -40 /tmp/gic_engine_tests.log
+  else
+    tail -2 /tmp/gic_engine_tests.log
+  fi
+  return $(( rc > erc ? rc : erc ))
+}
+
 case "${1:-core}" in
-  core) shift || true; time run_split -m "not slow" "$@" ;;
+  core) shift || true; time run_split_concurrent -m "not slow" "$@" ;;
+  core-serial) shift || true; time run_split -m "not slow" "$@" ;;
   full) shift;         time run_split "$@" ;;
   *)                   exec python -m pytest "$@" ;;
 esac

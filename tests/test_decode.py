@@ -332,3 +332,50 @@ def test_min_length_blocks_early_end():
                 np.asarray(ids_d).reshape(-1, cfg.seq_len),
                 np.asarray(ids_s)):
         assert not (ids[:, :m] == END).any()
+
+
+def test_beam_topk_matches_lax_top_k():
+    """Iterative argmax top-k must match lax.top_k exactly, ties included
+    (values descending, ties by lower index)."""
+    import numpy as np
+
+    from gan_image_captioning_tpu.eval.decode import beam_topk
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, 97)).astype(np.float32)
+    # manufacture ties: duplicate values at several positions
+    x[0, 10] = x[0, 50] = x[0, 3]
+    x[2, :] = 1.25          # whole row tied
+    x[3, 7] = x[3, 8] = x[3, 9] = x[3].max() + 1.0
+    xj = jnp.asarray(x)
+    for k in (1, 4, 7):
+        v_ref, i_ref = jax.lax.top_k(xj, k)
+        v_it, i_it = beam_topk(xj, k)
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_it))
+        np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_it))
+
+
+def test_beam_search_identical_across_topk_impls(monkeypatch):
+    """beam_search must produce identical tokens/scores with the sort and
+    iterative top-k implementations."""
+    import numpy as np
+
+    from gan_image_captioning_tpu.eval.decode import beam_search
+    from gan_image_captioning_tpu.models import api
+
+    config = _config() if "_config" in globals() else None
+    if config is None:
+        from gan_image_captioning_tpu.config import Config
+        config = Config(vocab_size=64, gen_embed_dim=16, gen_hidden_dim=16,
+                        gen_num_layers=1, max_seq_len=8)
+    gp = api.init_generator(jax.random.PRNGKey(0), config)
+    feats = jax.random.normal(jax.random.PRNGKey(1),
+                              (4, config.gen_embed_dim))
+    outs = {}
+    for impl in ("sort", "iter"):
+        monkeypatch.setenv("GIC_BEAM_TOPK", impl)
+        outs[impl] = beam_search(gp, feats, config, beam_size=4)
+    np.testing.assert_array_equal(np.asarray(outs["sort"][0]),
+                                  np.asarray(outs["iter"][0]))
+    np.testing.assert_allclose(np.asarray(outs["sort"][1]),
+                               np.asarray(outs["iter"][1]), atol=1e-6)
