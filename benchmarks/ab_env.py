@@ -62,10 +62,21 @@ def main():
     batch = {k: jnp.asarray(v)
              for k, v in make_batch(caps, None, config.seq_len).items()}
 
-    prev = os.environ.get(var)
+    # COMBO mode: each "value" is a +-joined assignment list, e.g.
+    #   python benchmarks/ab_env.py COMBO \
+    #       "GIC_BPTT_CHAIN=0+GIC_MXU_TILE=1024" \
+    #       "GIC_BPTT_CHAIN=1+GIC_MXU_TILE=2048"
+    def _assigns(value):
+        if var != "COMBO":
+            return [(var, value)]
+        return [tuple(kv.split("=", 1)) for kv in value.split("+")]
+
+    prev = {k: os.environ.get(k)
+            for v in values for k, _ in _assigns(v)}
 
     def build(value):
-        os.environ[var] = value
+        for k, v in _assigns(value):
+            os.environ[k] = v
         raw = make_adv_step(config, _raw=True)
 
         @jax.jit
@@ -87,10 +98,11 @@ def main():
         print(f"[ab] {var}={v}: compile+first {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
         variants[v] = (prog, [st])
-    if prev is None:
-        os.environ.pop(var, None)
-    else:
-        os.environ[var] = prev
+    for k, v in prev.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
 
     times = {v: [] for v in values}
     for rep in range(REPS):

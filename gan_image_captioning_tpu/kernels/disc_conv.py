@@ -462,12 +462,16 @@ conv_relu_maxpool_hybrid.defvjp(_hybrid_vjp_fwd, _vjp_bwd)
 # 1024 bounds the plan to ~1/4 of that with grid=4 at flagship Q=4096.
 # GIC_MXU_TILE overrides for A/B (2048 = half the grid steps, double the
 # per-matmul K; measured round 5 — see docs/benchmarks.md).
-_MXU_ROW_TILE = int(os.environ.get("GIC_MXU_TILE", "1024"))
+def _mxu_row_tile() -> int:
+    # read per-call (trace time), NOT at import: A/Bs set the env between
+    # program builds in one process
+    return int(os.environ.get("GIC_MXU_TILE", "1024"))
 
 
 def _mxu_rows_ok(b_sz: int, R: int) -> bool:
     q = b_sz * R
-    return q % 8 == 0 and (q <= _MXU_ROW_TILE or q % _MXU_ROW_TILE == 0)
+    tile = _mxu_row_tile()
+    return q % 8 == 0 and (q <= tile or q % tile == 0)
 
 
 def _mxu_fwd_kernel(xt_ref, w_ref, b_ref, pooled_ref, idx_ref, *, lv, eds, f):
@@ -566,7 +570,7 @@ def _mxu_bank_call(kern_fn, xt, extras, out_builder, out_pspecs, *,
 
     def _invoke(xt_, *arrs):
         q_l = xt_.shape[1]
-        tile = min(q_l, _MXU_ROW_TILE)
+        tile = min(q_l, _mxu_row_tile())
         grid = q_l // tile
         out_shapes, out_specs = out_builder(q_l, tile, grid)
         return pl.pallas_call(
