@@ -199,6 +199,10 @@ def main():
         # bf16 Adam first moment: +0.6% (3/3 interleaved reps,
         # benchmarks/ab_bf16mu.py); variance accumulator stays f32
         _os.environ.setdefault("GIC_BF16_MU", "1")
+        # chained multi-layer BPTT reverse kernel: +0.8% (4/5 interleaved
+        # scanned reps, benchmarks/ab_env.py round 5); equivalence pinned
+        # in tests/test_lstm_bptt_kernel.py
+        _os.environ.setdefault("GIC_BPTT_CHAIN", "1")
     from gan_image_captioning_tpu.config import Config
     from gan_image_captioning_tpu.data.loader import make_batch
     from gan_image_captioning_tpu.train.state import create_train_state

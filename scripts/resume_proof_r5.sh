@@ -13,13 +13,14 @@ cd "$(dirname "$0")/.."
 WORK=${1:-/tmp/resume_proof_r5}
 rm -rf "$WORK"; mkdir -p "$WORK"
 
-FLAGS=(--dataset synthetic --synthetic-items 1600 --vocab-multiple 11008
+FLAGS=(--dataset synthetic --synthetic-items 64000 --vocab-multiple 11008
        --gen-embed-dim 512 --gen-hidden-dim 512 --gen-num-layers 2
        --max-seq-len 34 --dtype bfloat16 --decode-impl kernel
        --disc-embed-dim 64 --disc-num-rep 64 --disc-filter-sizes 3,4,5
        --disc-num-filters 300,300,300
        --pre-train-batch-size 64 --adv-train-batch-size 64
        --pretrain-epochs 1 --adv-epochs 4 --device tpu
+       --steps-per-call 4
        --checkpoint-every 1 --seed 1008)
 
 echo "[proof] control run (uninterrupted)..."
@@ -28,7 +29,7 @@ python src/main.py "${FLAGS[@]}" --save-dir "$WORK" --expt-name control \
 rc=$?
 echo "[proof] control rc=$rc"
 
-echo "[proof] interrupted run: SIGTERM ~35s into the adversarial phase..."
+echo "[proof] interrupted run: SIGTERM ~10s into the adversarial phase..."
 python src/main.py "${FLAGS[@]}" --save-dir "$WORK" --expt-name victim \
     --resume auto > "$WORK/victim1.log" 2>&1 &
 PID=$!
@@ -37,7 +38,7 @@ for i in $(seq 1 600); do
   grep -q "Adversarial" "$WORK/victim_1/log.txt" 2>/dev/null && break
   sleep 2
 done
-sleep 25
+sleep 10
 kill -TERM "$PID" 2>/dev/null
 wait "$PID"
 echo "[proof] victim first leg rc=$? (SIGTERM checkpoint expected)"

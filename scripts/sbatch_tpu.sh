@@ -11,6 +11,10 @@
 # JAX_NUM_PROCESSES / JAX_PROCESS_ID and parallel/distributed.py picks
 # them up; single host needs nothing.
 
+# Chained multi-layer BPTT reverse kernel: +0.8% interleaved A/B
+# (docs/benchmarks.md round 5); equivalence pinned in tests.
+export GIC_BPTT_CHAIN=1
+
 python3 src/main.py \
     --data-dir ../coco_data \
     --gen-embed-dim 512 \
