@@ -41,6 +41,14 @@ def main():
     gp = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, gp)
+    if os.environ.get("GIC_BEAM_QUANT") == "1":
+        # int8-resident decoder: beam routes the quantized stepper
+        # automatically (eval/decode.py:make_stepper)
+        from gan_image_captioning_tpu.ops.quantize import quantize_generator
+
+        gp = quantize_generator(gp, config)
+        print("[ab] int8-resident decoder (quantized stepper)",
+              file=sys.stderr)
     feats = jax.random.normal(jax.random.PRNGKey(1), (B, 512), jnp.bfloat16)
 
     progs = {}

@@ -34,11 +34,12 @@ python src/main.py "${FLAGS[@]}" --save-dir "$WORK" --expt-name victim \
     --resume auto > "$WORK/victim1.log" 2>&1 &
 PID=$!
 # wait until the adversarial phase starts, then a bit into it
+# wait for epoch 0's END line, then land the kill ~30% into epoch 1
 for i in $(seq 1 600); do
-  grep -q "Adversarial" "$WORK/victim_1/log.txt" 2>/dev/null && break
+  grep -q "\[ADV\] epoch 0" "$WORK/victim_1/log.txt" 2>/dev/null && break
   sleep 2
 done
-sleep 10
+sleep 30
 kill -TERM "$PID" 2>/dev/null
 wait "$PID"
 echo "[proof] victim first leg rc=$? (SIGTERM checkpoint expected)"
