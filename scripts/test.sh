@@ -32,11 +32,12 @@ run_split() {  # $1 = extra pytest args (e.g. -m "not slow")
   GIC_TEST_NO_CACHE=1 python -m pytest $ENGINE_FILES -q "$@"
 }
 
-run_split_concurrent() {  # round 5: overlap the engine process's REAL-TIME
-  # waits (coalescing windows, thread joins, HTTP timeouts) with the main
-  # pass's CPU work — on this 1-core box only idle time can be recovered,
-  # and the engine tests are where the idle lives.  The processes stay
-  # separate (the cache-latch isolation is the process boundary).
+run_split_concurrent() {  # round 5: MEASURED NEGATIVE on this 1-core box —
+  # the engine process is compute-heavy (no-cache compiles), not
+  # idle-dominated, so running it alongside the main pass roughly halves
+  # both (first concurrent attempt tracked ~2× slower than serial and was
+  # aborted).  Kept as `core-concurrent` for multi-core hosts, where the
+  # process split parallelizes for real; `core` stays serial.
   GIC_TEST_NO_CACHE=1 python -m pytest $ENGINE_FILES -q "$@" \
       > /tmp/gic_engine_tests.log 2>&1 &
   local engine_pid=$!
@@ -54,8 +55,8 @@ run_split_concurrent() {  # round 5: overlap the engine process's REAL-TIME
 }
 
 case "${1:-core}" in
-  core) shift || true; time run_split_concurrent -m "not slow" "$@" ;;
-  core-serial) shift || true; time run_split -m "not slow" "$@" ;;
+  core) shift || true; time run_split -m "not slow" "$@" ;;
+  core-concurrent) shift || true; time run_split_concurrent -m "not slow" "$@" ;;
   full) shift;         time run_split "$@" ;;
   *)                   exec python -m pytest "$@" ;;
 esac

@@ -90,23 +90,37 @@ def test_instructor_keeps_kernel_on_data_mesh(tmp_path, monkeypatch):
                 disc_num_filters=(4,), pre_train_batch_size=4,
                 adv_train_batch_size=4, decode_impl="kernel")
 
-    cfg = Config(save_dir=str(tmp_path / "a"), mesh="data:8", **base)
-    inst = GANInstructor(cfg, ds, ds, silent=True)
-    assert inst.config.decode_impl == "kernel"
-    assert dsk._data_mesh() is not None
+    from gan_image_captioning_tpu.models import transformer as tf_lib
+    from gan_image_captioning_tpu.train import steps as steps_mod
 
-    # data×model: the kernel stays, routed through the TP decode path
-    cfg2 = Config(save_dir=str(tmp_path / "b"), mesh="data:4,model:2", **base)
-    inst2 = GANInstructor(cfg2, ds, ds, silent=True)
-    assert inst2.config.decode_impl == "kernel"
-    assert dsk._data_mesh() is None          # not the data-only replication
-    assert dsk._tp_mesh() is not None        # ... but the TP path
+    try:
+        cfg = Config(save_dir=str(tmp_path / "a"), mesh="data:8", **base)
+        inst = GANInstructor(cfg, ds, ds, silent=True)
+        assert inst.config.decode_impl == "kernel"
+        assert dsk._data_mesh() is not None
 
-    # sp still downgrades (the kernel holds the sequence whole)
-    cfg3 = Config(save_dir=str(tmp_path / "c"), mesh="sp:8", **base)
-    inst3 = GANInstructor(cfg3, ds, ds, silent=True)
-    assert inst3.config.decode_impl == "decoupled"
-    assert dsk._tp_mesh() is None and dsk._data_mesh() is None
+        # data×model: the kernel stays, routed through the TP decode path
+        cfg2 = Config(save_dir=str(tmp_path / "b"), mesh="data:4,model:2",
+                      **base)
+        inst2 = GANInstructor(cfg2, ds, ds, silent=True)
+        assert inst2.config.decode_impl == "kernel"
+        assert dsk._data_mesh() is None      # not the data-only replication
+        assert dsk._tp_mesh() is not None    # ... but the TP path
+
+        # sp still downgrades (the kernel holds the sequence whole)
+        cfg3 = Config(save_dir=str(tmp_path / "c"), mesh="sp:8", **base)
+        inst3 = GANInstructor(cfg3, ds, ds, silent=True)
+        assert inst3.config.decode_impl == "decoupled"
+        assert dsk._tp_mesh() is None and dsk._data_mesh() is None
+    finally:
+        # instructor construction installs process-wide mesh state (kernel
+        # mesh, activation sharding for sp, state shardings) — clear ALL
+        # of it or later test modules fail under a stale mesh
+        dsk.set_mesh(None)
+        tf_lib.set_activation_sharding(None)
+        tf_lib.set_context_parallel(None)
+        tf_lib.set_pipeline(None)
+        steps_mod.set_state_shardings(None)
 
 
 def _tp_mesh_or_skip(spec, n):
