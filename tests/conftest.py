@@ -180,7 +180,14 @@ def pytest_collection_modifyitems(config, items):
     # cache segfault (round-4 faulthandler stacks); scripts/test.sh keeps
     # the fast path by splitting those modules into a GIC_TEST_NO_CACHE=1
     # process so the main pass keeps its cache.
-    if os.environ.get("GIC_TEST_NO_CACHE") != "1":
+    if (os.environ.get("GIC_TEST_NO_CACHE") != "1"
+            and os.environ.get("GIC_TEST_CACHE_ANYWAY") != "1"):
+        # GIC_TEST_CACHE_ANYWAY=1: keep the cache WITH engine modules in
+        # one process — safe since round 4's serving.py
+        # _thread_no_compile_cache (dispatcher threads disable the cache
+        # thread-locally at the source); validated crash-free ×3 in round
+        # 5 (docs/benchmarks.md), kept opt-in one more round out of
+        # segfault paranoia.
         threaded = any(
             os.path.basename(str(item.fspath)) in THREADED_ENGINE_FILES
             for item in items)
