@@ -54,8 +54,17 @@ run_split_concurrent() {  # round 5: MEASURED NEGATIVE on this 1-core box —
   return $(( rc > erc ? rc : erc ))
 }
 
+run_cached() {  # round 5: ONE cached process, engine modules included.
+  # Safe since round 4 fixed the cache-thread segfault at the source
+  # (serving.py:_thread_no_compile_cache — dispatcher threads disable the
+  # persistent cache thread-locally); validated 3/3 crash-free at
+  # 8m38-8m58 wall (439 tests) vs 13m04 for the two-process split.
+  GIC_TEST_CACHE_ANYWAY=1 python -m pytest tests/ -q "$@"
+}
+
 case "${1:-core}" in
-  core) shift || true; time run_split -m "not slow" "$@" ;;
+  core) shift || true; time run_cached -m "not slow" "$@" ;;
+  core-split) shift || true; time run_split -m "not slow" "$@" ;;
   core-concurrent) shift || true; time run_split_concurrent -m "not slow" "$@" ;;
   full) shift;         time run_split "$@" ;;
   *)                   exec python -m pytest "$@" ;;
