@@ -54,17 +54,21 @@ run_split_concurrent() {  # round 5: MEASURED NEGATIVE on this 1-core box —
   return $(( rc > erc ? rc : erc ))
 }
 
-run_cached() {  # round 5: ONE cached process, engine modules included.
-  # Safe since round 4 fixed the cache-thread segfault at the source
-  # (serving.py:_thread_no_compile_cache — dispatcher threads disable the
-  # persistent cache thread-locally); validated 3/3 crash-free at
-  # 8m38-8m58 wall (439 tests) vs 13m04 for the two-process split.
+run_cached() {  # ONE cached process, engine modules included — FAST BUT
+  # NOT CRASH-SAFE: 3/3 clean at core scope (8m38-8m58 vs 13m04 split),
+  # but the FULL suite segfaulted in a MAIN-THREAD cache read
+  # (get_executable_and_time deserialization, test_full_reinforce) while
+  # a serving _loop thread merely EXISTED idle — the round-4
+  # "background-thread compiles" model was incomplete and the
+  # thread-local opt-out does not make the process safe
+  # (docs/artifacts/cache_segfault_r5/).  The process boundary remains
+  # the only airtight isolation, so `core` stays on the split.
   GIC_TEST_CACHE_ANYWAY=1 python -m pytest tests/ -q "$@"
 }
 
 case "${1:-core}" in
-  core) shift || true; time run_cached -m "not slow" "$@" ;;
-  core-split) shift || true; time run_split -m "not slow" "$@" ;;
+  core) shift || true; time run_split -m "not slow" "$@" ;;
+  core-cached) shift || true; time run_cached -m "not slow" "$@" ;;
   core-concurrent) shift || true; time run_split_concurrent -m "not slow" "$@" ;;
   full) shift;         time run_split "$@" ;;
   *)                   exec python -m pytest "$@" ;;

@@ -183,11 +183,12 @@ def pytest_collection_modifyitems(config, items):
     if (os.environ.get("GIC_TEST_NO_CACHE") != "1"
             and os.environ.get("GIC_TEST_CACHE_ANYWAY") != "1"):
         # GIC_TEST_CACHE_ANYWAY=1: keep the cache WITH engine modules in
-        # one process — safe since round 4's serving.py
-        # _thread_no_compile_cache (dispatcher threads disable the cache
-        # thread-locally at the source); validated crash-free ×3 in round
-        # 5 (docs/benchmarks.md), kept opt-in one more round out of
-        # segfault paranoia.
+        # one process — FAST BUT NOT CRASH-SAFE (scripts/test.sh
+        # core-cached): 3/3 clean at core scope, but the full suite
+        # segfaulted in a MAIN-THREAD cache read while a serving _loop
+        # thread merely existed idle (round-5 stack in
+        # docs/artifacts/cache_segfault_r5/) — the thread-local opt-out
+        # does not make the process safe; only the process boundary is.
         threaded = any(
             os.path.basename(str(item.fspath)) in THREADED_ENGINE_FILES
             for item in items)
